@@ -1,0 +1,120 @@
+"""End-to-end conformance: Ray pipeline vs the serial oracle (SURVEY.md §5).
+
+Mirrors the reference's e2e pattern (reference: test/test_titan_ta_sct.r —
+run the battery, compare flags against planted ground truth), with the
+added distributed-correctness assertions the reference never needed:
+identical results under different block counts, and F1 vs planted labels.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from titan_ray.config import QCConfig
+from titan_ray.corpus import MEGA_CONV_ID, generate_corpus
+from titan_ray.oracle.serial import oracle_qc
+from titan_ray.pipelines.qc import build_qc_pipeline
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _run_engine(table: pa.Table, cfg: QCConfig, blocks: int = 8) -> pd.DataFrame:
+    import ray.data as rd
+
+    ds = rd.from_arrow(table).repartition(blocks)
+    out = build_qc_pipeline(ds, cfg).to_pandas()
+    return out.sort_values(KEY, na_position="last").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def engine_and_oracle(ray_session, small_corpus):
+    cfg = QCConfig(dedup=True)
+    eng = _run_engine(small_corpus, cfg)
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    return eng, ora
+
+
+def test_row_parity(engine_and_oracle):
+    eng, ora = engine_and_oracle
+    assert len(eng) == len(ora)
+    assert eng["conv_id"].fillna("@").tolist() == ora["conv_id"].fillna("@").tolist()
+
+
+def test_flag_parity_exact(engine_and_oracle):
+    eng, ora = engine_and_oracle
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+
+
+def test_scrubbed_text_exact(engine_and_oracle):
+    eng, ora = engine_and_oracle
+    assert eng["text_scrubbed"].fillna("@").tolist() == ora["text_scrubbed"].fillna("@").tolist()
+
+
+def test_sctpog_parity(engine_and_oracle):
+    eng, ora = engine_and_oracle
+    assert np.allclose(eng["sctpog"].fillna(-9), ora["sctpog"].fillna(-9), atol=1e-12)
+
+
+def test_f1_vs_planted_labels(engine_and_oracle):
+    """The BASELINE gate: keep/drop F1 >= 0.99 vs planted ge labels."""
+    eng, _ = engine_and_oracle
+    drop_labels = ["ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black"]
+    truth = eng[drop_labels].any(axis=1) & ~eng["is_keeplist"]
+    pred = ~eng["keep"]
+    scored = ~eng["is_keeplist"]
+    tp = int((truth & pred & scored).sum())
+    fp = int((~truth & pred & scored).sum())
+    fn = int((truth & ~pred & scored).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_pii_scrubbed(engine_and_oracle):
+    eng, _ = engine_and_oracle
+    pii = eng[eng["ge_pii"]]
+    assert len(pii) > 0
+    assert (pii["text_scrubbed"] != pii["text"]).all()
+    clean = eng[~eng[[c for c in eng.columns if c.startswith("ge_")]].any(axis=1)]
+    assert (clean["text_scrubbed"] == clean["text"]).mean() == 1.0
+
+
+def test_block_count_invariance(ray_session, small_corpus):
+    """Same corpus, different partitioning => byte-identical sorted output
+    (SURVEY.md §5.4)."""
+    cfg = QCConfig(dedup=True)
+    a = _run_engine(small_corpus, cfg, blocks=3)
+    b = _run_engine(small_corpus, cfg, blocks=17)
+    for col in ("dqcflag", "keep", "text_scrubbed", "lang", "ppl"):
+        assert a[col].fillna(-1 if a[col].dtype != object else "@").tolist() == \
+               b[col].fillna(-1 if b[col].dtype != object else "@").tolist(), col
+
+
+def test_mega_conversation_salted_and_checked(engine_and_oracle):
+    """The planted mega-conversation (> window W) must be split, checked, and
+    re-emitted with exactly one row per turn and window-parity with the oracle."""
+    eng, ora = engine_and_oracle
+    m_eng = eng[eng["conv_id"] == MEGA_CONV_ID]
+    m_ora = ora[ora["conv_id"] == MEGA_CONV_ID]
+    assert len(m_eng) == len(m_ora) > QCConfig().window  # bigger than one window
+    # uniqueness among real turn positions (meta plants may share turn_idx=-1)
+    assert m_eng.loc[m_eng["turn_idx"] >= 0, "turn_idx"].is_unique
+    assert (m_eng["dqcflag"].to_numpy() == m_ora["dqcflag"].to_numpy()).all()
+
+
+def test_passthrough_columns_preserved(engine_and_oracle):
+    """dataopt analog (reference write_output.r:41-45): extra input columns
+    (tool, ts, labels) survive untouched."""
+    eng, _ = engine_and_oracle
+    for col in ("tool", "ts", "role"):
+        assert col in eng.columns
+    assert set(c for c in eng.columns if c.startswith("ge_")) == {
+        "ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black", "ge_pii", "ge_dup"
+    }
+
+
+def test_no_dedup_keeps_all_rows(ray_session):
+    cfg = QCConfig(dedup=False)
+    t = generate_corpus(800, seed=7, mega=False)
+    eng = _run_engine(t, cfg, blocks=4)
+    assert len(eng) == t.num_rows

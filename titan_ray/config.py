@@ -1,0 +1,105 @@
+"""Typed pipeline configuration — the engine's argparser analog.
+
+The reference merges ~200 CLI flags with R config files
+(reference: functions/IO/argparser.r:85-110); here a dataclass with
+per-role `doit` vectors (reference: functions/IO/argparser_doit.r:4 —
+0 = invisible, 1 = used+testable, 2 = used as buddy but never flagged)
+and per-language climatological bands (the month-vector analog,
+reference: functions/IO/argparser_climatcheck.r:2-11).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def _default_clim_bands() -> dict[str, tuple[float, float]]:
+    # per-language perplexity bands under the English-trained char LM —
+    # the analog of TITAN's month-indexed climatological min/max vectors.
+    return {
+        "en": (1.2, 150.0),
+        "de": (1.2, 2000.0),
+        "fr": (1.2, 2000.0),
+        "es": (1.2, 2000.0),
+        "it": (1.2, 2000.0),
+        "pt": (1.2, 2000.0),
+        "nl": (1.2, 2000.0),
+        "ru": (1.2, 50000.0),
+        "zh": (1.2, 50000.0),
+        "und": (0.0, float("inf")),
+    }
+
+
+def _default_fgt_ref() -> dict[str, tuple[float, float]]:
+    # first-guess expectation per role: (mean qscore, sd) — broadcast lookup,
+    # the analog of the external background field (reference:
+    # functions/checks/fgt.r:262-289).
+    return {
+        "user": (1.9, 0.6),
+        "assistant": (1.9, 0.6),
+        "system": (1.9, 0.6),
+        "tool": (2.2, 0.8),
+    }
+
+
+@dataclass
+class QCConfig:
+    # ---- metadata check (901; reference: metadata_check.r:20-34) ----
+    min_chars: int = 1
+    max_chars: int = 32_768
+
+    # ---- plausibility (501; reference: plausibility_test.r:7-11) ----
+    conf_min: float = 0.30
+    ppl_hard_max: float = 1e6
+
+    # ---- climatological (502) ----
+    clim_bands: dict[str, tuple[float, float]] = field(default_factory=_default_clim_bands)
+
+    # ---- conversation-local checks ----
+    window: int = 512          # salting window W (mega-conversation split)
+    halo: int = 16             # overlap; must be >= every radius below
+    r_buddy: int = 8           # neighbour radius in turn positions
+    buddy_tpos: float = 3.0
+    buddy_tneg: float = 3.0
+    buddy_min: int = 3         # min usable neighbours to judge
+    buddy_iters: int = 5       # convergence passes (reference i.buddy=10 cap)
+    sigma_min: float = 0.35    # MAD floor for the z denominator
+    r_sct: int = 12
+    sct_t: float = 3.5
+    sct_min: int = 5
+    sct_iters: int = 5
+    r_dual: int = 8
+    dual_thr: float = 0.75     # required agreeing-neighbour fraction
+    dual_min: int = 4
+    r_iso: int = 10
+    n_iso: int = 2             # min usable neighbours (reference default n.iso=10
+                               # at station scale; 2 at conversation scale)
+
+    # ---- fgt (11) ----
+    fgt_ref: dict[str, tuple[float, float]] = field(default_factory=_default_fgt_ref)
+    fgt_t: float = 8.0
+
+    # ---- doit: per-check per-role {0,1,2}; missing => 1 ----
+    doit: dict[str, dict[str, int]] = field(default_factory=dict)
+
+    # ---- lists / scrub ----
+    keeplist_col: str | None = "is_keeplist"
+    blacklist_terms: tuple[str, ...] = ("BLOCKLISTED_TOKEN", "DO_NOT_TRAIN")
+
+    # ---- dedup at read (reference: read_data_to_check.r:121-143, opt-in) ----
+    dedup: bool = False
+
+    # ---- execution knobs ----
+    batch_size: int = 4096
+    # autoscaling actor pool (min, max): min=1 so a small test cluster can't
+    # deadlock on reserved CPUs; max sized up by the caller for real runs
+    scorer_concurrency: int | tuple[int, int] = (1, 8)
+
+    def doit_for(self, check: str, roles) -> "object":
+        """Vector of doit values for ``roles`` (numpy object/str array)."""
+        import numpy as np
+
+        table = self.doit.get(check, {})
+        if not table:
+            return np.ones(len(roles), dtype=np.int8)
+        return np.asarray([table.get(r, 1) for r in roles], dtype=np.int8)

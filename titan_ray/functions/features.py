@@ -1,0 +1,94 @@
+"""One-pass feature extraction over an Arrow string column.
+
+Bundles langid + perplexity + heuristic text-quality features so the scorer
+stage touches each batch's byte buffer a minimal number of times. This is
+the engine's `spatconv` (reference: functions/misc/spatconv.r:10-17 —
+project every row into the score space the checks operate in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import langid
+from .lm import CharLM, default_lm
+from .strings import char_class_counts, distinct_window_ratio, string_view, word_counts
+
+# English stopwords for the quality score (public common-word list).
+STOPWORDS = (
+    "the of and a to in is it you that he was for on are as with his they i at"
+    " be this have from or one had by word but not what all were we when your"
+    " can said there use an each which she do how their if will up other about"
+).split()
+
+
+def compute_features(texts: pa.Array | pa.ChunkedArray, lm: CharLM | None = None) -> dict[str, np.ndarray]:
+    """Return per-row score columns for a text column.
+
+    Keys: lang, lang_conf, ppl, n_chars, n_words, rep_ratio, punct_ratio,
+    digit_ratio, alpha_ratio, stopword_ratio, token_count.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if lm is None:
+        lm = default_lm()
+
+    lang, lang_conf = langid.detect(texts)
+    ppl = lm.perplexity(texts)
+
+    data, offsets, valid = string_view(texts)
+    n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    # n_chars = UTF-8 codepoints, not bytes (continuation bytes don't count)
+    cont = (data & np.uint8(0xC0)) == np.uint8(0x80)
+    csum = np.concatenate([[0], np.cumsum(cont)])
+    n_cont = csum[offsets[1:]] - csum[offsets[:-1]]
+    n_chars = (n_bytes - n_cont).astype(np.int32)
+
+    n_words = word_counts(data, offsets).astype(np.int32)
+    rep_ratio = distinct_window_ratio(data, offsets, n=4)
+    cls = char_class_counts(data, offsets)
+    denom = np.maximum(n_bytes, 1).astype(np.float64)
+    punct_ratio = cls["punct"] / denom
+    digit_ratio = cls["digit"] / denom
+    alpha_ratio = cls["alpha"] / denom
+
+    stop_ratio = stopword_ratio(texts, n_words)
+    tok = token_count(texts)
+
+    return {
+        "lang": lang,
+        "lang_conf": lang_conf,
+        "ppl": ppl,
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "rep_ratio": rep_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+        "token_count": tok,
+    }
+
+
+def stopword_ratio(texts: pa.Array, n_words: np.ndarray) -> np.ndarray:
+    """Fraction of whitespace tokens that are English stopwords (vectorized
+    via pyarrow count_substring over lowercased padded text)."""
+    lowered = pc.utf8_lower(texts)
+    padded = pc.binary_join_element_wise(pa.scalar(" "), lowered, pa.scalar(" "), null_handling="replace")
+    total = np.zeros(len(texts), dtype=np.float64)
+    for w in STOPWORDS:
+        c = pc.count_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+        total += np.nan_to_num(c.astype(np.float64))
+    return total / np.maximum(n_words.astype(np.float64), 1.0)
+
+
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(texts: pa.Array) -> np.ndarray:
+    """BPE-ish token count: words + numbers + individual symbols, via one
+    vectorized regex count (pyarrow re2)."""
+    c = pc.count_substring_regex(texts, _TOKEN_PATTERN)
+    return np.nan_to_num(c.to_numpy(zero_copy_only=False).astype(np.float64)).astype(np.int32)

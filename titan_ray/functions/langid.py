@@ -1,0 +1,96 @@
+"""Byte-trigram language identification (fastText-style, hashed linear model).
+
+Analog of the reference's coordinate transform + climatological range inputs
+(reference: functions/misc/spatconv.r:10-17 maps rows into the space the
+checks operate in; here text maps into (lang, lang_conf) score space,
+SURVEY.md §2.2). Deterministic: profiles are trained at import from the
+embedded seed corpora — no network, no external artifacts.
+
+Vectorized scoring: the whole Arrow batch is one byte buffer; trigram hashes
+index a (HASH_BUCKETS × n_lang) log-probability table; per-row scores are
+cumsum segment sums. No Python loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ._seed_text import SEED_CORPORA
+from .strings import (
+    rolling_ngram_hash,
+    multi_arange,
+    segment_sum,
+    string_view,
+    window_segments,
+)
+
+NGRAM = 3
+HASH_BUCKETS = 1 << 16
+LANGS: tuple[str, ...] = tuple(sorted(SEED_CORPORA))
+UNKNOWN = "und"
+
+
+def _train_table() -> np.ndarray:
+    """(HASH_BUCKETS, n_lang) float32 table of per-language trigram log-probs."""
+    table = np.zeros((HASH_BUCKETS, len(LANGS)), dtype=np.float64)
+    for j, lang in enumerate(LANGS):
+        data = np.frombuffer(SEED_CORPORA[lang].encode("utf-8"), dtype=np.uint8)
+        h = rolling_ngram_hash(data, NGRAM) % HASH_BUCKETS
+        counts = np.bincount(h.astype(np.int64), minlength=HASH_BUCKETS).astype(np.float64)
+        # add-0.05 smoothing over the hashed vocabulary
+        probs = (counts + 0.05) / (counts.sum() + 0.05 * HASH_BUCKETS)
+        table[:, j] = np.log(probs)
+    return table.astype(np.float32)
+
+
+_TABLE: np.ndarray | None = None
+
+
+def table() -> np.ndarray:
+    global _TABLE
+    if _TABLE is None:
+        _TABLE = _train_table()
+    return _TABLE
+
+
+def detect(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized langid over an Arrow string array (or anything pa-coercible).
+
+    Returns (lang: object ndarray of str, conf: float64 ndarray in [0,1]).
+    Rows with < NGRAM bytes or nulls get (UNKNOWN, 0.0).
+    """
+    import pyarrow as pa
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    data, offsets, valid = string_view(texts)
+    n_rows = len(offsets) - 1
+    tab = table()
+
+    lang_out = np.full(n_rows, UNKNOWN, dtype=object)
+    conf_out = np.zeros(n_rows, dtype=np.float64)
+
+    h = rolling_ngram_hash(data, NGRAM)
+    if len(h) == 0:
+        return lang_out, conf_out
+    starts, ends, counts = window_segments(offsets, NGRAM)
+    idx = multi_arange(starts, counts)
+    if len(idx) == 0:
+        return lang_out, conf_out
+    gathered = tab[(h[idx] % HASH_BUCKETS).astype(np.int64)]  # (n_windows, n_lang)
+    # per-row start/end into the gathered array
+    g_ends = np.cumsum(counts)
+    g_starts = g_ends - counts
+    sums = segment_sum(gathered, g_starts, g_ends)  # (n_rows, n_lang) total log-prob
+    scored = (counts > 0) & valid
+    mean_lp = np.zeros_like(sums)
+    mean_lp[scored] = sums[scored] / counts[scored, None]
+    best = np.argmax(mean_lp, axis=1)
+    # softmax over mean log-probs => confidence of the argmax language
+    m = mean_lp - mean_lp.max(axis=1, keepdims=True)
+    ex = np.exp(m)
+    conf = ex[np.arange(n_rows), best] / ex.sum(axis=1)
+    lang_arr = np.asarray(LANGS, dtype=object)[best]
+    lang_out[scored] = lang_arr[scored]
+    conf_out[scored] = conf[scored]
+    return lang_out, conf_out

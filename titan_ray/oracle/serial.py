@@ -1,0 +1,245 @@
+"""Serial single-process oracle for the QC battery.
+
+Mirrors the reference's conformance pattern (reference:
+test/test_titan_ta_sct.r:8-21 — run the pipeline, compare flags against
+ground truth): a deliberately naive, loop-based re-implementation of every
+check with the SAME windowed semantics as the Ray engine. The engine must
+match it row-for-row (flags exactly; text_scrubbed byte-exactly). Scorer
+outputs (lang/ppl/...) are shared inputs, not re-derived — the oracle
+validates the CHECK and SHUFFLE logic, which is what distribution can break.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import QCConfig
+from ..functions.features import compute_features
+from ..functions.scrub import Scrubber
+from ..schema import (
+    CODE_BLACKLIST,
+    CODE_BUDDY,
+    CODE_CLIM,
+    CODE_FGT,
+    CODE_ISOLATION,
+    CODE_KEEP,
+    CODE_NOMETA,
+    CODE_PLAUS,
+    CODE_SCT,
+    CODE_SCT_DUAL,
+)
+
+UNFLAGGED = -1
+
+
+def _doit(cfg: QCConfig, check: str, role) -> int:
+    return cfg.doit.get(check, {}).get(role if role is not None else "", 1) if cfg.doit.get(check) else 1
+
+
+def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
+    cfg = cfg or QCConfig()
+    df = table.to_pandas()
+
+    # ---- dedup (keep first by conv_id, turn_idx, ts) ----
+    if cfg.dedup:
+        order = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort", na_position="last")
+        seen: set[str] = set()
+        keep_rows = []
+        for i, txt in zip(order.index, order["text"]):
+            norm = re.sub(r"\s+", " ", txt.lower()).strip() if isinstance(txt, str) else ""
+            if norm and norm in seen:
+                continue
+            seen.add(norm)
+            keep_rows.append(i)
+        df = df.loc[sorted(keep_rows)]
+    df = df.reset_index(drop=True)
+    n = len(df)
+    flags = np.full(n, UNFLAGGED, dtype=np.int32)
+
+    # ---- seeding: blacklist then keeplist ----
+    black_re = re.compile("|".join(re.escape(t) for t in cfg.blacklist_terms)) if cfg.blacklist_terms else None
+    for i in range(n):
+        t = df["text"].iloc[i]
+        if black_re is not None and isinstance(t, str) and black_re.search(t):
+            flags[i] = CODE_BLACKLIST
+    if cfg.keeplist_col and cfg.keeplist_col in df.columns:
+        for i in range(n):
+            if flags[i] == UNFLAGGED and bool(df[cfg.keeplist_col].iloc[i]):
+                flags[i] = CODE_KEEP
+
+    # ---- metadata (may overwrite 990) ----
+    for i in range(n):
+        t = df["text"].iloc[i]
+        nb = len(t.encode("utf-8")) if isinstance(t, str) else None
+        bad = (
+            not isinstance(t, str)
+            or pd.isna(df["conv_id"].iloc[i])
+            or int(df["turn_idx"].iloc[i]) < 0
+            or nb < cfg.min_chars
+            or nb > cfg.max_chars
+        )
+        if bad and flags[i] in (UNFLAGGED, CODE_KEEP):
+            flags[i] = CODE_NOMETA
+
+    # ---- scores (shared scorer functions) ----
+    feats = compute_features(pa.array(df["text"].tolist(), type=pa.string()))
+    lang = feats["lang"]
+    conf = feats["lang_conf"]
+    ppl = feats["ppl"]
+    q = np.log1p(ppl)
+
+    # ---- plausibility (may overwrite 990) ----
+    for i in range(n):
+        if flags[i] not in (UNFLAGGED, CODE_KEEP):
+            continue
+        if _doit(cfg, "plausibility", df["role"].iloc[i]) != 1:
+            continue
+        if conf[i] < cfg.conf_min or ppl[i] > cfg.ppl_hard_max:
+            flags[i] = CODE_PLAUS
+
+    # ---- climatological ----
+    default_band = cfg.clim_bands.get("und", (0.0, float("inf")))
+    for i in range(n):
+        if flags[i] != UNFLAGGED or _doit(cfg, "climatological", df["role"].iloc[i]) != 1:
+            continue
+        lo, hi = cfg.clim_bands.get(lang[i], default_band)
+        if ppl[i] < lo or ppl[i] > hi:
+            flags[i] = CODE_CLIM
+
+    # ---- conversation-local checks, window by window ----
+    sctpog = np.full(n, np.nan)
+    conv_key = df["conv_id"].fillna("__null__")
+    pre_flags = flags.copy()  # halo rows participate with pre-stage flags
+    order = np.lexsort((df["ts"].to_numpy(), df["turn_idx"].to_numpy(), conv_key.to_numpy()))
+    W, H = cfg.window, cfg.halo
+    for _, conv_rows in pd.Series(order).groupby(conv_key.to_numpy()[order], sort=False):
+        rows = conv_rows.to_numpy()
+        tvals = df["turn_idx"].to_numpy()[rows]
+        windows = np.unique(np.maximum(tvals, 0) // W)
+        for w in windows:
+            core = rows[np.maximum(tvals, 0) // W == w]
+            lo_edge, hi_edge = w * W - H, (w + 1) * W + H
+            part = rows[(tvals >= lo_edge) & (tvals < hi_edge)]
+            is_core = np.isin(part, core)
+            lflags = pre_flags[part].copy()
+            lflags[is_core] = flags[part][is_core]
+            lt = df["turn_idx"].to_numpy()[part].astype(np.int64)
+            lq = q[part]
+            lroles = df["role"].fillna("").to_numpy()[part]
+            llang = lang[part]
+            lpog = np.full(len(part), np.nan)
+            _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog)
+            flags[part[is_core]] = lflags[is_core]
+            sctpog[part[is_core]] = lpog[is_core]
+
+    # ---- final + scrub ----
+    flags = np.where(flags == UNFLAGGED, 0, flags)
+    keep = (flags == 0) | (flags == CODE_KEEP)
+    scr = Scrubber()
+    df["lang"] = lang
+    df["lang_conf"] = conf
+    df["ppl"] = ppl
+    df["qscore"] = q
+    df["dqcflag"] = flags.astype(np.int32)
+    df["keep"] = keep
+    df["sctpog"] = sctpog
+    df["text_scrubbed"] = [scr.scrub_one(t) if isinstance(t, str) else None for t in df["text"]]
+    return df
+
+
+def _neigh(i: int, lt: np.ndarray, r: int, ok: np.ndarray) -> list[int]:
+    return [j for j in range(len(lt)) if j != i and ok[j] and abs(lt[j] - lt[i]) <= r]
+
+
+def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
+    m = len(lflags)
+
+    def usable(check):
+        return np.asarray(
+            [lflags[j] in (UNFLAGGED, CODE_KEEP) and _doit(cfg, check, lroles[j]) >= 1 for j in range(m)]
+        )
+
+    def testable(check, j):
+        return lflags[j] == UNFLAGGED and _doit(cfg, check, lroles[j]) == 1 and is_core[j]
+
+    # dual (single two-phase pass)
+    ok = usable("sct_dual")
+    ev = np.asarray([l != "en" for l in llang])
+    new = []
+    for i in range(m):
+        if not testable("sct_dual", i):
+            continue
+        nb = _neigh(i, lt, cfg.r_dual, ok)
+        if len(nb) < cfg.dual_min:
+            continue
+        frac = float(np.mean(ev[nb]))
+        if (ev[i] and frac < 1.0 - cfg.dual_thr) or (not ev[i] and frac > cfg.dual_thr):
+            new.append(i)
+    for i in new:
+        lflags[i] = CODE_SCT_DUAL
+
+    # fgt
+    for i in range(m):
+        if not testable("fgt", i):
+            continue
+        mu, sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
+        if abs(lq[i] - mu) > cfg.fgt_t * sd:
+            lflags[i] = CODE_FGT
+
+    # buddy (iterate, two-phase per pass)
+    for _ in range(cfg.buddy_iters):
+        ok = usable("buddy")
+        new = []
+        for i in range(m):
+            if not testable("buddy", i):
+                continue
+            nb = _neigh(i, lt, cfg.r_buddy, ok)
+            if len(nb) < cfg.buddy_min:
+                continue
+            med = float(np.median(lq[nb]))
+            mad = float(np.median(np.abs(lq[nb] - med)))
+            sigma = max(1.4826 * mad, cfg.sigma_min)
+            z = (lq[i] - med) / sigma
+            if z > cfg.buddy_tpos or z < -cfg.buddy_tneg:
+                new.append(i)
+        if not new:
+            break
+        for i in new:
+            lflags[i] = CODE_BUDDY
+
+    # sct (iterate; sctpog = z^2)
+    for _ in range(cfg.sct_iters):
+        ok = usable("sct")
+        new = []
+        for i in range(m):
+            if not testable("sct", i):
+                continue
+            nb = _neigh(i, lt, cfg.r_sct, ok)
+            if len(nb) < cfg.sct_min:
+                continue
+            med = float(np.median(lq[nb]))
+            mad = float(np.median(np.abs(lq[nb] - med)))
+            sigma = max(1.4826 * mad, cfg.sigma_min)
+            z = (lq[i] - med) / sigma
+            lpog[i] = z * z
+            if abs(z) > cfg.sct_t:
+                new.append(i)
+        if not new:
+            break
+        for i in new:
+            lflags[i] = CODE_SCT
+
+    # isolation
+    ok = usable("isolation")
+    new = []
+    for i in range(m):
+        if not testable("isolation", i):
+            continue
+        if len(_neigh(i, lt, cfg.r_iso, ok)) < cfg.n_iso:
+            new.append(i)
+    for i in new:
+        lflags[i] = CODE_ISOLATION

@@ -1,0 +1,84 @@
+"""The flagship QC pipeline — reference: titan.r:103-269, recast Ray-Data-first.
+
+One Dataset, streaming end-to-end; the only all-to-all exchanges are the
+optional dedup bucket shuffle and the single conv-bucket shuffle feeding ALL
+conversation-local checks (SURVEY.md §3.4). Stage order = reference check
+order (titan.r:115-263), first-flag-wins.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import pyarrow as pa
+
+from ..config import QCConfig
+from ..stages.conv import run_conv_checks, salt_batch
+from ..stages.dedup import dedup_exact
+from ..stages.rowwise import (
+    climatological_check,
+    final_decision,
+    metadata_check,
+    plausibility_check,
+    seed_lists,
+)
+from ..stages.scorer import Scorer
+from ..stages.scrub_stage import ScrubStage
+
+HELPER_COLS = ("conv_key", "is_core", "bucket")
+
+
+def _drop_helpers(batch: pa.Table) -> pa.Table:
+    keep = [c for c in batch.column_names if c not in HELPER_COLS]
+    return batch.select(keep)
+
+
+def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
+    """ds: Dataset with the transcript input schema (extra columns pass
+    through untouched — the reference's dataopt passthrough,
+    write_output.r:41-45). Returns the lazy scored+flagged+scrubbed Dataset."""
+    cfg = cfg or QCConfig()
+
+    if cfg.dedup:
+        ds = dedup_exact(ds)
+
+    ds = ds.map_batches(partial(seed_lists, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(partial(metadata_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(
+        Scorer,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+    ds = ds.map_batches(partial(plausibility_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(partial(climatological_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    # the ONE conversation-local shuffle (dual, fgt, buddy, sct, isolation)
+    ds = ds.map_batches(
+        partial(salt_batch, cfg=cfg, num_buckets=num_buckets),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    ds = ds.groupby("bucket").map_groups(partial(run_conv_checks, cfg=cfg), batch_format="pandas")
+    ds = ds.map_batches(_drop_helpers, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    ds = ds.map_batches(final_decision, batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(
+        ScrubStage,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+    return ds
+
+
+def run_qc(input_path: str, output_path: str | None = None, cfg: QCConfig | None = None, **read_kwargs):
+    """Read parquet → QC → (optionally) write partitioned parquet."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path, **read_kwargs)
+    out = build_qc_pipeline(ds, cfg)
+    if output_path is not None:
+        out.write_parquet(output_path)
+        return None
+    return out

@@ -1,0 +1,214 @@
+"""Conversation-local checks: dual, fgt, buddy, SCT, isolation — one shuffle.
+
+Design (SURVEY.md §2.3 / §4):
+
+1. **Salt** (stateless map_batches): every row gets ``conv_key =
+   conv_id + '#' + (turn_idx // W)``. Mega-conversations (> W turns) thus
+   split into windows; rows within ``halo`` of a window edge are ALSO
+   emitted into the adjacent window with ``is_core = False`` so every core
+   row sees its full ±radius neighbourhood. Small conversations never
+   duplicate. This replaces Ray's inability to split a group — skew from
+   10^6-turn conversations is bounded at W + 2·halo rows per group.
+
+2. **Bucket** the windows by hash into ``num_buckets`` groups and run ONE
+   ``groupby('bucket').map_groups`` — each group holds many windows and the
+   check kernels run vectorized across all of them at once with
+   conversation-boundary masking (no per-conversation Python dispatch).
+
+Check semantics (engine-defined, oracle-matched; reference kernels are in
+the external titanlib — we re-implement their *shape*):
+
+- **dual** (code 3; reference: sct_dual_r.r:112-130): binary event =
+  (lang != 'en'); flag a testable row whose event disagrees with >
+  ``dual_thr`` of its usable neighbours within ±r_dual.
+- **fgt** (code 11; reference: fgt.r:267-289): |qscore − ref(role).mean| >
+  t · ref(role).sd against the broadcast first-guess table.
+- **buddy** (code 10; reference: buddy.r:97-210): iterate ≤ buddy_iters:
+  z = (q − median(neigh)) / max(1.4826·MAD, sigma_min) over usable
+  neighbours within ±r_buddy (self excluded); flag z > tpos or z < −tneg
+  with ≥ buddy_min neighbours; newly flagged rows leave the usable set.
+- **sct** (code 1; reference: sct_resistant.r:107-247 with
+  background_elab_type = MedianOuterCircle, argparser_sct.r:13-16): same
+  skeleton over the wider ±r_sct window, score sctpog = z² kept.
+- **isolation** (code 800; reference: isolation.r:25-28): < n_iso usable
+  neighbours within ±r_iso.
+
+First-flag-wins order inside the kernel: dual → fgt → buddy → sct →
+isolation (reference: titan.r:209-257). Only CORE rows are ever flagged;
+halo rows participate with their pre-stage flags (doit=2 semantics).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import QCConfig
+from ..schema import CODE_BUDDY, CODE_FGT, CODE_ISOLATION, CODE_SCT, CODE_SCT_DUAL
+from .flags import testable_mask, usable_mask
+
+NULL_CONV_KEY = "__null__"
+
+
+# ---------------------------------------------------------------------------
+# stage 1: salting (stateless, vectorized)
+# ---------------------------------------------------------------------------
+
+def salt_batch(batch: pa.Table, cfg: QCConfig, num_buckets: int = 128) -> pa.Table:
+    """Add conv_key / bucket / is_core; emit halo duplicates for window edges."""
+    conv = pc.coalesce(batch["conv_id"], pa.scalar(NULL_CONV_KEY))
+    t = pc.max_element_wise(batch["turn_idx"], pa.scalar(0, type=pa.int32()))
+    w = pc.divide(t, pa.scalar(cfg.window, type=pa.int32()))
+    pos = pc.subtract(t, pc.multiply(w, pa.scalar(cfg.window, type=pa.int32())))
+
+    def keyed(tbl: pa.Table, conv_a, w_a, core: bool) -> pa.Table:
+        key = pc.binary_join_element_wise(conv_a, pc.cast(w_a, pa.string()), "#")
+        tbl = tbl.append_column("conv_key", key)
+        tbl = tbl.append_column("is_core", pa.array(np.full(tbl.num_rows, core)))
+        # deterministic across processes (pandas siphash with fixed key) —
+        # python's builtin hash() is salted per process and would break
+        # reproducible partitioning.
+        hv = pd.util.hash_array(np.asarray(key.to_pylist(), dtype=object))
+        tbl = tbl.append_column("bucket", pa.array((hv % num_buckets).astype(np.int32)))
+        return tbl
+
+    out = [keyed(batch, conv, w, True)]
+    # halo into the previous window (rows near the lower edge, window > 0)
+    lo_mask = pc.and_(pc.less(pos, cfg.halo), pc.greater(w, 0))
+    if pc.any(lo_mask).as_py():
+        idx = np.flatnonzero(lo_mask.to_numpy(zero_copy_only=False))
+        sub = batch.take(idx)
+        out.append(keyed(sub, conv.take(idx), pc.subtract(w.take(idx), 1), False))
+    # halo into the next window (rows near the upper edge)
+    hi_mask = pc.greater_equal(pos, cfg.window - cfg.halo)
+    if pc.any(hi_mask).as_py():
+        idx = np.flatnonzero(hi_mask.to_numpy(zero_copy_only=False))
+        sub = batch.take(idx)
+        out.append(keyed(sub, conv.take(idx), pc.add(w.take(idx), 1), False))
+    return pa.concat_tables(out)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: vectorized windowed kernels (shared with the bucket group fn)
+# ---------------------------------------------------------------------------
+
+def _sliding(vals: np.ndarray, r: int) -> np.ndarray:
+    """(n, 2r+1) view with NaN padding; column r is self."""
+    n = len(vals)
+    padded = np.full(n + 2 * r, np.nan)
+    padded[r : r + n] = vals
+    return np.lib.stride_tricks.sliding_window_view(padded, 2 * r + 1)
+
+
+def _neighbour_matrix(q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int) -> np.ndarray:
+    """(n, 2r+1) of usable neighbour values; NaN where out-of-conv, out-of-radius,
+    not usable, or self. Rows must be sorted by (grp, t)."""
+    vals = np.where(ok, q, np.nan)
+    m = _sliding(vals, r).copy()
+    m[:, r] = np.nan  # exclude self (reference: statistics_util.r:50-55)
+    gm = _sliding(grp.astype(np.float64), r)
+    tm = _sliding(t.astype(np.float64), r)
+    bad = (gm != grp[:, None]) | (np.abs(tm - t[:, None]) > r)
+    m[bad] = np.nan
+    return m
+
+
+def _robust_z(q: np.ndarray, m: np.ndarray, sigma_min: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(z, count, sigma) of q vs the neighbour matrix (median/MAD)."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        cnt = np.sum(~np.isnan(m), axis=1)
+        med = np.nanmedian(m, axis=1)
+        mad = np.nanmedian(np.abs(m - med[:, None]), axis=1)
+    sigma = np.maximum(1.4826 * mad, sigma_min)
+    z = np.where(cnt > 0, (q - med) / sigma, 0.0)
+    return np.nan_to_num(z), cnt, sigma
+
+
+def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
+    """Run dual→fgt→buddy→sct→isolation over one bucket of windows.
+
+    Expects columns conv_key, turn_idx, ts, role, lang, qscore, dqcflag,
+    is_core. Returns only core rows with updated dqcflag + sctpog.
+    """
+    df = df.sort_values(["conv_key", "turn_idx", "ts"], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    flags = df["dqcflag"].to_numpy(dtype=np.int32).copy()
+    q = df["qscore"].to_numpy(dtype=np.float64)
+    t = df["turn_idx"].to_numpy(dtype=np.int64)
+    grp = pd.factorize(df["conv_key"], sort=False)[0].astype(np.int64)
+    core = df["is_core"].to_numpy(dtype=bool)
+    roles = df["role"].fillna("").to_numpy(dtype=object)
+    lang = df["lang"].fillna("und").to_numpy(dtype=object)
+    sctpog = np.full(n, np.nan)
+
+    def testable(check: str) -> np.ndarray:
+        return testable_mask(flags, cfg.doit_for(check, roles)) & core
+
+    def usable(check: str) -> np.ndarray:
+        return usable_mask(flags, cfg.doit_for(check, roles))
+
+    # ---- dual (code 3) ----
+    event = (lang != "en").astype(np.float64)
+    m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        cnt = np.sum(~np.isnan(m), axis=1)
+        frac = np.nanmean(m, axis=1)
+    frac = np.nan_to_num(frac)
+    own = event > 0.5
+    disagree = np.where(own, frac < 1.0 - cfg.dual_thr, frac > cfg.dual_thr)
+    mask = testable("sct_dual") & (cnt >= cfg.dual_min) & disagree
+    flags[mask] = CODE_SCT_DUAL
+
+    # ---- fgt (code 11) ----
+    ref = cfg.fgt_ref
+    mu = np.asarray([ref.get(r, (1.9, 0.6))[0] for r in roles])
+    sd = np.asarray([ref.get(r, (1.9, 0.6))[1] for r in roles])
+    mask = testable("fgt") & (np.abs(q - mu) > cfg.fgt_t * sd)
+    flags[mask] = CODE_FGT
+
+    # ---- buddy (code 10), iterate to convergence ----
+    for _ in range(cfg.buddy_iters):
+        m = _neighbour_matrix(q, usable("buddy"), grp, t, cfg.r_buddy)
+        z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
+        mask = testable("buddy") & (cnt >= cfg.buddy_min) & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
+        if not mask.any():
+            break
+        flags[mask] = CODE_BUDDY
+
+    # ---- sct (code 1), iterate; keep sctpog = z² ----
+    for _ in range(cfg.sct_iters):
+        m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct)
+        z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
+        judged = testable("sct") & (cnt >= cfg.sct_min)
+        sctpog = np.where(judged, z * z, sctpog)
+        mask = judged & (np.abs(z) > cfg.sct_t)
+        if not mask.any():
+            break
+        flags[mask] = CODE_SCT
+
+    # ---- isolation (code 800) ----
+    m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso)
+    cnt = np.sum(~np.isnan(m), axis=1)
+    mask = testable("isolation") & (cnt < cfg.n_iso)
+    flags[mask] = CODE_ISOLATION
+
+    out = df.loc[core, [c for c in df.columns if c not in ("bucket",)]].copy()
+    out["dqcflag"] = flags[core].astype(np.int32)
+    out["sctpog"] = sctpog[core]
+    return out
+
+
+class BucketChecker:
+    """map_groups callable over hash buckets of salted windows."""
+
+    def __init__(self, cfg: QCConfig):
+        self.cfg = cfg
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return run_conv_checks(df, self.cfg)

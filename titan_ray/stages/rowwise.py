@@ -1,0 +1,129 @@
+"""Stateless per-batch stages: seeding, metadata, range checks, scrub, final.
+
+Each is a pure function suitable for ``Dataset.map_batches(fn,
+batch_format="pyarrow")`` — vectorized, no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import QCConfig
+from ..schema import (
+    CODE_BLACKLIST,
+    CODE_CLIM,
+    CODE_FGT,
+    CODE_KEEP,
+    CODE_NOMETA,
+    CODE_PLAUS,
+)
+from .flags import UNFLAGGED, apply_flag, testable_mask
+
+
+def _get_flags(batch: pa.Table) -> np.ndarray:
+    if "dqcflag" in batch.column_names:
+        return batch["dqcflag"].to_numpy(zero_copy_only=False).astype(np.int32)
+    return np.full(batch.num_rows, UNFLAGGED, dtype=np.int32)
+
+
+def _set_col(batch: pa.Table, name: str, arr) -> pa.Table:
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, [arr])
+    return batch.append_column(name, [arr])
+
+
+def seed_lists(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Blacklist (999) + keep-list (990) seeding at read
+    (reference: read_data_to_check.r:94-119, codes argparser_qccodes.r:72-80)."""
+    flags = _get_flags(batch)
+    text = batch["text"]
+    if cfg.blacklist_terms:
+        pat = "|".join(re.escape(t) for t in cfg.blacklist_terms)
+        hit = pc.fill_null(pc.match_substring_regex(text, pat), False)
+        hit_np = hit.to_numpy(zero_copy_only=False).astype(bool)
+        flags = apply_flag(flags, hit_np, CODE_BLACKLIST)
+    if cfg.keeplist_col and cfg.keeplist_col in batch.column_names:
+        kl = pc.fill_null(batch[cfg.keeplist_col], False).to_numpy(zero_copy_only=False).astype(bool)
+        flags = apply_flag(flags, kl, CODE_KEEP)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+
+
+def metadata_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Code 901: null/empty text, null conv_id, negative turn_idx, length out
+    of [min_chars, max_chars] (reference: metadata_check.r:20-34; may flag
+    keep-listed rows, titan.r:191)."""
+    flags = _get_flags(batch)
+    text = batch["text"]
+    n_bytes = pc.coalesce(pc.binary_length(text), pa.scalar(0))
+    bad = pc.or_(
+        pc.or_(pc.is_null(text), pc.is_null(batch["conv_id"])),
+        pc.or_(
+            pc.less(batch["turn_idx"], 0),
+            pc.or_(pc.less(n_bytes, cfg.min_chars), pc.greater(n_bytes, cfg.max_chars)),
+        ),
+    )
+    bad_np = np.asarray(bad.to_pandas().fillna(True), dtype=bool)
+    flags = apply_flag(flags, bad_np, CODE_NOMETA, flags_keeplisted=True)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+
+
+def plausibility_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Code 501: lang_conf below threshold or perplexity absurdly high —
+    the reference's vmin/vmax range check (plausibility_test.r:7-11).
+    May flag keep-listed rows (titan.r:194)."""
+    flags = _get_flags(batch)
+    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    doit = cfg.doit_for("plausibility", roles)
+    conf = batch["lang_conf"].to_numpy(zero_copy_only=False)
+    ppl = batch["ppl"].to_numpy(zero_copy_only=False)
+    bad = (conf < cfg.conf_min) | (ppl > cfg.ppl_hard_max)
+    open_keep = (flags == UNFLAGGED) | (flags == CODE_KEEP)
+    mask = bad & (doit == 1) & open_keep
+    flags = apply_flag(flags, mask, CODE_PLAUS, flags_keeplisted=True)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+
+
+def climatological_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Code 502: perplexity outside the per-language band — the analog of
+    month-indexed climatological min/max (climatological_check.r:24-28).
+    Cannot flag keep-listed rows."""
+    flags = _get_flags(batch)
+    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    doit = cfg.doit_for("climatological", roles)
+    langs = batch["lang"].to_pandas().fillna("und").to_numpy(dtype=object)
+    ppl = batch["ppl"].to_numpy(zero_copy_only=False)
+    default = cfg.clim_bands.get("und", (0.0, float("inf")))
+    los = np.asarray([cfg.clim_bands.get(l, default)[0] for l in langs])
+    his = np.asarray([cfg.clim_bands.get(l, default)[1] for l in langs])
+    bad = (ppl < los) | (ppl > his)
+    flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_CLIM)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+
+
+def fgt_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Code 11: deviation from the broadcast first-guess expectation per role
+    (reference: fgt.r:267-289 with background_elab_type="External"; ensemble
+    voting fgt.r:335-343 degenerates to one member here)."""
+    flags = _get_flags(batch)
+    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    doit = cfg.doit_for("fgt", roles)
+    q = batch["qscore"].to_numpy(zero_copy_only=False)
+    mu = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[0] for r in roles])
+    sd = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[1] for r in roles])
+    bad = np.abs(q - mu) > cfg.fgt_t * sd
+    flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_FGT)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+
+
+def final_decision(batch: pa.Table) -> pa.Table:
+    """NA->0 plus keep flag (reference: final_decision.r:9; keep-listed rows
+    survive with their 990 marker)."""
+    flags = _get_flags(batch)
+    flags = np.where(flags == UNFLAGGED, np.int32(0), flags)
+    keep = (flags == 0) | (flags == CODE_KEEP)
+    batch = _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+    return _set_col(batch, "keep", pa.array(keep))
