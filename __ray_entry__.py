@@ -1,44 +1,154 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship transcript-QC pipeline at sf0.001.
+queries(): one entry per implemented operator/pipeline (SURVEY.md §2);
+oracle_sql(): DuckDB equivalents over the pre-registered driver views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+from titan_ray.config import QCConfig
+from titan_ray.corpus import corpus_path_for_sf
+from titan_ray.functions.features import _TOKEN_PATTERN
+from titan_ray.functions.scrub import SCRUB_RULES
+from titan_ray.pipelines import docqc, events
+from titan_ray.pipelines.qc import build_qc_pipeline
+from titan_ray.stages import ann
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def _qc_dataset(sf_dir: str):
+    import ray.data as rd
+
+    path = corpus_path_for_sf(_sf_of(sf_dir))
+    ds = rd.read_parquet(path)
+    return build_qc_pipeline(ds, QCConfig(dedup=True))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: transcript corpus at sf0.001 scale through the full
+    QC battery (read → score → flag → conv checks → scrub)."""
+    return _qc_dataset("/root/testdata/sf0.001")
+
+
+def _qc_flag_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _qc_dataset(sf_dir)
+    return ds.groupby(["role", "dqcflag"]).aggregate(Count(alias_name="n_turns"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- flagship transcript QC (non-SQL: scorer models + windowed checks) ---
+        "qc_transcripts": _qc_dataset,
+        "qc_flag_counts": _qc_flag_counts,
+        # --- document-table analogs (SQL-checked) ---
+        "doc_length_stats": docqc.doc_length_stats,
+        "doc_token_counts": docqc.doc_token_counts,
+        "doc_char_classes": docqc.doc_char_classes,
+        "doc_quality_filter": docqc.doc_quality_filter,
+        "doc_pattern_flag": docqc.doc_pattern_flag,
+        "doc_scrub": docqc.doc_scrub,
+        "dedup_exact_docs": docqc.dedup_exact_docs,
+        # --- ordered-stream analogs over events (SQL-checked, exact ints) ---
+        "events_hourly": events.events_hourly,
+        "events_buddy": events.events_buddy,
+        "events_isolation": events.events_isolation,
+        # --- similarity search over embeddings (SQL-checked) ---
+        "ann_topk": ann.ann_topk,
+        "embedding_neardup": ann.embedding_neardup_pairs,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _scrub_sql_expr(col: str = "text") -> str:
+    expr = col
+    for _name, pat, repl in SCRUB_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = _TOKEN_PATTERN.replace("\\", "\\")  # literal; duckdb strings keep backslashes
+    cos = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    return {
+        "doc_length_stats": (
+            "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "doc_token_counts": (
+            f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{tok}')) AS BIGINT) AS token_count "
+            "FROM documents"
+        ),
+        "doc_char_classes": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha "
+            "FROM documents"
+        ),
+        "doc_quality_filter": (
+            "SELECT doc_id FROM documents "
+            "WHERE length(text) BETWEEN 20 AND 2000 "
+            f"AND length(regexp_extract_all(text, '{tok}')) >= 5"
+        ),
+        "doc_pattern_flag": (
+            "SELECT doc_id FROM documents WHERE regexp_matches(text, 'vector|stream')"
+        ),
+        "doc_scrub": f"SELECT doc_id, {_scrub_sql_expr('text')} AS text_scrubbed FROM documents",
+        "dedup_exact_docs": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+            "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        ),
+        "events_hourly": (
+            "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_vm "
+            "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+        "events_buddy": (
+            "WITH w AS ("
+            "  SELECT event_id, user_id,"
+            "    CAST(round(value*1000) AS BIGINT) AS vm,"
+            "    sum(CAST(round(value*1000) AS BIGINT)) OVER win AS sm,"
+            "    count(*) OVER win AS cnt"
+            "  FROM events"
+            "  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            ") SELECT event_id, user_id FROM w "
+            f"WHERE cnt - 1 >= {events.MIN_NEIGH} "
+            f"AND abs(vm*(cnt-1) - (sm - vm)) > {events.DEV_MILLI}*(cnt-1)"
+        ),
+        "events_isolation": (
+            "SELECT event_id FROM events WHERE user_id IN ("
+            f"SELECT user_id FROM events GROUP BY user_id HAVING count(*) < {events.ISO_MIN})"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) "
+            f"SELECT e.vec_id, round({cos}, 4) AS sim "
+            "FROM embeddings e, q ORDER BY sim DESC, e.vec_id LIMIT 10"
+        ),
+        "embedding_neardup": (
+            "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_dot_product(a.qe, b.qe) / (sqrt(list_dot_product(a.qe, a.qe)) * "
+            "sqrt(list_dot_product(b.qe, b.qe))), 4) AS sim "
+            "FROM n a, n b WHERE a.vec_id < b.vec_id "
+            "AND round(list_dot_product(a.qe, b.qe) / (sqrt(list_dot_product(a.qe, a.qe)) * "
+            "sqrt(list_dot_product(b.qe, b.qe))), 4) > 0.45"
+        ),
+    }

@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline transcript-QC pipeline + operator queries over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS
+(default 32) and print ONE JSON line.
+
+--scaling: run the headline pipeline twice in FRESH processes at num_cpus=8
+and num_cpus=32 on the same input (the sandbox stand-in for N vs 4N nodes,
+BASELINE.json north_rule) and report both throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    if not os.path.isdir(SF_DIR):
+        raise SystemExit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from titan_ray.config import QCConfig
+    from titan_ray.corpus import corpus_path_for_sf
+    from titan_ray.pipelines.qc import build_qc_pipeline
+    from titan_ray.pipelines import docqc, events
+    from titan_ray.stages import ann
+    import ray.data as rd
+
+    sf = _sf()
+    corpus = corpus_path_for_sf(sf)  # generated once, cached with _SUCCESS
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(corpus).count()
+
+    n_turns = rd.read_parquet(corpus).count()
+    out_dir = "/tmp/titan_ray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    cfg = QCConfig(dedup=True, scorer_concurrency=(1, max(2, NUM_CPUS // 4)))
+    ds = rd.read_parquet(corpus)
+    build_qc_pipeline(ds, cfg, num_buckets=max(64, NUM_CPUS * 4)).write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+    timings["qc_transcripts"] = round(headline, 3)
+
+    def timed(name: str, fn):
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume: Datasets are lazy — count() executes the full plan
+        n = res.count() if hasattr(res, "count") and not hasattr(res, "iloc") else len(res)
+        timings[name] = round(time.perf_counter() - t, 3)
+        return n
+
+    timed("doc_token_counts", docqc.doc_token_counts)
+    timed("doc_scrub", docqc.doc_scrub)
+    timed("dedup_exact_docs", docqc.dedup_exact_docs)
+    timed("events_hourly", events.events_hourly)
+    timed("events_buddy", events.events_buddy)
+    timed("ann_topk", ann.ann_topk)
+
+    result = {
+        "metric": "qc_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

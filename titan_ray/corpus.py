@@ -7,7 +7,8 @@ Here: conversations of templated English turns with per-class planted
 violations and `ge_*` label columns per FIXTURES.md §2. Seeded => identical
 bytes every run; no external data.
 
-Scale: ``n_turns ≈ 600_000 × sf`` (sf0.1 => bench-size corpus).
+Scale: ``n_turns ≈ 6_000_000 × sf`` (sf0.1 => ~600k-turn bench corpus,
+matching the driver lineitem row scale).
 """
 
 from __future__ import annotations
@@ -245,7 +246,7 @@ def corpus_path_for_sf(sf: float, root: str = "/tmp/titan_ray_corpus", seed: int
     """Materialize (once) and return the corpus directory for a scale factor."""
     import os
 
-    n_turns = max(600, int(600_000 * sf))
+    n_turns = max(600, int(6_000_000 * sf))
     out = os.path.join(root, f"sf{sf:g}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

@@ -24,12 +24,10 @@ STOPWORDS = (
 ).split()
 
 
-def compute_features(texts: pa.Array | pa.ChunkedArray, lm: CharLM | None = None) -> dict[str, np.ndarray]:
-    """Return per-row score columns for a text column.
-
-    Keys: lang, lang_conf, ppl, n_chars, n_words, rep_ratio, punct_ratio,
-    digit_ratio, alpha_ratio, stopword_ratio, token_count.
-    """
+def compute_core_features(texts: pa.Array | pa.ChunkedArray, lm: CharLM | None = None) -> dict[str, np.ndarray]:
+    """The scorer-stage features the QC checks consume: lang, lang_conf, ppl,
+    n_chars, n_words, rep_ratio. Kept minimal — this runs on every turn of a
+    100 TB corpus; the extended quality features below are opt-in."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if lm is None:
@@ -48,15 +46,6 @@ def compute_features(texts: pa.Array | pa.ChunkedArray, lm: CharLM | None = None
 
     n_words = word_counts(data, offsets).astype(np.int32)
     rep_ratio = distinct_window_ratio(data, offsets, n=4)
-    cls = char_class_counts(data, offsets)
-    denom = np.maximum(n_bytes, 1).astype(np.float64)
-    punct_ratio = cls["punct"] / denom
-    digit_ratio = cls["digit"] / denom
-    alpha_ratio = cls["alpha"] / denom
-
-    stop_ratio = stopword_ratio(texts, n_words)
-    tok = token_count(texts)
-
     return {
         "lang": lang,
         "lang_conf": lang_conf,
@@ -64,12 +53,26 @@ def compute_features(texts: pa.Array | pa.ChunkedArray, lm: CharLM | None = None
         "n_chars": n_chars,
         "n_words": n_words,
         "rep_ratio": rep_ratio,
-        "punct_ratio": punct_ratio,
-        "digit_ratio": digit_ratio,
-        "alpha_ratio": alpha_ratio,
-        "stopword_ratio": stop_ratio,
-        "token_count": tok,
     }
+
+
+def compute_features(texts: pa.Array | pa.ChunkedArray, lm: CharLM | None = None) -> dict[str, np.ndarray]:
+    """Core features plus the extended text-quality set: punct/digit/alpha
+    ratios, stopword_ratio, token_count."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    out = compute_core_features(texts, lm)
+
+    data, offsets, _ = string_view(texts)
+    n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    cls = char_class_counts(data, offsets)
+    denom = np.maximum(n_bytes, 1).astype(np.float64)
+    out["punct_ratio"] = cls["punct"] / denom
+    out["digit_ratio"] = cls["digit"] / denom
+    out["alpha_ratio"] = cls["alpha"] / denom
+    out["stopword_ratio"] = stopword_ratio(texts, out["n_words"])
+    out["token_count"] = token_count(texts)
+    return out
 
 
 def stopword_ratio(texts: pa.Array, n_words: np.ndarray) -> np.ndarray:

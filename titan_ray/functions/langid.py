@@ -53,6 +53,11 @@ def table() -> np.ndarray:
     return _TABLE
 
 
+STRIDE = 2        # score every 2nd trigram window — halves the gather with
+                  # negligible discrimination loss (profiles are smooth)
+MAX_BYTES = 512   # langid needs only a prefix of very long rows
+
+
 def detect(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized langid over an Arrow string array (or anything pa-coercible).
 
@@ -74,17 +79,27 @@ def detect(texts) -> tuple[np.ndarray, np.ndarray]:
     if len(h) == 0:
         return lang_out, conf_out
     starts, ends, counts = window_segments(offsets, NGRAM)
-    idx = multi_arange(starts, counts)
+    counts = np.minimum(counts, MAX_BYTES)
+    # strided window selection per row (start, start+STRIDE, ...)
+    s_counts = (counts + STRIDE - 1) // STRIDE
+    idx = multi_arange(np.zeros_like(starts), s_counts) * STRIDE + np.repeat(starts, s_counts)
     if len(idx) == 0:
         return lang_out, conf_out
-    gathered = tab[(h[idx] % HASH_BUCKETS).astype(np.int64)]  # (n_windows, n_lang)
-    # per-row start/end into the gathered array
-    g_ends = np.cumsum(counts)
-    g_starts = g_ends - counts
-    sums = segment_sum(gathered, g_starts, g_ends)  # (n_rows, n_lang) total log-prob
-    scored = (counts > 0) & valid
+    gathered = tab[(h[idx] % HASH_BUCKETS).astype(np.int64)]  # (n_sel, n_lang) f32
+    # per-row segment sums via reduceat (no big cumsum; segments are short so
+    # float32 accumulation is exact enough, then promoted to f64)
+    g_ends = np.cumsum(s_counts)
+    g_starts = (g_ends - s_counts).astype(np.int64)
+    nz = s_counts > 0
+    red_idx = g_starts[nz]
+    sums = np.zeros((n_rows, gathered.shape[1]), dtype=np.float64)
+    if len(red_idx):
+        # cast BEFORE reduceat: ufunc dtype=float64 on f32 input hits a slow
+        # non-SIMD path (~10x); the cast+reduce is memory-bound and fast
+        sums[nz] = np.add.reduceat(gathered.astype(np.float64), red_idx, axis=0)
+    scored = nz & valid
     mean_lp = np.zeros_like(sums)
-    mean_lp[scored] = sums[scored] / counts[scored, None]
+    mean_lp[scored] = sums[scored] / s_counts[scored, None]
     best = np.argmax(mean_lp, axis=1)
     # softmax over mean log-probs => confidence of the argmax language
     m = mean_lp - mean_lp.max(axis=1, keepdims=True)

@@ -49,14 +49,18 @@ class CharLM:
         c_p = np.bincount(h_p.astype(np.int64), minlength=HASH_BUCKETS).astype(np.float64)
         return (np.log(c_n + 0.01), np.log(c_p + 0.01 * 64), c_n)
 
-    def _cond_logprob(self, data: np.ndarray, n: int, tab) -> tuple[np.ndarray, np.ndarray]:
-        """(logprob, known) for every length-n window of data."""
+    def _cond_logprob(self, data: np.ndarray, n: int, tab, h_cache: dict) -> tuple[np.ndarray, np.ndarray]:
+        """(logprob, known) for every length-n window of data; rolling hashes
+        shared across orders via h_cache."""
         log_n, log_p, c_n = tab
         size = len(data) - n + 1
         if size <= 0:
             return np.empty(0, np.float32), np.empty(0, bool)
-        h_n = (rolling_ngram_hash(data, n) % HASH_BUCKETS).astype(np.int64)
-        h_p = (rolling_ngram_hash(data, n - 1) % HASH_BUCKETS).astype(np.int64)[:size]
+        for k in (n, n - 1):
+            if k not in h_cache:
+                h_cache[k] = (rolling_ngram_hash(data, k) % HASH_BUCKETS).astype(np.int64)
+        h_n = h_cache[n]
+        h_p = h_cache[n - 1][:size]
         lp = (log_n[h_n] - log_p[h_p]).astype(np.float32)
         known = c_n[h_n] > 0
         return lp, known
@@ -67,8 +71,9 @@ class CharLM:
         size = len(data) - ORDER + 1
         if size <= 0:
             return np.empty(0, dtype=np.float32)
-        lp3, known3 = self._cond_logprob(data, 3, self._tri_lp)
-        lp2, known2 = self._cond_logprob(data, 2, self._bi_lp)
+        h_cache: dict = {}
+        lp3, known3 = self._cond_logprob(data, 3, self._tri_lp, h_cache)
+        lp2, known2 = self._cond_logprob(data, 2, self._bi_lp, h_cache)
         lp2 = lp2[ORDER - 2 :][:size]  # align: window i predicts char i+2
         known2 = known2[ORDER - 2 :][:size]
         lp1 = self._uni_lp[data[ORDER - 1 :].astype(np.int64)][:size]

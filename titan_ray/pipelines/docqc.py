@@ -1,0 +1,149 @@
+"""Document-table operator analogs — SQL-oracle-checkable projections of the
+QC battery onto the driver's `documents` table (SURVEY.md §5.5).
+
+Each function takes ``sf_dir`` and returns a Dataset/DataFrame whose column
+names match the DuckDB oracle in ``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.features import _TOKEN_PATTERN, token_count
+from ..functions.scrub import Scrubber
+from ..functions.strings import char_class_counts, string_view
+
+
+def _read(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _chars(batch: pa.Table) -> np.ndarray:
+    data, offsets, _ = string_view(batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"])
+    n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    cont = (data & np.uint8(0xC0)) == np.uint8(0x80)
+    csum = np.concatenate([[0], np.cumsum(cont)])
+    return (n_bytes - (csum[offsets[1:]] - csum[offsets[:-1]])).astype(np.int64)
+
+
+def doc_length_stats(sf_dir: str):
+    """Per-language doc count + total chars (final_decision summary analog,
+    reference: final_decision.r:12-47)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, ["text", "lang"])
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column("nc", pa.array(_chars(batch)))
+
+    ds = ds.map_batches(add_len, batch_format="pyarrow")
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"), Sum("nc", alias_name="sum_chars"))
+
+
+def doc_token_counts(sf_dir: str):
+    """BPE-ish token count per doc (text-analysis op; vectorized re2)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = token_count(batch["text"].combine_chunks())
+        return pa.table({"doc_id": batch["doc_id"], "token_count": pa.array(t.astype(np.int64))})
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def doc_char_classes(sf_dir: str):
+    """Per-doc digit/alpha counts (quality-score features)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def cls(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        data, offsets, _ = string_view(text)
+        c = char_class_counts(data, offsets)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_digit": pa.array(c["digit"]),
+                "n_alpha": pa.array(c["alpha"]),
+            }
+        )
+
+    return ds.map_batches(cls, batch_format="pyarrow")
+
+
+def doc_quality_filter(sf_dir: str, lo: int = 20, hi: int = 2000, min_tokens: int = 5):
+    """Metadata/plausibility analog over documents: keep docs with char length
+    in [lo, hi] and >= min_tokens tokens (reference: metadata_check.r:20-34 +
+    plausibility_test.r:7-11 range semantics)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        nc = _chars(batch)
+        tk = token_count(batch["text"].combine_chunks())
+        ok = (nc >= lo) & (nc <= hi) & (tk >= min_tokens)
+        return pa.table({"doc_id": batch["doc_id"].combine_chunks().filter(pa.array(ok))})
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def doc_pattern_flag(sf_dir: str, pattern: str = "vector|stream"):
+    """Blacklist semi-join analog: docs whose text matches the pattern
+    (reference: read_data_to_check.r:212-222 sourceId membership)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        hit = pc.fill_null(pc.match_substring_regex(batch["text"], pattern), False)
+        return pa.table({"doc_id": batch["doc_id"].combine_chunks().filter(hit.combine_chunks() if isinstance(hit, pa.ChunkedArray) else hit)})
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def doc_scrub(sf_dir: str):
+    """PII/toxicity scrub over documents (rr_windcorr analog)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    class _Scrub:
+        def __init__(self):
+            self.s = Scrubber()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            out = self.s.scrub_pandas(batch["text"].to_pandas().astype("string"))
+            return pa.table(
+                {"doc_id": batch["doc_id"], "text_scrubbed": pa.Array.from_pandas(out, type=pa.string())}
+            )
+
+    return ds.map_batches(_Scrub, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def dedup_exact_docs(sf_dir: str, num_buckets: int = 64):
+    """Exact dedup keep-first (min doc_id) per normalized text + copy count
+    (reference: read_data_to_check.r:121-143 earlier-provider-wins)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        norm = (
+            batch["text"].to_pandas().astype("string").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        ).fillna("")
+        hv = pd.util.hash_array(norm.to_numpy(dtype=object))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "_norm": pa.Array.from_pandas(norm, type=pa.string()),
+                "_b": pa.array((hv % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_norm", sort=False)["doc_id"].agg(["min", "count"]).reset_index()
+        return pd.DataFrame({"doc_id": g["min"].astype(np.int64), "n_copies": g["count"].astype(np.int64)})
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    return ds.groupby("_b").map_groups(agg, batch_format="pandas")

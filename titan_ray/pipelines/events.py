@@ -1,0 +1,109 @@
+"""Event-stream operator analogs over the driver's `events` table.
+
+The buddy/isolation checks projected onto an ordered keyed stream — SQL-
+oracle-checkable because the z-style deviation is computed in EXACT integer
+arithmetic (value scaled to milli-units), so Ray and DuckDB agree bit-for-bit
+(no float-summation-order hazard; SURVEY.md §4 float-determinism note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WINDOW = 3          # +/- rows around each event (per user, ts order)
+DEV_MILLI = 2000    # deviation threshold in milli-units (2.0)
+MIN_NEIGH = 3       # require >= 3 neighbours in frame
+ISO_MIN = 55        # users with < 55 events are "isolated" (driver events table: min≈49/user)
+
+
+def _vm(batch: pa.Table) -> np.ndarray:
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    return np.floor(np.abs(v) * 1000.0 + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (user_id, hour) count + exact milli-sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"user_id": batch["user_id"], "hour": hour, "vm": pa.array(_vm(batch))})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("vm", alias_name="sum_vm")
+    )
+
+
+def events_buddy(sf_dir: str, num_buckets: int = 64):
+    """Buddy check on an ordered stream: flag events whose value deviates from
+    the mean of the +/-WINDOW row frame (self excluded) by > DEV_MILLI.
+
+    Exact integer test: |vm*(cnt-1) - (sum - vm)| > DEV_MILLI*(cnt-1)
+    (reference: buddy.r:145-177 deviation-vs-local-background shape)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "vm": pa.array(_vm(batch)),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        vm = df["vm"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        n = len(df)
+        csum = np.concatenate([[0], np.cumsum(vm)])
+        idx = np.arange(n)
+        # frame [i-W, i+W] clipped to this user's contiguous row range
+        u_start = idx - pd.Series(idx).groupby(uid).cumcount().to_numpy()
+        u_len = pd.Series(uid).groupby(uid).transform("size").to_numpy()
+        lo = np.maximum(idx - WINDOW, u_start)
+        hi = np.minimum(idx + WINDOW, u_start + u_len - 1)
+        cnt = hi - lo + 1
+        s = csum[hi + 1] - csum[lo]
+        neigh = cnt - 1
+        dev = np.abs(vm * neigh - (s - vm))
+        flag = (neigh >= MIN_NEIGH) & (dev > DEV_MILLI * neigh)
+        out = df.loc[flag, ["event_id", "user_id"]]
+        return out
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def events_isolation(sf_dir: str):
+    """Isolation analog: events of users with < ISO_MIN events total
+    (reference: isolation.r:25-28). Small-side aggregate broadcast back as a
+    filter — no second shuffle of the big table."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
+    lonely = set(counts.loc[counts["n"] < ISO_MIN, "user_id"].tolist())
+    lonely_ref = ray.put(lonely)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lone = ray.get(lonely_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(np.isin(uid, np.fromiter(lone, dtype=np.int64, count=len(lone))) if lone else np.zeros(len(uid), bool))
+        return pa.table({"event_id": batch["event_id"].combine_chunks().filter(mask)})
+
+    return ds.map_batches(filt, batch_format="pyarrow")

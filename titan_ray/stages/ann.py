@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+(ray.put / closure capture of a small ndarray), each map_batches task does
+one numpy matmul against its Arrow batch (zero-copy flatten of the list
+column), and a global sort+limit reduces the per-batch candidates. Scale
+path: LSH-bucketed variant (random-hyperplane signatures) that only compares
+within matching buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
+    """Zero-copy-ish (values buffer) list<float> -> (n, d) float64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    d = int(offsets[1] - offsets[0]) if dim is None else dim
+    return values.reshape(-1, d)
+
+
+def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """DuckDB-compatible rounding (round half AWAY from zero; numpy's default
+    is half-to-even)."""
+    p = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], filters=[("vec_id", "=", vec_id)])
+    return _matrix(t["embedding"])[0]
+
+
+def ann_topk(sf_dir: str, k: int = 10, vec_id: int = 0):
+    """Brute-force cosine top-k vs the embedding of ``vec_id`` (rounded to 4
+    decimals so Ray/numpy and the DuckDB oracle agree despite summation-order
+    float noise; ties broken by vec_id)."""
+    import ray.data as rd
+
+    q = query_vector(sf_dir, vec_id)
+    qn = float(np.sqrt(q @ q))
+
+    def sim(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch["embedding"], dim=len(q))
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        s = (m @ q) / (np.maximum(norms, 1e-300) * qn)
+        return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(round_half_away(s, 4))})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(sim, batch_format="pyarrow")
+    return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+class LSHIndexStage:
+    """Random-hyperplane LSH bucketing: signature = sign bits of n_planes
+    projections, packed to one int64 bucket key. Near-dup candidates share a
+    bucket => the all-pairs comparison becomes a per-bucket matmul (the scale
+    path; brute force stays the small-side baseline)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch["embedding"], dim=self.planes.shape[0])
+        bits = (m @ self.planes) > 0
+        key = (bits * (1 << np.arange(bits.shape[1], dtype=np.int64))).sum(axis=1)
+        return batch.append_column("lsh_bucket", pa.array(key.astype(np.int64)))
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim > threshold).
+
+    Exact all-pairs per hash bucket of the LEFT side against a broadcast right
+    side would shuffle; at the driver-table scale the right side IS small, so
+    we broadcast the full matrix once and matmul per batch — the documented
+    scale path swaps the broadcast for the LSH bucket join above."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_m = _matrix(t["embedding"])
+    all_ids = t["vec_id"].to_numpy()
+    norms = np.sqrt(np.einsum("ij,ij->i", all_m, all_m))
+    all_n = all_m / np.maximum(norms, 1e-300)[:, None]
+    ref = ray.put((all_ids, all_n))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_r, mat_r = ray.get(ref)
+        m = _matrix(batch["embedding"], dim=mat_r.shape[1])
+        bnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        mn = m / np.maximum(bnorm, 1e-300)[:, None]
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        s = mn @ mat_r.T
+        s = round_half_away(s, 4)
+        ai, bj = np.nonzero(s > threshold)
+        a, b = bid[ai], ids_r[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep].astype(np.int64)),
+                "vec_b": pa.array(b[keep].astype(np.int64)),
+                "sim": pa.array(s[ai, bj][keep]),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import langid
-from ..functions.features import compute_features
+from ..functions.features import compute_core_features
 from ..functions.lm import CharLM
 
 
@@ -24,7 +24,7 @@ class Scorer:
         langid.table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = compute_features(batch["text"], lm=self.lm)
+        feats = compute_core_features(batch["text"], lm=self.lm)
         qscore = np.log1p(feats["ppl"])
         cols = {
             "lang": pa.array(list(feats["lang"]), type=pa.string()),
