@@ -21,7 +21,7 @@ from titan_ray.functions.features import _TOKEN_PATTERN
 from titan_ray.functions.scrub import SCRUB_RULES
 from titan_ray.pipelines import docqc, events
 from titan_ray.pipelines.qc import build_qc_pipeline
-from titan_ray.stages import ann
+from titan_ray.stages import ann, multimodal, neardup
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -70,6 +70,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings (SQL-checked) ---
         "ann_topk": ann.ann_topk,
         "embedding_neardup": ann.embedding_neardup_pairs,
+        # --- near-dup suite over documents (rows-only: sketch-based) ---
+        "minhash_lsh_candidates": neardup.minhash_lsh_candidates,
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "simhash_docs": neardup.simhash_docs,
+        "minhash_dedup_docs": neardup.minhash_dedup_docs,
+        # --- multimodal plumbing (rows-only: binary payload decode stub) ---
+        "media_features": lambda sf_dir: multimodal.media_features(),
     }
 
 

@@ -182,3 +182,52 @@ def test_halo_rows_not_flagged_but_used():
     out = run_conv_checks(df, QCConfig())
     assert len(out) == 9  # halo row not emitted
     assert (out["dqcflag"] != CODE_BUDDY).all()
+
+
+def test_zdem_stated_vs_derived():
+    from titan_ray.config import QCConfig as C
+    from titan_ray.stages.rowwise import zdem_check, seed_lists
+    from titan_ray.schema import CODE_ZDEM
+    cfg = C(enable_zdem=True)
+    b = _mk_batch(["tool output here", "plain user text", "another tool"])
+    b = b.set_column(b.column_names.index("role"), "role", [pa.array(["tool", "user", "user"])])
+    b = b.set_column(b.column_names.index("tool"), "tool", [pa.array(["", "", "search"])])
+    b = seed_lists(b, cfg)
+    out = zdem_check(b, cfg)
+    # tool-role without tool name, and tool name without tool role -> 902
+    assert out["dqcflag"].to_pylist() == [CODE_ZDEM, UNFLAGGED, CODE_ZDEM]
+
+
+def test_ccrrt_cross_signal():
+    from titan_ray.config import QCConfig as C
+    from titan_ray.stages.rowwise import ccrrt_check, seed_lists
+    from titan_ray.schema import CODE_CCRRT
+    cfg = C(enable_ccrrt=True, ccrrt_tmax=3.0)
+    b = _mk_batch(["x", "y"])
+    b = b.set_column(b.column_names.index("role"), "role", [pa.array(["tool", "tool"])])
+    b = seed_lists(b, cfg)
+    b = b.append_column("qscore", pa.array([4.5, 1.5]))
+    out = ccrrt_check(b, cfg)
+    assert out["dqcflag"].to_pylist() == [CODE_CCRRT, UNFLAGGED]
+
+
+def test_sct_fg_external_centre():
+    from titan_ray.schema import CODE_SCT_FG
+    cfg = QCConfig(enable_sct_fg=True, sct_fg_t=4.0,
+                   fgt_ref={"user": (1.7, 0.5)})
+    qs = [1.7] * 14
+    qs[6] = 3.6  # far from the external centre but NOT a local buddy outlier?
+    # buddy/sct run first: disable them so sct_fg owns the flag
+    cfg.buddy_tpos = cfg.buddy_tneg = 99.0
+    cfg.sct_t = 99.0
+    out = run_conv_checks(_conv_df(qs), cfg)
+    assert out.loc[out.turn_idx == 6, "dqcflag"].iloc[0] == CODE_SCT_FG
+
+
+def test_dual_fg_external_prior():
+    from titan_ray.schema import CODE_DUAL_FG
+    cfg = QCConfig(enable_dual_fg=True, dual_fg_prior=0.0)
+    lang = ["en"] * 12
+    lang[5] = "fr"   # event=1 vs prior 0, neighbourhood agrees with prior
+    out = run_conv_checks(_conv_df([1.7] * 12, lang=lang), cfg)
+    assert out.loc[out.turn_idx == 5, "dqcflag"].iloc[0] == CODE_DUAL_FG

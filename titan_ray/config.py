@@ -79,6 +79,15 @@ class QCConfig:
     fgt_ref: dict[str, tuple[float, float]] = field(default_factory=_default_fgt_ref)
     fgt_t: float = 8.0
 
+    # ---- optional checks (reference toggles, titan.r:140-256) ----
+    enable_zdem: bool = False     # 902: stated metadata vs derived (dem analog)
+    enable_ccrrt: bool = False    # 301: cross-signal tool-output plausibility
+    ccrrt_tmax: float = 3.0       # qscore cap for role=='tool' rows
+    enable_sct_fg: bool = False   # 2: SCT vs external (first-guess) centre
+    sct_fg_t: float = 4.0
+    enable_dual_fg: bool = False  # 4: dichotomous check vs external prior
+    dual_fg_prior: float = 0.0    # expected event rate (non-English fraction)
+
     # ---- doit: per-check per-role {0,1,2}; missing => 1 ----
     doit: dict[str, dict[str, int]] = field(default_factory=dict)
 
@@ -88,6 +97,11 @@ class QCConfig:
 
     # ---- dedup at read (reference: read_data_to_check.r:121-143, opt-in) ----
     dedup: bool = False
+    # "shuffle": full-row hash-bucket shuffle (best when the text IS most of
+    # the row, as here); "broadcast": narrow hash aggregate + broadcast
+    # filter (wins when rows carry wide passthrough payloads the narrow
+    # projection avoids re-shuffling)
+    dedup_strategy: str = "shuffle"
 
     # ---- execution knobs ----
     batch_size: int = 4096

@@ -42,12 +42,20 @@ class CharLM:
         self._uni_lp = np.log((uni + 0.01) / (uni.sum() + 0.01 * 256)).astype(np.float32)
 
     def _cond_table(self, data: np.ndarray, n: int) -> np.ndarray:
-        """log(count(ngram)+a) - log(count(prefix)+a*V) in a hashed table."""
+        """log(count(ngram)+a) - log(count(prefix)+a*V) in a hashed table.
+
+        float32 tables: halves the random-gather memory traffic — the scorer
+        is bandwidth-bound, and table width directly bounds multi-worker
+        scaling on shared-memory hosts."""
         h_n = rolling_ngram_hash(data, n) % HASH_BUCKETS
         h_p = rolling_ngram_hash(data, n - 1) % HASH_BUCKETS
         c_n = np.bincount(h_n.astype(np.int64), minlength=HASH_BUCKETS).astype(np.float64)
         c_p = np.bincount(h_p.astype(np.int64), minlength=HASH_BUCKETS).astype(np.float64)
-        return (np.log(c_n + 0.01), np.log(c_p + 0.01 * 64), c_n)
+        return (
+            np.log(c_n + 0.01).astype(np.float32),
+            np.log(c_p + 0.01 * 64).astype(np.float32),
+            c_n > 0,
+        )
 
     def _cond_logprob(self, data: np.ndarray, n: int, tab, h_cache: dict) -> tuple[np.ndarray, np.ndarray]:
         """(logprob, known) for every length-n window of data; rolling hashes
@@ -61,8 +69,8 @@ class CharLM:
                 h_cache[k] = (rolling_ngram_hash(data, k) % HASH_BUCKETS).astype(np.int64)
         h_n = h_cache[n]
         h_p = h_cache[n - 1][:size]
-        lp = (log_n[h_n] - log_p[h_p]).astype(np.float32)
-        known = c_n[h_n] > 0
+        lp = log_n[h_n] - log_p[h_p]
+        known = c_n[h_n]  # c_n is a bool "seen" table
         return lp, known
 
     def logprobs(self, data: np.ndarray) -> np.ndarray:

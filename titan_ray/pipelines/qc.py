@@ -13,14 +13,16 @@ from functools import partial
 import pyarrow as pa
 
 from ..config import QCConfig
-from ..stages.conv import run_conv_checks, salt_batch
-from ..stages.dedup import dedup_exact
+from ..stages.conv import run_conv_checks_arrow, salt_batch
+from ..stages.dedup import dedup_broadcast, dedup_exact
 from ..stages.rowwise import (
+    ccrrt_check,
     climatological_check,
     final_decision,
     metadata_check,
     plausibility_check,
     seed_lists,
+    zdem_check,
 )
 from ..stages.scorer import Scorer
 from ..stages.scrub_stage import ScrubStage
@@ -40,7 +42,7 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
     cfg = cfg or QCConfig()
 
     if cfg.dedup:
-        ds = dedup_exact(ds)
+        ds = dedup_broadcast(ds) if cfg.dedup_strategy == "broadcast" else dedup_exact(ds)
 
     ds = ds.map_batches(partial(seed_lists, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(metadata_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -50,6 +52,10 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
         batch_size=cfg.batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+    if cfg.enable_zdem:
+        ds = ds.map_batches(partial(zdem_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    if cfg.enable_ccrrt:
+        ds = ds.map_batches(partial(ccrrt_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(plausibility_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(climatological_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
 
@@ -59,7 +65,7 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
-    ds = ds.groupby("bucket").map_groups(partial(run_conv_checks, cfg=cfg), batch_format="pandas")
+    ds = ds.groupby("bucket").map_groups(partial(run_conv_checks_arrow, cfg=cfg), batch_format="pyarrow")
     ds = ds.map_batches(_drop_helpers, batch_format="pyarrow", batch_size=cfg.batch_size)
 
     ds = ds.map_batches(final_decision, batch_format="pyarrow", batch_size=cfg.batch_size)

