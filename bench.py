@@ -135,8 +135,54 @@ def run_scaling() -> dict:
     }
 
 
+def run_bandwidth_probe() -> dict:
+    """Hardware control experiment: scale the scorer kernel with PLAIN
+    multiprocessing (no Ray) at 1 / lo / hi processes. On a single host,
+    vCPUs share one memory subsystem — this measures the DRAM ceiling that
+    bounds ANY implementation of the bandwidth-bound scorer stage, giving
+    the denominator for hardware-relative scaling efficiency. On a real
+    N- vs 4N-node cluster each node adds bandwidth and this ceiling lifts."""
+    import multiprocessing as mp
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
+    def measure(n: int) -> float:
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(_probe_work, range(n))
+            wall = time.perf_counter() - t0
+        return n * _PROBE_CALLS / wall  # calls/sec aggregate
+
+    thr1, thr_lo, thr_hi = measure(1), measure(lo), measure(hi)
+    return {
+        "metric": "bandwidth_ceiling",
+        "value": round(thr_hi / thr_lo, 3),
+        "unit": "x_speedup_lo_to_hi",
+        "calls_per_sec": {"1": round(thr1, 1), str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)},
+        "note": "plain multiprocessing, no Ray — the hardware max for the scorer stage",
+    }
+
+
+_PROBE_CALLS = 6
+
+
+def _probe_work(_i):
+    import titan_ray  # noqa: F401  (tune_malloc)
+    from titan_ray.corpus import generate_corpus
+    from titan_ray.functions.features import compute_core_features
+
+    t = generate_corpus(8192, seed=1, mega=False)
+    texts = t["text"].combine_chunks()[:4096]
+    compute_core_features(texts[:100])
+    for _ in range(_PROBE_CALLS):
+        compute_core_features(texts)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--bandwidth-probe" in sys.argv:
+        print(json.dumps(run_bandwidth_probe()))
     else:
         print(json.dumps(run_bench()))

@@ -30,8 +30,15 @@ LANGS: tuple[str, ...] = tuple(sorted(SEED_CORPORA))
 UNKNOWN = "und"
 
 
+_QUANT = 8.0  # log-prob quantization steps per nat (int8 table)
+
+
 def _train_table() -> np.ndarray:
-    """(HASH_BUCKETS, n_lang) float32 table of per-language trigram log-probs."""
+    """(HASH_BUCKETS, n_lang) int8 table of QUANTIZED per-language trigram
+    log-probs. int8 cuts the per-window gather traffic 4x vs float32 — the
+    scorer is memory-bandwidth-bound, and this directly raises the
+    multi-worker scaling ceiling. Quantization error (1/16 nat) is far below
+    the language-discrimination margins."""
     table = np.zeros((HASH_BUCKETS, len(LANGS)), dtype=np.float64)
     for j, lang in enumerate(LANGS):
         data = np.frombuffer(SEED_CORPORA[lang].encode("utf-8"), dtype=np.uint8)
@@ -40,7 +47,8 @@ def _train_table() -> np.ndarray:
         # add-0.05 smoothing over the hashed vocabulary
         probs = (counts + 0.05) / (counts.sum() + 0.05 * HASH_BUCKETS)
         table[:, j] = np.log(probs)
-    return table.astype(np.float32)
+    q = np.clip(np.round(table * _QUANT), -127, 127)
+    return q.astype(np.int8)
 
 
 _TABLE: np.ndarray | None = None
@@ -85,18 +93,17 @@ def detect(texts) -> tuple[np.ndarray, np.ndarray]:
     idx = multi_arange(np.zeros_like(starts), s_counts) * STRIDE + np.repeat(starts, s_counts)
     if len(idx) == 0:
         return lang_out, conf_out
-    gathered = tab[(h[idx] % HASH_BUCKETS).astype(np.int64)]  # (n_sel, n_lang) f32
-    # per-row segment sums via reduceat (no big cumsum; segments are short so
-    # float32 accumulation is exact enough, then promoted to f64)
+    gathered = tab[(h[idx] % HASH_BUCKETS).astype(np.int64)]  # (n_sel, n_lang) i8
+    # per-row segment sums via reduceat (int32 accumulate over short segments,
+    # then de-quantize; dtype= on the ufunc hits a slow non-SIMD path, so
+    # cast first)
     g_ends = np.cumsum(s_counts)
     g_starts = (g_ends - s_counts).astype(np.int64)
     nz = s_counts > 0
     red_idx = g_starts[nz]
     sums = np.zeros((n_rows, gathered.shape[1]), dtype=np.float64)
     if len(red_idx):
-        # cast BEFORE reduceat: ufunc dtype=float64 on f32 input hits a slow
-        # non-SIMD path (~10x); the cast+reduce is memory-bound and fast
-        sums[nz] = np.add.reduceat(gathered.astype(np.float64), red_idx, axis=0)
+        sums[nz] = np.add.reduceat(gathered.astype(np.int32), red_idx, axis=0) / _QUANT
     scored = nz & valid
     mean_lp = np.zeros_like(sums)
     mean_lp[scored] = sums[scored] / s_counts[scored, None]
