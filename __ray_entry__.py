@@ -43,6 +43,21 @@ def entry() -> Any:
     return _qc_dataset("/root/testdata/sf0.001")
 
 
+def _qc_metrics(sf_dir: str):
+    """Conformance scorecard: the reference's contingency metrics
+    (test_titan_ta_sct.r:10-18) computed for the engine's keep/drop vs the
+    corpus's planted ge labels."""
+    import pandas as pd
+
+    from titan_ray.functions.scalars import contingency_metrics
+
+    df = _qc_dataset(sf_dir).to_pandas()
+    drop_labels = ["ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black"]
+    scored = ~df["is_keeplist"]
+    m = contingency_metrics((~df["keep"] & scored), (df[drop_labels].any(axis=1) & scored))
+    return pd.DataFrame([{"metric": k, "value": round(v, 6)} for k, v in sorted(m.items())])
+
+
 def _qc_flag_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -55,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship transcript QC (non-SQL: scorer models + windowed checks) ---
         "qc_transcripts": _qc_dataset,
         "qc_flag_counts": _qc_flag_counts,
+        "qc_metrics": _qc_metrics,
         # --- document-table analogs (SQL-checked) ---
         "doc_length_stats": docqc.doc_length_stats,
         "doc_token_counts": docqc.doc_token_counts,
@@ -62,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_scrub": docqc.doc_scrub,
+        "doc_langid": docqc.doc_langid,
         "dedup_exact_docs": docqc.dedup_exact_docs,
         # --- ordered-stream analogs over events (SQL-checked, exact ints) ---
         "events_hourly": events.events_hourly,

@@ -1,0 +1,56 @@
+"""Source-side transforms + scalar functions (SURVEY §2.1/§2.9 rows)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from titan_ray.functions.scalars import boxcox, contingency_metrics
+from titan_ray.sources.reader import affine_rescale_qscore, impute_defaults, project_output
+
+
+def test_boxcox():
+    x = np.array([1.0, 4.0])
+    assert np.allclose(boxcox(x, 0.5), [(1 - 1) / 0.5, (2 - 1) / 0.5])
+    assert np.allclose(boxcox(x, 0.0), np.log(x))
+
+
+def test_contingency_metrics_perfect_and_mixed():
+    m = contingency_metrics([True, False, True], [True, False, True])
+    assert m["acc"] == 1.0 and m["pod"] == 1.0 and m["pofa"] == 0.0 and m["f1"] == 1.0
+    m = contingency_metrics([True, True, False, False], [True, False, True, False])
+    assert m["acc"] == 0.5 and m["pod"] == 0.5 and m["pofa"] == 0.5
+    assert 0.0 <= m["ets"] <= 1.0
+
+
+def _batch():
+    return pa.table(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": pa.array([0, 1], type=pa.int32()),
+            "role": pa.array(["tool", None]),
+            "text": ["x", "y"],
+            "tool": pa.array([None, "srch"], type=pa.string()),
+            "ts": pa.array([0, 1], type=pa.timestamp("us")),
+            "qscore": [2.0, 3.0],
+        }
+    )
+
+
+def test_affine_rescale_per_role():
+    out = affine_rescale_qscore(_batch(), {"tool": (1.0, 2.0)})
+    assert out["qscore"].to_pylist() == [5.0, 3.0]  # tool: 1+2*2; other identity
+
+
+def test_impute_defaults():
+    out = impute_defaults(_batch(), role_default="user")
+    assert out["role"].to_pylist() == ["tool", "user"]
+    assert out["tool"].to_pylist() == ["", "srch"]
+
+
+def test_project_output_order():
+    b = _batch()
+    b = b.append_column("dqcflag", pa.array([0, 0], type=pa.int32()))
+    b = b.append_column("my_extra", pa.array([1, 2]))
+    cols = project_output(b).column_names
+    assert cols[:6] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert cols.index("my_extra") < cols.index("dqcflag")  # extras before derived

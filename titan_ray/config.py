@@ -91,6 +91,10 @@ class QCConfig:
     # ---- doit: per-check per-role {0,1,2}; missing => 1 ----
     doit: dict[str, dict[str, int]] = field(default_factory=dict)
 
+    # ---- source-side transforms (read_data_to_check analogs) ----
+    role_affine: dict[str, tuple[float, float]] = field(default_factory=dict)  # qscore = off + fac*qscore per role
+    impute_role_default: str | None = None   # fill null role before metadata (read_dem fill analog)
+
     # ---- lists / scrub ----
     keeplist_col: str | None = "is_keeplist"
     blacklist_terms: tuple[str, ...] = ("BLOCKLISTED_TOKEN", "DO_NOT_TRAIN")

@@ -1,0 +1,40 @@
+"""Scalar functions re-implemented from the reference (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def boxcox(x: np.ndarray, lam: float = 0.5) -> np.ndarray:
+    """Box-Cox transform: log(x) if λ==0 else (x^λ − 1)/λ
+    (reference: functions/misc/statistics_util.r:101-107; default λ=0.5,
+    argparser_data_misc.r:12-14). Used optionally to symmetrize the score
+    distribution before the buddy/SCT z tests."""
+    x = np.asarray(x, dtype=np.float64)
+    if lam == 0.0:
+        return np.log(x)
+    return (np.power(x, lam) - 1.0) / lam
+
+
+def contingency_metrics(pred_bad: np.ndarray, truth_bad: np.ndarray) -> dict[str, float]:
+    """ACC / POD / POFA / ETS from the (a,b,c,d) contingency table
+    (reference: test/test_titan_ta_sct.r:10-18) plus precision/recall/F1 —
+    the engine's conformance scorecard."""
+    pred_bad = np.asarray(pred_bad, dtype=bool)
+    truth_bad = np.asarray(truth_bad, dtype=bool)
+    a = float(np.sum(pred_bad & truth_bad))       # hits
+    b = float(np.sum(pred_bad & ~truth_bad))      # false alarms
+    c = float(np.sum(~pred_bad & truth_bad))      # misses
+    d = float(np.sum(~pred_bad & ~truth_bad))     # correct negatives
+    n = a + b + c + d
+    a_random = (a + b) * (a + c) / n if n else 0.0
+    denom_ets = a + b + c - a_random
+    return {
+        "acc": (a + d) / n if n else 0.0,
+        "pod": a / (a + c) if a + c else 0.0,
+        "pofa": b / (a + b) if a + b else 0.0,
+        "ets": (a - a_random) / denom_ets if denom_ets else 0.0,
+        "precision": a / (a + b) if a + b else 0.0,
+        "recall": a / (a + c) if a + c else 0.0,
+        "f1": 2 * a / (2 * a + b + c) if 2 * a + b + c else 0.0,
+    }

@@ -147,3 +147,23 @@ def dedup_exact_docs(sf_dir: str, num_buckets: int = 64):
 
     ds = ds.map_batches(bucketize, batch_format="pyarrow")
     return ds.groupby("_b").map_groups(agg, batch_format="pandas")
+
+
+def doc_langid(sf_dir: str):
+    """Language-ID over documents (text-analysis op; rows-only check — the
+    detector is the engine's own model, SURVEY.md §2.2 spatconv analog)."""
+    from ..functions import langid
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def det(batch: pa.Table) -> pa.Table:
+        langs, conf = langid.detect(batch["text"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(list(langs), type=pa.string()),
+                "lang_conf": pa.array(np.round(conf, 6)),
+            }
+        )
+
+    return ds.map_batches(det, batch_format="pyarrow")

@@ -26,6 +26,7 @@ from ..stages.rowwise import (
 )
 from ..stages.scorer import Scorer
 from ..stages.scrub_stage import ScrubStage
+from ..sources.reader import affine_rescale_qscore, impute_defaults, project_output
 
 HELPER_COLS = ("conv_key", "is_core", "bucket")
 
@@ -44,6 +45,11 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
     if cfg.dedup:
         ds = dedup_broadcast(ds) if cfg.dedup_strategy == "broadcast" else dedup_exact(ds)
 
+    if cfg.impute_role_default is not None:
+        ds = ds.map_batches(
+            partial(impute_defaults, role_default=cfg.impute_role_default),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
     ds = ds.map_batches(partial(seed_lists, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(metadata_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(
@@ -52,6 +58,11 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
         batch_size=cfg.batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+    if cfg.role_affine:
+        ds = ds.map_batches(
+            partial(affine_rescale_qscore, role_affine=cfg.role_affine),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
     if cfg.enable_zdem:
         ds = ds.map_batches(partial(zdem_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.enable_ccrrt:
@@ -75,6 +86,7 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
         batch_size=cfg.batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+    ds = ds.map_batches(project_output, batch_format="pyarrow", batch_size=cfg.batch_size)
     return ds
 
 

@@ -1,0 +1,70 @@
+"""Transcript source: multi-provider read, per-role affine rescale,
+imputation, output projection (reference: functions/IO/read_data_to_check.r
++ read_dem.r + write_output.r recast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import INPUT_SCHEMA
+
+
+def read_transcripts(paths: str | list[str], columns: list[str] | None = None, **kwargs):
+    """Union of provider directories/files (reference:
+    read_data_to_check.r:174-206 rbinds providers; Ray's read_parquet over a
+    path list IS the union — no driver-side concat)."""
+    import ray.data as rd
+
+    return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
+def affine_rescale_qscore(batch: pa.Table, role_affine: dict[str, tuple[float, float]]) -> pa.Table:
+    """Per-role ``offset + cfact * qscore`` (reference:
+    read_data_to_check.r:83-84 applies offset+cfact*value per provider file;
+    role is the provider analog). Identity for roles not listed."""
+    if not role_affine:
+        return batch
+    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    q = batch["qscore"].to_numpy(zero_copy_only=False).astype(np.float64)
+    off = np.asarray([role_affine.get(r, (0.0, 1.0))[0] for r in roles])
+    fac = np.asarray([role_affine.get(r, (0.0, 1.0))[1] for r in roles])
+    out = off + fac * q
+    i = batch.column_names.index("qscore")
+    return batch.set_column(i, "qscore", [pa.array(out)])
+
+
+def impute_defaults(batch: pa.Table, role_default: str | None = None, tool_default: str = "") -> pa.Table:
+    """Fill missing optional metadata BEFORE the metadata check so rows that
+    only lacked it are not flagged (reference: read_dem.r:44-58 fills missing
+    station elevation from the DEM and un-flags rows that only lacked
+    elevation). conv_id/text stay un-imputed — those are identity, not
+    metadata."""
+    if role_default is not None and "role" in batch.column_names:
+        i = batch.column_names.index("role")
+        batch = batch.set_column(i, "role", [pc.coalesce(batch["role"], pa.scalar(role_default))])
+    if "tool" in batch.column_names:
+        i = batch.column_names.index("tool")
+        batch = batch.set_column(i, "tool", [pc.coalesce(batch["tool"], pa.scalar(tool_default))])
+    return batch
+
+
+OUTPUT_ORDER_FIRST = [f.name for f in INPUT_SCHEMA] + [
+    "lang", "lang_conf", "ppl", "qscore", "n_chars", "n_words", "rep_ratio",
+    "dqcflag", "keep", "sctpog", "text_scrubbed",
+]
+
+
+def project_output(batch: pa.Table) -> pa.Table:
+    """Stable output column order: input columns first (original order),
+    passthrough extras next, derived columns last (reference:
+    write_output.r:36-63 re-assembles columns in original input order and
+    appends prid/dqc)."""
+    known = [c for c in OUTPUT_ORDER_FIRST if c in batch.column_names]
+    extras = [c for c in batch.column_names if c not in known]
+    # passthrough extras keep their relative input order, before derived cols
+    input_cols = [c for c in known if c in {f.name for f in INPUT_SCHEMA}]
+    derived = [c for c in known if c not in input_cols]
+    return batch.select(input_cols + extras + derived)
