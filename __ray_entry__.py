@@ -84,8 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events.events_hourly,
         "events_buddy": events.events_buddy,
         "events_isolation": events.events_isolation,
+        "events_extent": events.events_extent,
         # --- similarity search over embeddings (SQL-checked) ---
         "ann_topk": ann.ann_topk,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup": ann.embedding_neardup_pairs,
         # --- near-dup suite over documents (rows-only: sketch-based) ---
         "minhash_lsh_candidates": neardup.minhash_lsh_candidates,
@@ -156,6 +158,12 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT event_id, user_id FROM w "
             f"WHERE cnt - 1 >= {events.MIN_NEIGH} "
             f"AND abs(vm*(cnt-1) - (sm - vm)) > {events.DEV_MILLI}*(cnt-1)"
+        ),
+        "events_extent": (
+            "SELECT min(ts) AS ts_min, max(ts) AS ts_max, "
+            "CAST(min(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS vm_min, "
+            "CAST(max(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS vm_max, "
+            "count(*) AS n_rows FROM events"
         ),
         "events_isolation": (
             "SELECT event_id FROM events WHERE user_id IN ("

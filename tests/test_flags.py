@@ -231,3 +231,30 @@ def test_dual_fg_external_prior():
     lang[5] = "fr"   # event=1 vs prior 0, neighbourhood agrees with prior
     out = run_conv_checks(_conv_df([1.7] * 12, lang=lang), cfg)
     assert out.loc[out.turn_idx == 5, "dqcflag"].iloc[0] == CODE_DUAL_FG
+
+
+def test_buddy_priority_first_pass():
+    # low-prio outlier is judged against high-prio buddies in pass 1 and
+    # flagged; a high-prio row is never compared against low-prio-only sets
+    cfg = QCConfig(prio={"user": 1, "assistant": 0})
+    qs = [1.7] * 10
+    qs[5] = 4.0
+    roles = ["user"] * 10
+    roles[5] = "assistant"          # low-prio outlier
+    out = run_conv_checks(_conv_df(qs, roles=roles), cfg)
+    assert out.loc[out.turn_idx == 5, "dqcflag"].iloc[0] == CODE_BUDDY
+
+
+def test_fgt_ensemble_majority():
+    from titan_ray.schema import CODE_FGT
+    # 2-member ensemble (thresholds 0.9t/1.1t, majority=1): the looser
+    # member catches a deviation the single fgt_t threshold misses
+    base = QCConfig(fgt_ref={"user": (1.7, 0.5)}, fgt_t=2.0,
+                    buddy_tpos=99.0, buddy_tneg=99.0, sct_t=99.0, dual_thr=1.1)
+    qs = [1.7] * 12
+    qs[5] = 1.7 + 1.9 * 0.5   # dev/sd = 1.9: > 1.8 (loose member), < 2.0
+    single = run_conv_checks(_conv_df(qs), base)
+    assert single.loc[single.turn_idx == 5, "dqcflag"].iloc[0] == UNFLAGGED
+    ens = QCConfig(**{**base.__dict__, "fgt_ensemble": 2})
+    voted = run_conv_checks(_conv_df(qs), ens)
+    assert voted.loc[voted.turn_idx == 5, "dqcflag"].iloc[0] == CODE_FGT

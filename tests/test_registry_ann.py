@@ -1,0 +1,68 @@
+"""Registry extension surface + IVF ANN."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from titan_ray.config import QCConfig
+from titan_ray.pipelines.registry import DEFAULT_SPEC, build_pipeline_from_spec, register, registered
+
+
+def test_registry_has_reference_battery():
+    names = set(registered())
+    for n in ("metadata", "scorer", "plausibility", "climatological", "conv_checks",
+              "final", "scrub", "dedup", "zdem", "ccrrt"):
+        assert n in names
+
+
+def test_spec_pipeline_matches_default(ray_session, small_corpus):
+    import ray.data as rd
+
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    cfg = QCConfig()
+    a = build_pipeline_from_spec(rd.from_arrow(small_corpus), cfg).to_pandas()
+    b = build_qc_pipeline(rd.from_arrow(small_corpus), cfg).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, na_position="last").reset_index(drop=True)
+    b = b.sort_values(key, na_position="last").reset_index(drop=True)
+    assert (a["dqcflag"].to_numpy() == b["dqcflag"].to_numpy()).all()
+
+
+def test_custom_check_plugs_in(ray_session, small_corpus):
+    import ray.data as rd
+
+    @register("flag_everything_odd")
+    def odd_check(ds, cfg):
+        import pyarrow.compute as pc
+
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from titan_ray.stages.flags import UNFLAGGED, apply_flag
+
+            flags = batch["dqcflag"].to_numpy(zero_copy_only=False).astype(np.int32)
+            odd = (batch["turn_idx"].to_numpy(zero_copy_only=False) % 2) == 1
+            flags = apply_flag(flags, odd, 777)
+            i = batch.column_names.index("dqcflag")
+            return batch.set_column(i, "dqcflag", [pa.array(flags, type=pa.int32())])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    spec = ("seed_lists", "metadata", "scorer", "flag_everything_odd", "final")
+    out = build_pipeline_from_spec(rd.from_arrow(small_corpus.slice(0, 500)), QCConfig(), spec).to_pandas()
+    assert (out.loc[(out.turn_idx % 2 == 1) & (out.dqcflag != 901), "dqcflag"] == 777).any()
+
+
+def test_unknown_step_raises():
+    with pytest.raises(KeyError):
+        build_pipeline_from_spec(None, QCConfig(), ("no_such_step",))
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from titan_ray.stages.ann import ann_topk, ann_topk_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = set(ann_topk(sf, k=10).to_pandas()["vec_id"])
+    approx = set(ann_topk_ivf(sf, k=10, n_probe=8, n_cells=16).to_pandas()["vec_id"])
+    assert len(exact & approx) >= 6  # probing half the cells -> decent recall

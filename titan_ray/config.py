@@ -90,6 +90,13 @@ class QCConfig:
 
     # ---- doit: per-check per-role {0,1,2}; missing => 1 ----
     doit: dict[str, dict[str, int]] = field(default_factory=dict)
+    # per-role priority (reference: buddy.r:64,112-115 — in the FIRST buddy
+    # pass a row is only compared against buddies of >= its own priority);
+    # missing => 0 (all equal => no restriction)
+    prio: dict[str, int] = field(default_factory=dict)
+    # fgt ensemble voting (reference: fgt.r:335-343 — flag if >= half the
+    # ensemble members flag); members perturb the threshold deterministically
+    fgt_ensemble: int = 1
 
     # ---- source-side transforms (read_data_to_check analogs) ----
     role_affine: dict[str, tuple[float, float]] = field(default_factory=dict)  # qscore = off + fac*qscore per role

@@ -182,22 +182,33 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
     for i in new:
         lflags[i] = CODE_SCT_DUAL
 
-    # fgt
+    # fgt (ensemble-voted)
+    if cfg.fgt_ensemble <= 1:
+        taus = [cfg.fgt_t]
+    else:
+        import numpy as _np
+
+        taus = list(cfg.fgt_t * (1.0 + 0.1 * _np.linspace(-1, 1, cfg.fgt_ensemble)))
+    needed = 1 if cfg.fgt_ensemble <= 1 else (cfg.fgt_ensemble + 1) // 2
     for i in range(m):
         if not testable("fgt", i):
             continue
         mu, sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
-        if abs(lq[i] - mu) > cfg.fgt_t * sd:
+        votes = sum(1 for tau in taus if abs(lq[i] - mu) > tau * sd)
+        if votes >= needed:
             lflags[i] = CODE_FGT
 
-    # buddy (iterate, two-phase per pass)
-    for _ in range(cfg.buddy_iters):
+    # buddy (iterate, two-phase per pass; priority-restricted first pass)
+    for it in range(cfg.buddy_iters):
         ok = usable("buddy")
         new = []
         for i in range(m):
             if not testable("buddy", i):
                 continue
             nb = _neigh(i, lt, cfg.r_buddy, ok)
+            if it == 0 and cfg.prio:
+                my_p = cfg.prio.get(lroles[i], 0)
+                nb = [j for j in nb if cfg.prio.get(lroles[j], 0) >= my_p]
             if len(nb) < cfg.buddy_min:
                 continue
             med = float(np.median(lq[nb]))

@@ -107,3 +107,27 @@ def events_isolation(sf_dir: str):
         return pa.table({"event_id": batch["event_id"].combine_chunks().filter(mask)})
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def events_extent(sf_dir: str):
+    """Domain-extent aggregate: global min/max over ts and milli-value plus
+    row count (reference: read_data_to_check.r:234-249 computes the domain
+    extent at read; one-row result, no driver-side scan)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts": batch["ts"], "vm": pa.array(_vm(batch))})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    row = ds.aggregate(
+        Min("ts", alias_name="ts_min"),
+        Max("ts", alias_name="ts_max"),
+        Min("vm", alias_name="vm_min"),
+        Max("vm", alias_name="vm_max"),
+        Count(alias_name="n_rows"),
+    )
+    return pd.DataFrame([row])

@@ -160,7 +160,7 @@ def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
     core = tbl["is_core"].to_numpy(zero_copy_only=False).astype(bool)
     lang_arr = tbl["lang"]
     event_np = pc.fill_null(pc.not_equal(lang_arr, "en"), True).to_numpy(zero_copy_only=False).astype(bool)
-    if cfg.doit or cfg.fgt_ref:
+    if cfg.doit or cfg.fgt_ref or cfg.prio:
         roles = tbl["role"].to_pandas().fillna("").to_numpy(dtype=object)
     else:
         roles = np.full(n, "", dtype=object)
@@ -226,16 +226,36 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
     mask = testable("sct_dual") & (cnt >= cfg.dual_min) & disagree
     flags[mask] = CODE_SCT_DUAL
 
-    # ---- fgt (code 11) ----
+    # ---- fgt (code 11), ensemble-voted (reference: fgt.r:335-343) ----
     ref = cfg.fgt_ref
     mu = np.asarray([ref.get(r, (1.9, 0.6))[0] for r in roles])
     sd = np.asarray([ref.get(r, (1.9, 0.6))[1] for r in roles])
-    mask = testable("fgt") & (np.abs(q - mu) > cfg.fgt_t * sd)
+    dev = np.abs(q - mu)
+    if cfg.fgt_ensemble <= 1:
+        votes = (dev > cfg.fgt_t * sd).astype(np.int32)
+        needed = 1
+    else:
+        # deterministic member thresholds spread ±10% around fgt_t
+        taus = cfg.fgt_t * (1.0 + 0.1 * np.linspace(-1, 1, cfg.fgt_ensemble))
+        votes = sum((dev > tau * sd).astype(np.int32) for tau in taus)
+        needed = (cfg.fgt_ensemble + 1) // 2
+    mask = testable("fgt") & (votes >= needed)
     flags[mask] = CODE_FGT
 
-    # ---- buddy (code 10), iterate to convergence ----
-    for _ in range(cfg.buddy_iters):
-        m = _neighbour_matrix(q, usable("buddy"), grp, t, cfg.r_buddy)
+    # ---- buddy (code 10), iterate to convergence; priority-restricted
+    # first pass (reference: buddy.r:64,112-115,142 — round 1 compares a row
+    # only against buddies of >= its own priority) ----
+    prio = (
+        np.asarray([cfg.prio.get(r, 0) for r in roles], dtype=np.int32)
+        if cfg.prio
+        else None
+    )
+    for it in range(cfg.buddy_iters):
+        ok = usable("buddy")
+        m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy)
+        if it == 0 and prio is not None:
+            pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), cfg.r_buddy)
+            m = np.where(pm >= prio[:, None], m, np.nan)
         z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
         mask = testable("buddy") & (cnt >= cfg.buddy_min) & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
         if not mask.any():
