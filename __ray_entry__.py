@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_buddy": events.events_buddy,
         "events_isolation": events.events_isolation,
         "events_extent": events.events_extent,
+        "events_sessions": events.events_sessions,
         # --- similarity search over embeddings (SQL-checked) ---
         "ann_topk": ann.ann_topk,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -164,6 +165,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS vm_min, "
             "CAST(max(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS vm_max, "
             "count(*) AS n_rows FROM events"
+        ),
+        "events_sessions": (
+            "WITH d AS ("
+            "  SELECT user_id, ts, event_id, CAST(round(value*1000) AS BIGINT) AS vm,"
+            "    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            "         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk"
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, vm,"
+            "    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id"
+            "  FROM d"
+            ") SELECT user_id, session_id, count(*) AS n_events, "
+            "CAST(sum(vm) AS BIGINT) AS sum_vm FROM s GROUP BY user_id, session_id"
         ),
         "events_isolation": (
             "SELECT event_id FROM events WHERE user_id IN ("

@@ -131,3 +131,64 @@ def events_extent(sf_dir: str):
         Count(alias_name="n_rows"),
     )
     return pd.DataFrame([row])
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def events_sessions(sf_dir: str, num_buckets: int = 64):
+    """Session windows: per user, split the ts-ordered event stream at gaps
+    > 30 min; emit (user_id, session_id, n_events, sum_vm). The guide's
+    streaming-shaped pattern: partition by key, sort within partition,
+    sessionize with vectorized gap cumsum inside map_groups — exact-integer
+    sums so the DuckDB window-function oracle matches bit-for-bit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "vm": pa.array(_vm(batch)),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        ts = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0] = False
+        gap[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        brk = (~new_user) & gap
+        # session_id restarts at 0 per user: cumsum of breaks minus the
+        # cumulative break count at each user's first row
+        cum = np.cumsum(brk)
+        user_base = np.where(new_user, cum, 0)
+        base = np.maximum.accumulate(user_base)
+        sess = (cum - base).astype(np.int64)
+        g = pd.DataFrame({"user_id": uid, "session_id": sess, "vm": df["vm"].to_numpy()})
+        out = (
+            g.groupby(["user_id", "session_id"], sort=False)["vm"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype(np.int64),
+                "session_id": out["session_id"].astype(np.int64),
+                "n_events": out["size"].astype(np.int64),
+                "sum_vm": out["sum"].astype(np.int64),
+            }
+        )
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
