@@ -118,3 +118,20 @@ def test_no_dedup_keeps_all_rows(ray_session):
     t = generate_corpus(800, seed=7, mega=False)
     eng = _run_engine(t, cfg, blocks=4)
     assert len(eng) == t.num_rows
+
+
+def test_all_optional_checks_parity(ray_session, small_corpus):
+    """Every check enabled at once (zdem/ccrrt/sct_fg/dual_fg + prio +
+    fgt ensemble): Ray engine == oracle exactly, and results invariant to
+    the bucket count (per-window convergence freezing — bucket co-residency
+    must never change flags)."""
+    cfg = QCConfig(
+        dedup=True, enable_zdem=True, enable_ccrrt=True, enable_sct_fg=True,
+        enable_dual_fg=True, fgt_ensemble=3,
+        prio={"user": 1, "assistant": 0, "tool": 0, "system": 2},
+    )
+    eng_a = _run_engine(small_corpus, cfg, blocks=5)
+    eng_b = _run_engine(small_corpus, cfg, blocks=19)
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    assert (eng_a["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+    assert (eng_a["dqcflag"].to_numpy() == eng_b["dqcflag"].to_numpy()).all()

@@ -23,7 +23,9 @@ from ..functions.scrub import Scrubber
 from ..schema import (
     CODE_BLACKLIST,
     CODE_BUDDY,
+    CODE_CCRRT,
     CODE_CLIM,
+    CODE_DUAL_FG,
     CODE_FGT,
     CODE_ISOLATION,
     CODE_KEEP,
@@ -31,6 +33,8 @@ from ..schema import (
     CODE_PLAUS,
     CODE_SCT,
     CODE_SCT_DUAL,
+    CODE_SCT_FG,
+    CODE_ZDEM,
 )
 
 UNFLAGGED = -1
@@ -91,6 +95,24 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
     conf = feats["lang_conf"]
     ppl = feats["ppl"]
     q = np.log1p(ppl)
+
+    # ---- zdem 902 (optional): stated role/tool metadata must agree ----
+    if cfg.enable_zdem:
+        for i in range(n):
+            if flags[i] != UNFLAGGED or _doit(cfg, "zdem", df["role"].iloc[i]) != 1:
+                continue
+            role_i = df["role"].iloc[i] if isinstance(df["role"].iloc[i], str) else ""
+            tool_i = df["tool"].iloc[i] if isinstance(df["tool"].iloc[i], str) else ""
+            if (role_i == "tool") != (tool_i != ""):
+                flags[i] = CODE_ZDEM
+
+    # ---- ccrrt 301 (optional): tool-output qscore plausibility ----
+    if cfg.enable_ccrrt:
+        for i in range(n):
+            if flags[i] != UNFLAGGED or _doit(cfg, "ccrrt", df["role"].iloc[i]) != 1:
+                continue
+            if df["role"].iloc[i] == "tool" and q[i] > cfg.ccrrt_tmax:
+                flags[i] = CODE_CCRRT
 
     # ---- plausibility (may overwrite 990) ----
     for i in range(n):
@@ -166,9 +188,27 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
     def testable(check, j):
         return lflags[j] == UNFLAGGED and _doit(cfg, check, lroles[j]) == 1 and is_core[j]
 
+    ev = np.asarray([l != "en" for l in llang])
+
+    # dual_fg (code 4, optional): own event vs the external prior
+    if cfg.enable_dual_fg:
+        ok = usable("dual_fg")
+        new = []
+        prior_event = cfg.dual_fg_prior > 0.5
+        for i in range(m):
+            if not testable("dual_fg", i):
+                continue
+            nb = _neigh(i, lt, cfg.r_dual, ok)
+            if len(nb) < cfg.dual_min:
+                continue
+            frac = float(np.mean(ev[nb]))
+            if (bool(ev[i]) != prior_event) and abs(frac - cfg.dual_fg_prior) < (1.0 - cfg.dual_thr):
+                new.append(i)
+        for i in new:
+            lflags[i] = CODE_DUAL_FG
+
     # dual (single two-phase pass)
     ok = usable("sct_dual")
-    ev = np.asarray([l != "en" for l in llang])
     new = []
     for i in range(m):
         if not testable("sct_dual", i):
@@ -221,6 +261,28 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
             break
         for i in new:
             lflags[i] = CODE_BUDDY
+
+    # sct_fg (code 2, optional): external centre, local robust spread
+    if cfg.enable_sct_fg:
+        for _ in range(cfg.sct_iters):
+            ok = usable("sct_fg")
+            new = []
+            for i in range(m):
+                if not testable("sct_fg", i):
+                    continue
+                nb = _neigh(i, lt, cfg.r_sct, ok)
+                if len(nb) < cfg.sct_min:
+                    continue
+                mu, _sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
+                med = float(np.median(lq[nb]))
+                mad = float(np.median(np.abs(lq[nb] - med)))
+                sigma = max(1.4826 * mad, cfg.sigma_min)
+                if abs((lq[i] - mu) / sigma) > cfg.sct_fg_t:
+                    new.append(i)
+            if not new:
+                break
+            for i in new:
+                lflags[i] = CODE_SCT_FG
 
     # sct (iterate; sctpog = z^2)
     for _ in range(cfg.sct_iters):

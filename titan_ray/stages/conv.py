@@ -250,6 +250,12 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         if cfg.prio
         else None
     )
+    # convergence is tracked PER WINDOW (grp): a window with no new flags in
+    # a pass is frozen — otherwise iteration count (and thus the pass-indexed
+    # prio rule) would depend on which windows share a bucket, making results
+    # partitioning-dependent; the serial oracle iterates per window.
+    n_grps = int(grp.max()) + 1 if n else 0
+    active = np.ones(n_grps, dtype=bool)
     for it in range(cfg.buddy_iters):
         ok = usable("buddy")
         m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy)
@@ -257,16 +263,24 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
             pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), cfg.r_buddy)
             m = np.where(pm >= prio[:, None], m, np.nan)
         z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
-        mask = testable("buddy") & (cnt >= cfg.buddy_min) & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
+        mask = (
+            testable("buddy") & active[grp] & (cnt >= cfg.buddy_min)
+            & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
+        )
         if not mask.any():
             break
         flags[mask] = CODE_BUDDY
+        had = np.zeros(n_grps, dtype=bool)
+        had[grp[mask]] = True
+        active &= had
 
     # ---- sct_fg (code 2, optional; reference: sct_fg_resistant.r:136-163 —
     # SCT with the external field as background): deviation from the
     # broadcast first-guess centre, normalized by the LOCAL robust spread ----
     if cfg.enable_sct_fg:
         mu = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[0] for r in roles])
+        n_grps = int(grp.max()) + 1 if n else 0
+        active = np.ones(n_grps, dtype=bool)
         for _ in range(cfg.sct_iters):
             m = _neighbour_matrix(q, usable("sct_fg"), grp, t, cfg.r_sct)
             with warnings.catch_warnings():
@@ -276,21 +290,29 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
                 mad = np.nanmedian(np.abs(m - med[:, None]), axis=1)
             sigma = np.maximum(1.4826 * np.nan_to_num(mad), cfg.sigma_min)
             z = (q - mu) / sigma
-            mask = testable("sct_fg") & (cnt >= cfg.sct_min) & (np.abs(z) > cfg.sct_fg_t)
+            mask = testable("sct_fg") & active[grp] & (cnt >= cfg.sct_min) & (np.abs(z) > cfg.sct_fg_t)
             if not mask.any():
                 break
             flags[mask] = CODE_SCT_FG
+            had = np.zeros(n_grps, dtype=bool)
+            had[grp[mask]] = True
+            active &= had
 
     # ---- sct (code 1), iterate; keep sctpog = z² ----
+    n_grps = int(grp.max()) + 1 if n else 0
+    active = np.ones(n_grps, dtype=bool)
     for _ in range(cfg.sct_iters):
         m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct)
         z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
-        judged = testable("sct") & (cnt >= cfg.sct_min)
+        judged = testable("sct") & active[grp] & (cnt >= cfg.sct_min)
         sctpog = np.where(judged, z * z, sctpog)
         mask = judged & (np.abs(z) > cfg.sct_t)
         if not mask.any():
             break
         flags[mask] = CODE_SCT
+        had = np.zeros(n_grps, dtype=bool)
+        had[grp[mask]] = True
+        active &= had
 
     # ---- isolation (code 800) ----
     m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso)
