@@ -69,7 +69,10 @@ NULL_CONV_KEY = "__null__"
 def salt_batch(batch: pa.Table, cfg: QCConfig, num_buckets: int = 128) -> pa.Table:
     """Add conv_key / bucket / is_core; emit halo duplicates for window edges."""
     conv = pc.coalesce(batch["conv_id"], pa.scalar(NULL_CONV_KEY))
-    t = pc.max_element_wise(batch["turn_idx"], pa.scalar(0, type=pa.int32()))
+    t = pc.max_element_wise(
+        pc.coalesce(batch["turn_idx"], pa.scalar(0, type=pa.int32())),
+        pa.scalar(0, type=pa.int32()),
+    )
     w = pc.divide(t, pa.scalar(cfg.window, type=pa.int32()))
     pos = pc.subtract(t, pc.multiply(w, pa.scalar(cfg.window, type=pa.int32())))
 

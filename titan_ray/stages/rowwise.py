@@ -66,7 +66,7 @@ def metadata_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
             pc.or_(pc.less(n_bytes, cfg.min_chars), pc.greater(n_bytes, cfg.max_chars)),
         ),
     )
-    bad_np = np.asarray(bad.to_pandas().fillna(True), dtype=bool)
+    bad_np = pc.fill_null(bad, True).to_numpy(zero_copy_only=False).astype(bool)
     flags = apply_flag(flags, bad_np, CODE_NOMETA, flags_keeplisted=True)
     return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
 
