@@ -135,3 +135,59 @@ def test_all_optional_checks_parity(ray_session, small_corpus):
     ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
     assert (eng_a["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
     assert (eng_a["dqcflag"].to_numpy() == eng_b["dqcflag"].to_numpy()).all()
+
+
+def test_duplicate_turn_idx_parity(ray_session):
+    """Re-ingested data: duplicate (conv_id, turn_idx) rows (dedup off) —
+    engine must still use pure TURN-distance neighbourhoods (oracle _neigh),
+    not row-position distance (ADVICE r1: widened positional window)."""
+    t = generate_corpus(900, seed=11, mega=False)
+    df = t.to_pandas()
+    # duplicate every 3rd row with a perturbed ts and slightly different text
+    dup = df.iloc[::3].copy()
+    dup["ts"] = dup["ts"] + pd.Timedelta(seconds=1)
+    dup["text"] = dup["text"] + " extra"
+    both = pd.concat([df, dup], ignore_index=True)
+    table = pa.Table.from_pandas(both, preserve_index=False)
+    cfg = QCConfig(dedup=False)
+    eng = _run_engine(table, cfg, blocks=7)
+    ora = oracle_qc(table, cfg).sort_values(
+        ["conv_id", "turn_idx", "ts", "text"], na_position="last"
+    ).reset_index(drop=True)
+    eng = eng.sort_values(
+        ["conv_id", "turn_idx", "ts", "text"], na_position="last"
+    ).reset_index(drop=True)
+    assert len(eng) == len(ora)
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+
+
+def test_dedup_exact_tie_single_survivor(ray_session):
+    """Full duplicates with identical (conv_id, turn_idx, ts) and identical
+    normalized text: both strategies and the oracle keep exactly ONE
+    (ADVICE r1: broadcast kept both)."""
+    from titan_ray.stages.dedup import dedup_broadcast, dedup_exact
+    import ray.data as rd
+
+    t = generate_corpus(600, seed=13, mega=False)
+    df = t.to_pandas()
+    # two case-variant copies (same normalized text) at the same position,
+    # plus one byte-identical copy
+    tie = df.iloc[[10]].copy()
+    tie["text"] = tie["text"].str.upper()
+    byte_copy = df.iloc[[10]].copy()
+    both = pd.concat([df, tie, byte_copy], ignore_index=True)
+    table = pa.Table.from_pandas(both, preserve_index=False)
+
+    cfg = QCConfig(dedup=True)
+    ora = oracle_qc(table, cfg)
+    assert len(ora) == len(df) - int(df["ge_dup"].sum())  # planted dups + ties collapsed
+
+    for strategy in ("shuffle", "broadcast"):
+        ds = rd.from_arrow(table).repartition(1)
+        out = (dedup_broadcast(ds) if strategy == "broadcast" else dedup_exact(ds)).to_pandas()
+        assert len(out) == len(ora), strategy
+        # the surviving copy is the oracle's (min content-hash) choice
+        k = out[(out["conv_id"] == df.loc[10, "conv_id"]) & (out["turn_idx"] == df.loc[10, "turn_idx"])]
+        ko = ora[(ora["conv_id"] == df.loc[10, "conv_id"]) & (ora["turn_idx"] == df.loc[10, "turn_idx"])]
+        assert len(k) == 1 and len(ko) == 1, strategy
+        assert k["text"].iloc[0] == ko["text"].iloc[0], strategy

@@ -22,7 +22,9 @@ SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     ("credit_card", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b", "[CARD]"),
-    ("phone", r"(?:\+[0-9]{1,3}[ -.])?\(?[0-9]{3}\)?[ -.][0-9]{3}[ -.][0-9]{4}\b", "[PHONE]"),
+    # hyphen LAST inside the class = literal ('[ -.]' would be the RANGE
+    # 0x20-0x2E and also match !"#$%&'()*+,)
+    ("phone", r"(?:\+[0-9]{1,3}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b", "[PHONE]"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
     ("api_key", r"\b(?:sk|pk|ak)-[A-Za-z0-9]{16,}\b", "[KEY]"),
 )

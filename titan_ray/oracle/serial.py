@@ -48,9 +48,17 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
     cfg = cfg or QCConfig()
     df = table.to_pandas()
 
-    # ---- dedup (keep first by conv_id, turn_idx, ts) ----
+    # ---- dedup (keep first by conv_id, turn_idx, ts; full ties broken by
+    # the same deterministic content hash the engine ranks use) ----
     if cfg.dedup:
-        order = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort", na_position="last")
+        sep = "\x01"
+        content = (
+            df["text"].fillna("\x00")
+            + sep + (df["role"].fillna("\x00") if "role" in df.columns else "\x00")
+            + sep + (df["tool"].fillna("\x00") if "tool" in df.columns else "\x00")
+        )
+        df = df.assign(_chash=pd.util.hash_array(content.to_numpy(dtype=object)))
+        order = df.sort_values(["conv_id", "turn_idx", "ts", "_chash"], kind="mergesort", na_position="last")
         seen: set[str] = set()
         keep_rows = []
         for i, txt in zip(order.index, order["text"]):
@@ -59,7 +67,7 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
                 continue
             seen.add(norm)
             keep_rows.append(i)
-        df = df.loc[sorted(keep_rows)]
+        df = df.loc[sorted(keep_rows)].drop(columns=["_chash"])
     df = df.reset_index(drop=True)
     n = len(df)
     flags = np.full(n, UNFLAGGED, dtype=np.int32)
@@ -96,6 +104,15 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
     ppl = feats["ppl"]
     q = np.log1p(ppl)
 
+    # ---- ccrrt 301 (optional): tool-output qscore plausibility; runs
+    # BEFORE zdem, matching the reference order (titan.r:150-154 vs :187) ----
+    if cfg.enable_ccrrt:
+        for i in range(n):
+            if flags[i] != UNFLAGGED or _doit(cfg, "ccrrt", df["role"].iloc[i]) != 1:
+                continue
+            if df["role"].iloc[i] == "tool" and q[i] > cfg.ccrrt_tmax:
+                flags[i] = CODE_CCRRT
+
     # ---- zdem 902 (optional): stated role/tool metadata must agree ----
     if cfg.enable_zdem:
         for i in range(n):
@@ -105,14 +122,6 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
             tool_i = df["tool"].iloc[i] if isinstance(df["tool"].iloc[i], str) else ""
             if (role_i == "tool") != (tool_i != ""):
                 flags[i] = CODE_ZDEM
-
-    # ---- ccrrt 301 (optional): tool-output qscore plausibility ----
-    if cfg.enable_ccrrt:
-        for i in range(n):
-            if flags[i] != UNFLAGGED or _doit(cfg, "ccrrt", df["role"].iloc[i]) != 1:
-                continue
-            if df["role"].iloc[i] == "tool" and q[i] > cfg.ccrrt_tmax:
-                flags[i] = CODE_CCRRT
 
     # ---- plausibility (may overwrite 990) ----
     for i in range(n):

@@ -63,10 +63,12 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
             partial(affine_rescale_qscore, role_affine=cfg.role_affine),
             batch_format="pyarrow", batch_size=cfg.batch_size,
         )
-    if cfg.enable_zdem:
-        ds = ds.map_batches(partial(zdem_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    # ccrrt (301) runs BEFORE check_z_against_dem (902), matching the
+    # reference order (titan.r:150-154 before titan.r:187)
     if cfg.enable_ccrrt:
         ds = ds.map_batches(partial(ccrrt_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    if cfg.enable_zdem:
+        ds = ds.map_batches(partial(zdem_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(plausibility_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(climatological_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
 

@@ -15,13 +15,21 @@ import pyarrow as pa
 
 
 def _matrix(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
-    """Zero-copy-ish (values buffer) list<float> -> (n, d) float64 matrix."""
+    """list<float> -> (n, d) float64 matrix via the flattened values buffer.
+
+    Uses .flatten(), which is SLICE-AWARE: a sliced ListArray's .values would
+    return the full backing buffer (misaligned with the batch's vec_ids);
+    .flatten() trims to exactly the rows of this array."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    offsets = col.offsets.to_numpy(zero_copy_only=False)
-    d = int(offsets[1] - offsets[0]) if dim is None else dim
-    return values.reshape(-1, d)
+    values = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return values.reshape(0, dim or 0)
+    d = len(values) // n if dim is None else dim
+    if n * d != len(values):
+        raise ValueError(f"ragged embedding column: {len(values)} values / {n} rows")
+    return values.reshape(n, d)
 
 
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:

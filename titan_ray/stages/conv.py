@@ -115,14 +115,56 @@ def _sliding(vals: np.ndarray, r: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(padded, 2 * r + 1)
 
 
-def _neighbour_matrix(q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int) -> np.ndarray:
-    """(n, 2r+1) of usable neighbour values; NaN where out-of-conv, out-of-radius,
-    not usable, or self. Rows must be sorted by (grp, t)."""
+def _dup_multiplicity(grp: np.ndarray, t: np.ndarray) -> int:
+    """Max number of rows sharing one (grp, turn_idx) pair (sorted input).
+
+    1 for the normal unique-(conv_id, turn_idx) case; > 1 after re-ingestion
+    without dedup. Used to widen the positional sliding window so that pure
+    TURN-distance neighbours (the serial oracle's _neigh semantics) are never
+    excluded by row-position distance."""
+    n = len(t)
+    if n < 2:
+        return 1
+    same = (grp[1:] == grp[:-1]) & (t[1:] == t[:-1])
+    if not same.any():
+        return 1
+    # longest run of consecutive `same` + 1 = max multiplicity
+    padded = np.concatenate(([False], same, [False]))
+    edges = np.flatnonzero(padded[1:] != padded[:-1])
+    return int((edges[1::2] - edges[::2]).max()) + 1
+
+
+def _pos_radius(r: int, dup: int, n: int) -> int:
+    """Positional radius covering every row within TURN distance r when each
+    turn value occurs at most `dup` times: (r+1)*dup - 1 positions."""
+    R = (r + 1) * dup - 1
+    R = min(R, max(n - 1, 1))
+    if R > 4096:
+        raise ValueError(
+            f"duplicate (conv_id, turn_idx) multiplicity {dup} widens the "
+            f"neighbour window to {R} positions — run dedup before the "
+            "conversation checks (re-ingested corpus?)"
+        )
+    return R
+
+
+def _neighbour_matrix(
+    q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int, dup: int = 1
+) -> np.ndarray:
+    """(n, 2R+1) of usable neighbour values; NaN where out-of-conv,
+    out-of-TURN-radius, not usable, or self. Rows must be sorted by (grp, t).
+
+    Neighbourhood is pure turn distance |Δturn_idx| <= r (matching the serial
+    oracle's _neigh and the reference's metric radius, statistics_util.r:50);
+    the positional window is widened by the duplicate multiplicity so rows
+    sharing a turn_idx are still seen (self excluded by POSITION only —
+    duplicate rows at the same turn are legitimate buddies of each other)."""
+    R = _pos_radius(r, dup, len(q))
     vals = np.where(ok, q, np.nan)
-    m = _sliding(vals, r).copy()
-    m[:, r] = np.nan  # exclude self (reference: statistics_util.r:50-55)
-    gm = _sliding(grp.astype(np.float64), r)
-    tm = _sliding(t.astype(np.float64), r)
+    m = _sliding(vals, R).copy()
+    m[:, R] = np.nan  # exclude self (reference: statistics_util.r:50-55)
+    gm = _sliding(grp.astype(np.float64), R)
+    tm = _sliding(t.astype(np.float64), R)
     bad = (gm != grp[:, None]) | (np.abs(tm - t[:, None]) > r)
     m[bad] = np.nan
     return m
@@ -193,6 +235,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
     """The check battery over sorted, conv-masked arrays (shared by the arrow
     fast path and the pandas wrapper)."""
     n = len(flags)
+    dup = _dup_multiplicity(grp, t)
 
     def testable(check: str) -> np.ndarray:
         return testable_mask(flags, cfg.doit_for(check, roles)) & core
@@ -204,7 +247,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
     # dichotomous check against an external event prior) ----
     event = event_np.astype(np.float64)
     if cfg.enable_dual_fg:
-        m = _neighbour_matrix(event, usable("dual_fg"), grp, t, cfg.r_dual)
+        m = _neighbour_matrix(event, usable("dual_fg"), grp, t, cfg.r_dual, dup)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", category=RuntimeWarning)
             cnt = np.sum(~np.isnan(m), axis=1)
@@ -218,7 +261,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         flags[mask] = CODE_DUAL_FG
 
     # ---- dual (code 3) ----
-    m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual)
+    m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual, dup)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", category=RuntimeWarning)
         cnt = np.sum(~np.isnan(m), axis=1)
@@ -261,9 +304,9 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
     active = np.ones(n_grps, dtype=bool)
     for it in range(cfg.buddy_iters):
         ok = usable("buddy")
-        m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy)
+        m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy, dup)
         if it == 0 and prio is not None:
-            pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), cfg.r_buddy)
+            pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), _pos_radius(cfg.r_buddy, dup, n))
             m = np.where(pm >= prio[:, None], m, np.nan)
         z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
         mask = (
@@ -285,7 +328,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
         for _ in range(cfg.sct_iters):
-            m = _neighbour_matrix(q, usable("sct_fg"), grp, t, cfg.r_sct)
+            m = _neighbour_matrix(q, usable("sct_fg"), grp, t, cfg.r_sct, dup)
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", category=RuntimeWarning)
                 cnt = np.sum(~np.isnan(m), axis=1)
@@ -305,7 +348,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
     n_grps = int(grp.max()) + 1 if n else 0
     active = np.ones(n_grps, dtype=bool)
     for _ in range(cfg.sct_iters):
-        m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct)
+        m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct, dup)
         z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
         judged = testable("sct") & active[grp] & (cnt >= cfg.sct_min)
         sctpog = np.where(judged, z * z, sctpog)
@@ -318,7 +361,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         active &= had
 
     # ---- isolation (code 800) ----
-    m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso)
+    m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso, dup)
     cnt = np.sum(~np.isnan(m), axis=1)
     mask = testable("isolation") & (cnt < cfg.n_iso)
     flags[mask] = CODE_ISOLATION

@@ -91,10 +91,21 @@ def _norm_and_rank(batch: pa.Table) -> tuple[pd.Series, pd.Series]:
         12, "0",
     )
     ts_us = pc.cast(pc.cast(batch["ts"], pa.int64()), pa.string())
+    # content-hash tiebreak: rows tied on (conv_id, turn_idx, ts) but
+    # differing in raw text / role / tool get DISTINCT deterministic ranks,
+    # so exactly one survives (stable across the two passes by construction)
+    content = pc.binary_join_element_wise(
+        pc.coalesce(batch["text"], pa.scalar("\x00")),
+        pc.coalesce(batch["role"], pa.scalar("\x00")) if "role" in batch.column_names else pa.scalar("\x00"),
+        pc.coalesce(batch["tool"], pa.scalar("\x00")) if "tool" in batch.column_names else pa.scalar("\x00"),
+        _RANK_SEP,
+    )
+    chash = pd.util.hash_array(content.to_pandas().to_numpy(dtype=object))
     rank = pc.binary_join_element_wise(
         pc.coalesce(batch["conv_id"], pa.scalar("\x7f")),
         turn,
         pc.utf8_lpad(ts_us, 20, "0"),
+        pa.array(np.char.mod("%020d", chash)),
         _RANK_SEP,
     )
     return norm, rank.to_pandas()
@@ -159,9 +170,15 @@ def dedup_broadcast(ds):
         h1, h2 = _hash2(norm)
         df = pd.DataFrame({"h1": h1, "h2": h2, "rank": rank.to_numpy(dtype=object)})
         merged = df.merge(dups, on=["h1", "h2"], how="left")
-        drop = merged["first_rank"].notna() & (merged["rank"] != merged["first_rank"]) & (
-            norm.to_numpy(dtype=object) != ""
-        )
+        # keep exactly the first-ranked copy; FULLY identical rows (same
+        # conv/turn/ts/text/role/tool => same rank) are additionally
+        # collapsed within a batch. Byte-identical copies that land in
+        # DIFFERENT batches are the one residual multi-keep case of the
+        # broadcast strategy (use dedup_exact when exact-tie counts matter).
+        drop = merged["first_rank"].notna() & (
+            (merged["rank"] != merged["first_rank"])
+            | merged.duplicated(subset=["h1", "h2", "rank"])
+        ) & (norm.to_numpy(dtype=object) != "")
         return batch.filter(pa.array(~drop.to_numpy()))
 
     return ds.map_batches(drop_nonfirst, batch_format="pyarrow")
