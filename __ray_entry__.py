@@ -19,7 +19,7 @@ from titan_ray.config import QCConfig
 from titan_ray.corpus import corpus_path_for_sf
 from titan_ray.functions.features import _TOKEN_PATTERN
 from titan_ray.functions.scrub import SCRUB_RULES
-from titan_ray.pipelines import docqc, events
+from titan_ray.pipelines import docqc, events, qc_battery
 from titan_ray.pipelines.qc import build_qc_pipeline
 from titan_ray.stages import ann, multimodal, neardup
 
@@ -58,18 +58,21 @@ def _qc_metrics(sf_dir: str):
     return pd.DataFrame([{"metric": k, "value": round(v, 6)} for k, v in sorted(m.items())])
 
 
-def _qc_flag_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    ds = _qc_dataset(sf_dir)
-    return ds.groupby(["role", "dqcflag"]).aggregate(Count(alias_name="n_turns"))
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- flagship transcript QC (non-SQL: scorer models + windowed checks) ---
-        "qc_transcripts": _qc_dataset,
-        "qc_flag_counts": _qc_flag_counts,
+        # --- flagship transcript QC battery, DuckDB-hash-checked: engine
+        # recomputes scores through the full Ray pipeline; the SQL oracle
+        # replays every check over the persisted scored corpus ---
+        "qc_transcripts": qc_battery.qc_transcripts,
+        "qc_flag_counts": qc_battery.qc_flag_counts,
+        "qc_conv_buddy": qc_battery.qc_conv_buddy,
+        "qc_conv_sct": qc_battery.qc_conv_sct,
+        "qc_conv_dual": qc_battery.qc_conv_dual,
+        "qc_conv_fgt": qc_battery.qc_conv_fgt,
+        "qc_conv_isolation": qc_battery.qc_conv_isolation,
+        # --- flagship in cascade mode (iterative convergence — non-SQL;
+        # verified by the serial oracle + planted-label F1 in pytest) ---
+        "qc_full_cascade": _qc_dataset,
         "qc_metrics": _qc_metrics,
         # --- document-table analogs (SQL-checked) ---
         "doc_length_stats": docqc.doc_length_stats,
@@ -114,7 +117,10 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
         "sqrt(list_dot_product(q.qe, q.qe)))"
     )
-    return {
+    out = {
+        # flagship battery over the persisted scored corpus (the driver gate
+        # runs at sf=0.01; queries() writes the file before the SQL reads it)
+        **qc_battery.battery_sql(0.01),
         "doc_length_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
@@ -199,3 +205,4 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(b.qe, b.qe))), 4) > 0.45"
         ),
     }
+    return out

@@ -1,0 +1,120 @@
+"""Driver-battery parity: parallel conv mode + SQL oracle vs engine stages.
+
+The contract gate (tools/check_contract.py) proves the full battery at
+sf0.01; these tests pin the semantics on hand-crafted edge rows and on the
+engine/oracle pair so regressions localize.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from titan_ray.config import QCConfig
+from titan_ray.corpus import generate_corpus
+from titan_ray.oracle.serial import oracle_qc
+from titan_ray.pipelines.qc_battery import _base_ctes, _rowwise_case, battery_config
+from titan_ray.stages.rowwise import (
+    climatological_check,
+    final_decision,
+    metadata_check,
+    plausibility_check,
+    seed_lists,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _edge_scored_table() -> pa.Table:
+    """Hand-built scored rows hitting every rowwise CASE branch and its
+    precedence interactions (999>901>501>990>502>0)."""
+    rows = [
+        # conv, turn, role, text, keeplist, lang, conf, ppl, expect
+        ("c1", 0, "user", "a fine clean turn", False, "en", 0.9, 30.0, 0),
+        ("c1", 1, "user", None, False, "und", 0.0, 1e9, 901),          # null text
+        (None, 2, "user", "text ok", False, "en", 0.9, 30.0, 901),     # null conv
+        ("c1", -1, "user", "text ok", False, "en", 0.9, 30.0, 901),    # neg turn
+        ("c1", 3, "user", "", False, "und", 0.0, 1.0, 901),            # too short
+        ("c1", 4, "user", "x" * 40000, False, "en", 0.9, 30.0, 901),   # too long
+        ("c1", 5, "user", "BLOCKLISTED_TOKEN here", False, "en", 0.9, 30.0, 999),
+        ("c1", 6, "user", "BLOCKLISTED_TOKEN kept?", True, "en", 0.9, 30.0, 999),  # black beats keep
+        ("c1", 7, "user", "gibberish", False, "und", 0.1, 500.0, 501),  # low conf
+        ("c1", 8, "user", "kept but implausible", True, "und", 0.1, 500.0, 501),  # plaus beats keep
+        ("c1", 9, "user", "kept and fine", True, "en", 0.9, 30.0, 990),
+        ("c1", 10, "user", "kept high ppl", True, "en", 0.9, 5000.0, 990),  # clim can't flag keep
+        ("c1", 11, "user", "english high ppl", False, "en", 0.9, 5000.0, 502),
+        ("c1", 12, "user", "russian fine", False, "ru", 0.9, 30000.0, 0),  # wide ru band
+        ("c1", 13, "user", "unknown lang", False, "xx", 0.9, 1e5, 0),   # default band
+        ("c1", 14, "user", "BLOCKLISTED_TOKEN " + "y" * 40000, False, "en", 0.9, 30.0, 999),  # black beats meta
+    ]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "conv_id": pa.array(cols[0], type=pa.string()),
+            "turn_idx": pa.array(cols[1], type=pa.int32()),
+            "role": pa.array(cols[2], type=pa.string()),
+            "text": pa.array(cols[3], type=pa.string()),
+            "tool": pa.array([""] * len(rows), type=pa.string()),
+            "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+            "is_keeplist": pa.array(cols[4]),
+            "lang": pa.array(cols[5], type=pa.string()),
+            "lang_conf": pa.array(cols[6], type=pa.float64()),
+            "ppl": pa.array(cols[7], type=pa.float64()),
+            "qscore": pa.array(np.log1p(np.asarray(cols[7], dtype=np.float64))),
+        }
+    ), [r[-1] for r in rows]
+
+
+def test_rowwise_case_sql_matches_stages(tmp_path):
+    """The generated DuckDB CASE == the engine's seed/meta/plaus/clim/final
+    stage chain, branch by branch."""
+    cfg = battery_config()
+    table, expect = _edge_scored_table()
+
+    b = seed_lists(table, cfg=cfg)
+    b = metadata_check(b, cfg=cfg)
+    b = plausibility_check(b, cfg=cfg)
+    b = climatological_check(b, cfg=cfg)
+    b = final_decision(b)
+    eng = b["dqcflag"].to_numpy(zero_copy_only=False)
+    assert eng.tolist() == expect
+
+    p = tmp_path / "scored.parquet"
+    pq.write_table(table, p)
+    sql = f"SELECT {_rowwise_case(cfg)} AS dqcflag FROM read_parquet('{p}')"
+    ora = duckdb.sql(sql).df()["dqcflag"].to_numpy()
+    assert ora.tolist() == expect
+
+
+def test_parallel_mode_engine_oracle_parity(ray_session, small_corpus):
+    """conv_mode='parallel': Ray engine == serial oracle row-for-row, and
+    invariant to block count (the SQL-checkable battery's engine side)."""
+    import ray.data as rd
+
+    cfg = QCConfig(dedup=True, conv_mode="parallel")
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    for blocks in (4, 13):
+        ds = rd.from_arrow(small_corpus).repartition(blocks)
+        eng = build_qc_pipeline(ds, cfg).to_pandas()
+        eng = eng.sort_values(KEY, na_position="last").reset_index(drop=True)
+        assert len(eng) == len(ora)
+        assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all(), blocks
+
+
+def test_parallel_vs_cascade_differ_only_downstream(ray_session):
+    """Sanity: parallel mode is a *documented* semantic variant — first-pass
+    flags agree with cascade's first pass; cascade may add more via
+    iteration/sequencing, never fewer rowwise flags."""
+    t = generate_corpus(1200, seed=5, mega=False)
+    ora_par = oracle_qc(t, QCConfig(dedup=True, conv_mode="parallel"))
+    ora_cas = oracle_qc(t, QCConfig(dedup=True, conv_mode="cascade"))
+    rowwise = {0, 990, 999, 901, 501, 502}
+    a = ora_par["dqcflag"].to_numpy()
+    b = ora_cas["dqcflag"].to_numpy()
+    # rowwise codes identical between modes
+    ra, rb = np.isin(a, [999, 901, 501, 502, 990]), np.isin(b, [999, 901, 501, 502, 990])
+    assert (a[ra] == b[ra]).all() and (ra == rb).all()

@@ -79,6 +79,23 @@ class QCConfig:
     fgt_ref: dict[str, tuple[float, float]] = field(default_factory=_default_fgt_ref)
     fgt_t: float = 8.0
 
+    # ---- conversation-check execution mode ----
+    # "cascade" (default): reference semantics — checks run in order
+    # dual -> fgt -> buddy -> sct -> isolation, each seeing the flags of the
+    # previous ones, buddy/sct iterating to convergence (titan.r:209-257).
+    # "parallel": every check's mask is computed from the SAME pre-conv flag
+    # state in a single pass, then applied first-flag-wins in reference
+    # order. Deterministic, partition-invariant, and expressible in ANSI SQL
+    # (the driver's DuckDB oracle mode); cascade remains the flagship mode.
+    conv_mode: str = "cascade"
+
+    # per-conv-check toggles (reference boolean flags, titan.r:140-256)
+    enable_dual: bool = True
+    enable_fgt: bool = True
+    enable_buddy: bool = True
+    enable_sct: bool = True
+    enable_isolation: bool = True
+
     # ---- optional checks (reference toggles, titan.r:140-256) ----
     enable_zdem: bool = False     # 902: stated metadata vs derived (dem analog)
     enable_ccrrt: bool = False    # 301: cross-signal tool-output plausibility

@@ -188,14 +188,21 @@ def _neigh(i: int, lt: np.ndarray, r: int, ok: np.ndarray) -> list[int]:
 
 def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
     m = len(lflags)
+    parallel = cfg.conv_mode == "parallel"
+    state = lflags.copy() if parallel else lflags  # frozen snapshot in parallel mode
 
     def usable(check):
         return np.asarray(
-            [lflags[j] in (UNFLAGGED, CODE_KEEP) and _doit(cfg, check, lroles[j]) >= 1 for j in range(m)]
+            [state[j] in (UNFLAGGED, CODE_KEEP) and _doit(cfg, check, lroles[j]) >= 1 for j in range(m)]
         )
 
     def testable(check, j):
-        return lflags[j] == UNFLAGGED and _doit(cfg, check, lroles[j]) == 1 and is_core[j]
+        return state[j] == UNFLAGGED and _doit(cfg, check, lroles[j]) == 1 and is_core[j]
+
+    def apply(rows, code):
+        for j in rows:
+            if lflags[j] == UNFLAGGED:
+                lflags[j] = code
 
     ev = np.asarray([l != "en" for l in llang])
 
@@ -213,67 +220,69 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
             frac = float(np.mean(ev[nb]))
             if (bool(ev[i]) != prior_event) and abs(frac - cfg.dual_fg_prior) < (1.0 - cfg.dual_thr):
                 new.append(i)
-        for i in new:
-            lflags[i] = CODE_DUAL_FG
+        apply(new, CODE_DUAL_FG)
 
     # dual (single two-phase pass)
-    ok = usable("sct_dual")
-    new = []
-    for i in range(m):
-        if not testable("sct_dual", i):
-            continue
-        nb = _neigh(i, lt, cfg.r_dual, ok)
-        if len(nb) < cfg.dual_min:
-            continue
-        frac = float(np.mean(ev[nb]))
-        if (ev[i] and frac < 1.0 - cfg.dual_thr) or (not ev[i] and frac > cfg.dual_thr):
-            new.append(i)
-    for i in new:
-        lflags[i] = CODE_SCT_DUAL
-
-    # fgt (ensemble-voted)
-    if cfg.fgt_ensemble <= 1:
-        taus = [cfg.fgt_t]
-    else:
-        import numpy as _np
-
-        taus = list(cfg.fgt_t * (1.0 + 0.1 * _np.linspace(-1, 1, cfg.fgt_ensemble)))
-    needed = 1 if cfg.fgt_ensemble <= 1 else (cfg.fgt_ensemble + 1) // 2
-    for i in range(m):
-        if not testable("fgt", i):
-            continue
-        mu, sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
-        votes = sum(1 for tau in taus if abs(lq[i] - mu) > tau * sd)
-        if votes >= needed:
-            lflags[i] = CODE_FGT
-
-    # buddy (iterate, two-phase per pass; priority-restricted first pass)
-    for it in range(cfg.buddy_iters):
-        ok = usable("buddy")
+    if cfg.enable_dual:
+        ok = usable("sct_dual")
         new = []
         for i in range(m):
-            if not testable("buddy", i):
+            if not testable("sct_dual", i):
                 continue
-            nb = _neigh(i, lt, cfg.r_buddy, ok)
-            if it == 0 and cfg.prio:
-                my_p = cfg.prio.get(lroles[i], 0)
-                nb = [j for j in nb if cfg.prio.get(lroles[j], 0) >= my_p]
-            if len(nb) < cfg.buddy_min:
+            nb = _neigh(i, lt, cfg.r_dual, ok)
+            if len(nb) < cfg.dual_min:
                 continue
-            med = float(np.median(lq[nb]))
-            mad = float(np.median(np.abs(lq[nb] - med)))
-            sigma = max(1.4826 * mad, cfg.sigma_min)
-            z = (lq[i] - med) / sigma
-            if z > cfg.buddy_tpos or z < -cfg.buddy_tneg:
+            frac = float(np.mean(ev[nb]))
+            if (ev[i] and frac < 1.0 - cfg.dual_thr) or (not ev[i] and frac > cfg.dual_thr):
                 new.append(i)
-        if not new:
-            break
-        for i in new:
-            lflags[i] = CODE_BUDDY
+        apply(new, CODE_SCT_DUAL)
+
+    # fgt (ensemble-voted)
+    if cfg.enable_fgt:
+        if cfg.fgt_ensemble <= 1:
+            taus = [cfg.fgt_t]
+        else:
+            import numpy as _np
+
+            taus = list(cfg.fgt_t * (1.0 + 0.1 * _np.linspace(-1, 1, cfg.fgt_ensemble)))
+        needed = 1 if cfg.fgt_ensemble <= 1 else (cfg.fgt_ensemble + 1) // 2
+        new = []
+        for i in range(m):
+            if not testable("fgt", i):
+                continue
+            mu, sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
+            votes = sum(1 for tau in taus if abs(lq[i] - mu) > tau * sd)
+            if votes >= needed:
+                new.append(i)
+        apply(new, CODE_FGT)
+
+    # buddy (iterate, two-phase per pass; priority-restricted first pass)
+    if cfg.enable_buddy:
+        for it in range(1 if parallel else cfg.buddy_iters):
+            ok = usable("buddy")
+            new = []
+            for i in range(m):
+                if not testable("buddy", i):
+                    continue
+                nb = _neigh(i, lt, cfg.r_buddy, ok)
+                if it == 0 and cfg.prio:
+                    my_p = cfg.prio.get(lroles[i], 0)
+                    nb = [j for j in nb if cfg.prio.get(lroles[j], 0) >= my_p]
+                if len(nb) < cfg.buddy_min:
+                    continue
+                med = float(np.median(lq[nb]))
+                mad = float(np.median(np.abs(lq[nb] - med)))
+                sigma = max(1.4826 * mad, cfg.sigma_min)
+                z = (lq[i] - med) / sigma
+                if z > cfg.buddy_tpos or z < -cfg.buddy_tneg:
+                    new.append(i)
+            if not new:
+                break
+            apply(new, CODE_BUDDY)
 
     # sct_fg (code 2, optional): external centre, local robust spread
     if cfg.enable_sct_fg:
-        for _ in range(cfg.sct_iters):
+        for _ in range(1 if parallel else cfg.sct_iters):
             ok = usable("sct_fg")
             new = []
             for i in range(m):
@@ -290,38 +299,37 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
                     new.append(i)
             if not new:
                 break
-            for i in new:
-                lflags[i] = CODE_SCT_FG
+            apply(new, CODE_SCT_FG)
 
     # sct (iterate; sctpog = z^2)
-    for _ in range(cfg.sct_iters):
-        ok = usable("sct")
-        new = []
-        for i in range(m):
-            if not testable("sct", i):
-                continue
-            nb = _neigh(i, lt, cfg.r_sct, ok)
-            if len(nb) < cfg.sct_min:
-                continue
-            med = float(np.median(lq[nb]))
-            mad = float(np.median(np.abs(lq[nb] - med)))
-            sigma = max(1.4826 * mad, cfg.sigma_min)
-            z = (lq[i] - med) / sigma
-            lpog[i] = z * z
-            if abs(z) > cfg.sct_t:
-                new.append(i)
-        if not new:
-            break
-        for i in new:
-            lflags[i] = CODE_SCT
+    if cfg.enable_sct:
+        for _ in range(1 if parallel else cfg.sct_iters):
+            ok = usable("sct")
+            new = []
+            for i in range(m):
+                if not testable("sct", i):
+                    continue
+                nb = _neigh(i, lt, cfg.r_sct, ok)
+                if len(nb) < cfg.sct_min:
+                    continue
+                med = float(np.median(lq[nb]))
+                mad = float(np.median(np.abs(lq[nb] - med)))
+                sigma = max(1.4826 * mad, cfg.sigma_min)
+                z = (lq[i] - med) / sigma
+                lpog[i] = z * z
+                if abs(z) > cfg.sct_t:
+                    new.append(i)
+            if not new:
+                break
+            apply(new, CODE_SCT)
 
     # isolation
-    ok = usable("isolation")
-    new = []
-    for i in range(m):
-        if not testable("isolation", i):
-            continue
-        if len(_neigh(i, lt, cfg.r_iso, ok)) < cfg.n_iso:
-            new.append(i)
-    for i in new:
-        lflags[i] = CODE_ISOLATION
+    if cfg.enable_isolation:
+        ok = usable("isolation")
+        new = []
+        for i in range(m):
+            if not testable("isolation", i):
+                continue
+            if len(_neigh(i, lt, cfg.r_iso, ok)) < cfg.n_iso:
+                new.append(i)
+        apply(new, CODE_ISOLATION)

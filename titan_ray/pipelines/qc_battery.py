@@ -1,0 +1,364 @@
+"""Driver-checkable flagship battery: the QC pipeline as DuckDB-green rows.
+
+Round-1 verdict item #1: the heart of the engine (seed/metadata/
+plausibility/climatological + the conversation-local checks) had no driver
+verification because the flagship consumes an engine-generated corpus with
+engine-trained scorer models — not SQL-derivable. The split that fixes it:
+
+1. A *scored corpus* parquet is written once per scale factor: the flagship
+   prefix (read -> exact dedup -> scorer) persists (conv_id, turn_idx, role,
+   text, tool, ts, is_keeplist, lang, lang_conf, ppl, qscore). Both sides of
+   the driver's gate read the SAME file — the engine recomputes the scores
+   through the full Ray pipeline and must land on identical rows; the DuckDB
+   oracle expresses every check as ANSI SQL over the stored columns.
+2. The check battery runs in ``conv_mode="parallel"`` (config.py): each
+   conversation-local check's mask is computed from the SAME pre-conv flag
+   state in a single pass, applied first-flag-wins in reference order
+   (titan.r:209-257). That mode is deterministic, partition-invariant and
+   exactly expressible in SQL (self-joins + median/MAD per neighbourhood).
+   The iterative cascade mode remains the flagship default, verified by the
+   serial oracle + planted-label F1 (tests/test_pipeline.py).
+
+Engine/SQL parity invariants the SQL builders rely on (documented, tested):
+- post-dedup rows are unique on (conv_id, turn_idx) for usable/testable
+  rows, so "exclude self" == "exclude equal turn_idx";
+- strlen() in DuckDB is BYTES, matching pc.binary_length;
+- float thresholds are emitted with repr() (round-trip exact).
+
+Reference semantics: titan.r:115-263, argparser_qccodes.r.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import pyarrow as pa
+
+from ..config import QCConfig
+from ..corpus import corpus_path_for_sf
+from ..schema import (
+    CODE_BUDDY,
+    CODE_FGT,
+    CODE_ISOLATION,
+    CODE_SCT,
+    CODE_SCT_DUAL,
+)
+
+SCORES_ROOT = "/tmp/titan_ray_scores"
+SCORES_VERSION = "v2"  # bump when scorer/dedup/corpus semantics change
+
+SCORE_COLS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "is_keeplist", "lang", "lang_conf", "ppl", "qscore",
+]
+
+OUT_COLS = ["conv_id", "turn_idx", "role", "dqcflag", "keep"]
+
+
+def battery_config() -> QCConfig:
+    """The single config both the engine runners and the SQL builders use."""
+    return QCConfig(dedup=True, conv_mode="parallel")
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def scores_dir(sf: float) -> str:
+    return os.path.join(SCORES_ROOT, f"sf{sf:g}")
+
+
+def ensure_scored(sf_dir: str) -> str:
+    """Write (once) the scored-corpus parquet for this scale factor: the
+    flagship prefix read -> dedup -> scorer, narrowed to SCORE_COLS."""
+    import ray.data as rd
+
+    from ..stages.dedup import dedup_exact
+    from ..stages.scorer import Scorer
+
+    sf = _sf_of(sf_dir)
+    out = scores_dir(sf)
+    marker = os.path.join(out, "_SUCCESS")
+    stamp = f"{SCORES_VERSION} sf={sf:g}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    cfg = battery_config()
+    ds = rd.read_parquet(corpus_path_for_sf(sf))
+    ds = dedup_exact(ds)
+    ds = ds.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+    ds = ds.map_batches(lambda b: b.select(SCORE_COLS), batch_format="pyarrow")
+    ds.write_parquet(out)
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
+    return out
+
+
+def _battery_result(sf_dir: str, cfg: QCConfig):
+    """Full flagship pipeline (parallel conv mode) over the raw corpus,
+    projected to the driver-comparable columns."""
+    import ray.data as rd
+
+    from .qc import build_qc_pipeline
+
+    ensure_scored(sf_dir)  # the oracle side reads this file
+    ds = rd.read_parquet(corpus_path_for_sf(_sf_of(sf_dir)))
+    out = build_qc_pipeline(ds, cfg)
+    return out.map_batches(lambda b: b.select(OUT_COLS), batch_format="pyarrow")
+
+
+def qc_transcripts(sf_dir: str):
+    """Per-turn flags/keep from the FULL battery (seed -> metadata -> scorer
+    -> plausibility -> climatological -> dual/fgt/buddy/sct/isolation ->
+    final), single-pass parallel conv mode — DuckDB-oracle-checkable."""
+    return _battery_result(sf_dir, battery_config())
+
+
+def qc_flag_counts(sf_dir: str):
+    """Flag histogram per role — final_decision's summary-counts analog
+    (reference: final_decision.r:12-47)."""
+    from ray.data.aggregate import Count
+
+    ds = _battery_result(sf_dir, battery_config())
+    return ds.groupby(["role", "dqcflag"]).aggregate(Count(alias_name="n_turns"))
+
+
+# the standalone fgt query uses a tighter threshold than the battery's 8.0
+# so the driver row exercises actual flags (same constant feeds its SQL)
+FGT_T_SINGLE = 3.0
+
+
+def _single_check(sf_dir: str, check: str, code: int):
+    """Battery with ONLY `check` enabled among the conv checks; returns the
+    (conv_id, turn_idx) rows that check flags (schema-stable when empty)."""
+    import pandas as pd
+
+    cfg = battery_config()
+    for c in ("dual", "fgt", "buddy", "sct", "isolation"):
+        setattr(cfg, f"enable_{c}", c == check)
+    if check == "fgt":
+        cfg.fgt_t = FGT_T_SINGLE
+    ds = _battery_result(sf_dir, cfg)
+    out = ds.filter(expr=f"dqcflag == {code}").map_batches(
+        lambda b: b.select(["conv_id", "turn_idx"]), batch_format="pyarrow"
+    )
+    df = out.to_pandas()
+    if df.shape[1] == 0:  # zero surviving blocks lose the schema
+        df = pd.DataFrame(
+            {"conv_id": pd.Series(dtype=object), "turn_idx": pd.Series(dtype="int32")}
+        )
+    return df
+
+
+def qc_conv_buddy(sf_dir: str):
+    """Buddy check (code 10; reference buddy.r:97-210), single pass."""
+    return _single_check(sf_dir, "buddy", CODE_BUDDY)
+
+
+def qc_conv_sct(sf_dir: str):
+    """SCT MedianOuterCircle analog (code 1; sct_resistant.r:107-247)."""
+    return _single_check(sf_dir, "sct", CODE_SCT)
+
+
+def qc_conv_dual(sf_dir: str):
+    """Dichotomous-event check (code 3; sct_dual_r.r:112-130)."""
+    return _single_check(sf_dir, "dual", CODE_SCT_DUAL)
+
+
+def qc_conv_fgt(sf_dir: str):
+    """First-guess test vs broadcast role expectation (code 11; fgt.r:267-289)."""
+    return _single_check(sf_dir, "fgt", CODE_FGT)
+
+
+def qc_conv_isolation(sf_dir: str):
+    """Isolation check (code 800; isolation.r:25-28)."""
+    return _single_check(sf_dir, "isolation", CODE_ISOLATION)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL builders (generated from the same QCConfig constants)
+# ---------------------------------------------------------------------------
+
+def _clim_case(cfg: QCConfig) -> str:
+    """(ppl outside per-lang band) as SQL, skipping vacuous ±inf bounds."""
+    arms = []
+    for lng, (lo, hi) in sorted(cfg.clim_bands.items()):
+        if lng == "und":
+            continue
+        parts = []
+        if lo > 0 and not math.isinf(lo):
+            parts.append(f"ppl < {lo!r}")
+        if not math.isinf(hi):
+            parts.append(f"ppl > {hi!r}")
+        arms.append(f"WHEN '{lng}' THEN ({' OR '.join(parts) or 'FALSE'})")
+    # default band = cfg.clim_bands['und'] = (0, inf) -> never flags
+    return "CASE coalesce(lang, 'und') " + " ".join(arms) + " ELSE FALSE END"
+
+
+def _rowwise_case(cfg: QCConfig) -> str:
+    black = "|".join(re.escape(t) for t in cfg.blacklist_terms).replace("'", "''")
+    return (
+        "CASE "
+        f"WHEN text IS NOT NULL AND regexp_matches(text, '{black}') THEN 999 "
+        "WHEN text IS NULL OR conv_id IS NULL OR turn_idx IS NULL OR turn_idx < 0 "
+        f"OR strlen(text) < {cfg.min_chars} OR strlen(text) > {cfg.max_chars} THEN 901 "
+        f"WHEN lang_conf < {cfg.conf_min!r} OR ppl > {cfg.ppl_hard_max!r} THEN 501 "
+        "WHEN is_keeplist THEN 990 "
+        f"WHEN {_clim_case(cfg)} THEN 502 "
+        "ELSE 0 END"
+    )
+
+
+def _fgt_mu_sd(cfg: QCConfig) -> tuple[str, str]:
+    dmu, dsd = 1.9, 0.6  # engine default for unknown roles (config.py fgt_ref)
+    mu = " ".join(
+        f"WHEN '{r}' THEN {ms[0]!r}" for r, ms in sorted(cfg.fgt_ref.items())
+    )
+    sd = " ".join(
+        f"WHEN '{r}' THEN {ms[1]!r}" for r, ms in sorted(cfg.fgt_ref.items())
+    )
+    return (
+        f"CASE coalesce(role, '') {mu} ELSE {dmu!r} END",
+        f"CASE coalesce(role, '') {sd} ELSE {dsd!r} END",
+    )
+
+
+def _base_ctes(cfg: QCConfig, scores_rel: str) -> str:
+    """s/f/u/tgt: scored rows, row-wise flags, usable set, testable set."""
+    return (
+        f"s AS (SELECT * FROM {scores_rel}), "
+        f"f AS (SELECT conv_id, turn_idx, role, lang, qscore, {_rowwise_case(cfg)} AS dqcflag FROM s), "
+        "u AS (SELECT conv_id, turn_idx, qscore, lang FROM f WHERE dqcflag = 0 OR dqcflag = 990), "
+        "tgt AS (SELECT conv_id, turn_idx, role, qscore, lang FROM f WHERE dqcflag = 0)"
+    )
+
+
+def _robust_cte(name: str, r: int, min_cnt: int, cond: str, sigma_min: float) -> str:
+    """Median/MAD robust-z neighbourhood check as three CTEs ending in
+    `{name}` = flagged (conv_id, turn_idx). `cond` may use z and cnt."""
+    pairs = (
+        f"{name}_p AS (SELECT t.conv_id, t.turn_idx, t.qscore AS q, u.qscore AS nq "
+        "FROM tgt t JOIN u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {r})"
+    )
+    med = (
+        f"{name}_m AS (SELECT conv_id, turn_idx, q, median(nq) AS med, count(*) AS cnt "
+        f"FROM {name}_p GROUP BY conv_id, turn_idx, q)"
+    )
+    mad = (
+        f"{name}_d AS (SELECT p.conv_id, p.turn_idx, median(abs(p.nq - m.med)) AS mad "
+        f"FROM {name}_p p JOIN {name}_m m ON m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx "
+        "GROUP BY p.conv_id, p.turn_idx)"
+    )
+    fin = (
+        f"{name} AS (SELECT m.conv_id, m.turn_idx FROM {name}_m m "
+        f"JOIN {name}_d d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx "
+        f"WHERE m.cnt >= {min_cnt} AND ({cond}))"
+    )
+    z = f"((m.q - m.med) / greatest(1.4826 * d.mad, {sigma_min!r}))"
+    return ", ".join([pairs, med, mad, fin]).replace("__Z__", z)
+
+
+def _buddy_cte(cfg: QCConfig) -> str:
+    return _robust_cte(
+        "chk_buddy", cfg.r_buddy, cfg.buddy_min,
+        f"__Z__ > {cfg.buddy_tpos!r} OR __Z__ < -{cfg.buddy_tneg!r}", cfg.sigma_min,
+    )
+
+
+def _sct_cte(cfg: QCConfig) -> str:
+    return _robust_cte(
+        "chk_sct", cfg.r_sct, cfg.sct_min,
+        f"abs(__Z__) > {cfg.sct_t!r}", cfg.sigma_min,
+    )
+
+
+def _dual_cte(cfg: QCConfig) -> str:
+    return (
+        "chk_dual_p AS (SELECT t.conv_id, t.turn_idx, "
+        "(t.lang IS NULL OR t.lang <> 'en') AS ev, "
+        "CAST(u.lang IS NULL OR u.lang <> 'en' AS INT) AS nev "
+        "FROM tgt t JOIN u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {cfg.r_dual}), "
+        "chk_dual AS (SELECT conv_id, turn_idx FROM chk_dual_p "
+        f"GROUP BY conv_id, turn_idx, ev HAVING count(*) >= {cfg.dual_min} "
+        f"AND ((ev AND avg(nev) < {1.0 - cfg.dual_thr!r}) "
+        f"OR (NOT ev AND avg(nev) > {cfg.dual_thr!r})))"
+    )
+
+
+def _fgt_cte(cfg: QCConfig, t: float | None = None) -> str:
+    mu, sd = _fgt_mu_sd(cfg)
+    t = cfg.fgt_t if t is None else t
+    return (
+        "chk_fgt AS (SELECT conv_id, turn_idx FROM tgt "
+        f"WHERE abs(qscore - ({mu})) > {t!r} * ({sd}))"
+    )
+
+
+def _iso_cte(cfg: QCConfig) -> str:
+    return (
+        "chk_iso AS (SELECT t.conv_id, t.turn_idx FROM tgt t "
+        "LEFT JOIN u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {cfg.r_iso} "
+        f"GROUP BY t.conv_id, t.turn_idx HAVING count(u.conv_id) < {cfg.n_iso})"
+    )
+
+
+def battery_sql(sf: float = 0.01) -> dict[str, str]:
+    """DuckDB oracle SQL for every battery query, over the scored-corpus
+    parquet (written by ensure_scored before the engine side runs)."""
+    cfg = battery_config()
+    rel = f"read_parquet('{scores_dir(sf)}/*.parquet')"
+    base = _base_ctes(cfg, rel)
+    all_ctes = ", ".join(
+        [base, _dual_cte(cfg), _fgt_cte(cfg), _buddy_cte(cfg), _sct_cte(cfg), _iso_cte(cfg)]
+    )
+    # first-flag-wins in reference order (titan.r:209-257):
+    # rowwise -> dual(3) -> fgt(11) -> buddy(10) -> sct(1) -> isolation(800)
+    final = (
+        f"WITH {all_ctes}, res AS ("
+        "SELECT f.conv_id, f.turn_idx, f.role, "
+        "CASE WHEN f.dqcflag <> 0 THEN f.dqcflag "
+        "WHEN cd.turn_idx IS NOT NULL THEN 3 "
+        "WHEN cf.turn_idx IS NOT NULL THEN 11 "
+        "WHEN cb.turn_idx IS NOT NULL THEN 10 "
+        "WHEN cs.turn_idx IS NOT NULL THEN 1 "
+        "WHEN ci.turn_idx IS NOT NULL THEN 800 "
+        "ELSE 0 END AS dqcflag "
+        "FROM f "
+        "LEFT JOIN chk_dual cd ON cd.conv_id = f.conv_id AND cd.turn_idx = f.turn_idx "
+        "LEFT JOIN chk_fgt cf ON cf.conv_id = f.conv_id AND cf.turn_idx = f.turn_idx "
+        "LEFT JOIN chk_buddy cb ON cb.conv_id = f.conv_id AND cb.turn_idx = f.turn_idx "
+        "LEFT JOIN chk_sct cs ON cs.conv_id = f.conv_id AND cs.turn_idx = f.turn_idx "
+        "LEFT JOIN chk_iso ci ON ci.conv_id = f.conv_id AND ci.turn_idx = f.turn_idx)"
+    )
+    single = {
+        "qc_conv_dual": _dual_cte(cfg) + " SELECT conv_id, turn_idx FROM chk_dual",
+        "qc_conv_fgt": _fgt_cte(cfg, FGT_T_SINGLE) + " SELECT conv_id, turn_idx FROM chk_fgt",
+        "qc_conv_buddy": _buddy_cte(cfg) + " SELECT conv_id, turn_idx FROM chk_buddy",
+        "qc_conv_sct": _sct_cte(cfg) + " SELECT conv_id, turn_idx FROM chk_sct",
+        "qc_conv_isolation": _iso_cte(cfg) + " SELECT conv_id, turn_idx FROM chk_iso",
+    }
+    out = {
+        "qc_transcripts": (
+            final + " SELECT conv_id, turn_idx, role, dqcflag, "
+            "(dqcflag = 0 OR dqcflag = 990) AS keep FROM res"
+        ),
+        "qc_flag_counts": (
+            final + " SELECT role, dqcflag, count(*) AS n_turns "
+            "FROM res GROUP BY role, dqcflag"
+        ),
+    }
+    for name, tail in single.items():
+        out[name] = f"WITH {base}, {tail}"
+    return out

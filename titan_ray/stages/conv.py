@@ -57,7 +57,7 @@ from ..schema import (
     CODE_SCT_DUAL,
     CODE_SCT_FG,
 )
-from .flags import testable_mask, usable_mask
+from .flags import UNFLAGGED, testable_mask, usable_mask
 
 NULL_CONV_KEY = "__null__"
 
@@ -233,15 +233,30 @@ def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
 
 def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog):
     """The check battery over sorted, conv-masked arrays (shared by the arrow
-    fast path and the pandas wrapper)."""
+    fast path and the pandas wrapper).
+
+    conv_mode="cascade": reference semantics — live flag state, iteration.
+    conv_mode="parallel": every mask is computed from the SAME pre-conv
+    state and applied first-flag-wins in reference order, single pass —
+    the SQL-expressible mode the driver's DuckDB oracle checks."""
     n = len(flags)
     dup = _dup_multiplicity(grp, t)
+    parallel = cfg.conv_mode == "parallel"
+    # in cascade mode `state` IS `flags` (live); in parallel it is a frozen
+    # snapshot of the pre-conv flags
+    state = flags.copy() if parallel else flags
 
     def testable(check: str) -> np.ndarray:
-        return testable_mask(flags, cfg.doit_for(check, roles)) & core
+        return testable_mask(state, cfg.doit_for(check, roles)) & core
 
     def usable(check: str) -> np.ndarray:
-        return usable_mask(flags, cfg.doit_for(check, roles))
+        return usable_mask(state, cfg.doit_for(check, roles))
+
+    def apply(mask: np.ndarray, code: int) -> np.ndarray:
+        """First-flag-wins application; returns the rows newly flagged."""
+        hit = mask & (flags == UNFLAGGED)
+        flags[hit] = code
+        return hit
 
     # ---- dual_fg (code 4, optional; reference: sct_fg_dual_r.r:33-39 —
     # dichotomous check against an external event prior) ----
@@ -258,67 +273,71 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         # sides with the prior
         disagree = (own != prior_event) & (np.abs(frac - cfg.dual_fg_prior) < (1.0 - cfg.dual_thr))
         mask = testable("dual_fg") & (cnt >= cfg.dual_min) & disagree
-        flags[mask] = CODE_DUAL_FG
+        apply(mask, CODE_DUAL_FG)
 
     # ---- dual (code 3) ----
-    m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual, dup)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        cnt = np.sum(~np.isnan(m), axis=1)
-        frac = np.nanmean(m, axis=1)
-    frac = np.nan_to_num(frac)
-    own = event > 0.5
-    disagree = np.where(own, frac < 1.0 - cfg.dual_thr, frac > cfg.dual_thr)
-    mask = testable("sct_dual") & (cnt >= cfg.dual_min) & disagree
-    flags[mask] = CODE_SCT_DUAL
+    if cfg.enable_dual:
+        m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual, dup)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            cnt = np.sum(~np.isnan(m), axis=1)
+            frac = np.nanmean(m, axis=1)
+        frac = np.nan_to_num(frac)
+        own = event > 0.5
+        disagree = np.where(own, frac < 1.0 - cfg.dual_thr, frac > cfg.dual_thr)
+        mask = testable("sct_dual") & (cnt >= cfg.dual_min) & disagree
+        apply(mask, CODE_SCT_DUAL)
 
     # ---- fgt (code 11), ensemble-voted (reference: fgt.r:335-343) ----
-    ref = cfg.fgt_ref
-    mu = np.asarray([ref.get(r, (1.9, 0.6))[0] for r in roles])
-    sd = np.asarray([ref.get(r, (1.9, 0.6))[1] for r in roles])
-    dev = np.abs(q - mu)
-    if cfg.fgt_ensemble <= 1:
-        votes = (dev > cfg.fgt_t * sd).astype(np.int32)
-        needed = 1
-    else:
-        # deterministic member thresholds spread ±10% around fgt_t
-        taus = cfg.fgt_t * (1.0 + 0.1 * np.linspace(-1, 1, cfg.fgt_ensemble))
-        votes = sum((dev > tau * sd).astype(np.int32) for tau in taus)
-        needed = (cfg.fgt_ensemble + 1) // 2
-    mask = testable("fgt") & (votes >= needed)
-    flags[mask] = CODE_FGT
+    if cfg.enable_fgt:
+        ref = cfg.fgt_ref
+        mu = np.asarray([ref.get(r, (1.9, 0.6))[0] for r in roles])
+        sd = np.asarray([ref.get(r, (1.9, 0.6))[1] for r in roles])
+        dev = np.abs(q - mu)
+        if cfg.fgt_ensemble <= 1:
+            votes = (dev > cfg.fgt_t * sd).astype(np.int32)
+            needed = 1
+        else:
+            # deterministic member thresholds spread ±10% around fgt_t
+            taus = cfg.fgt_t * (1.0 + 0.1 * np.linspace(-1, 1, cfg.fgt_ensemble))
+            votes = sum((dev > tau * sd).astype(np.int32) for tau in taus)
+            needed = (cfg.fgt_ensemble + 1) // 2
+        mask = testable("fgt") & (votes >= needed)
+        apply(mask, CODE_FGT)
 
     # ---- buddy (code 10), iterate to convergence; priority-restricted
     # first pass (reference: buddy.r:64,112-115,142 — round 1 compares a row
     # only against buddies of >= its own priority) ----
-    prio = (
-        np.asarray([cfg.prio.get(r, 0) for r in roles], dtype=np.int32)
-        if cfg.prio
-        else None
-    )
-    # convergence is tracked PER WINDOW (grp): a window with no new flags in
-    # a pass is frozen — otherwise iteration count (and thus the pass-indexed
-    # prio rule) would depend on which windows share a bucket, making results
-    # partitioning-dependent; the serial oracle iterates per window.
-    n_grps = int(grp.max()) + 1 if n else 0
-    active = np.ones(n_grps, dtype=bool)
-    for it in range(cfg.buddy_iters):
-        ok = usable("buddy")
-        m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy, dup)
-        if it == 0 and prio is not None:
-            pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), _pos_radius(cfg.r_buddy, dup, n))
-            m = np.where(pm >= prio[:, None], m, np.nan)
-        z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
-        mask = (
-            testable("buddy") & active[grp] & (cnt >= cfg.buddy_min)
-            & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
+    if cfg.enable_buddy:
+        prio = (
+            np.asarray([cfg.prio.get(r, 0) for r in roles], dtype=np.int32)
+            if cfg.prio
+            else None
         )
-        if not mask.any():
-            break
-        flags[mask] = CODE_BUDDY
-        had = np.zeros(n_grps, dtype=bool)
-        had[grp[mask]] = True
-        active &= had
+        # convergence is tracked PER WINDOW (grp): a window with no new flags
+        # in a pass is frozen — otherwise iteration count (and thus the
+        # pass-indexed prio rule) would depend on which windows share a
+        # bucket, making results partitioning-dependent; the serial oracle
+        # iterates per window. Parallel mode = exactly one pass.
+        n_grps = int(grp.max()) + 1 if n else 0
+        active = np.ones(n_grps, dtype=bool)
+        for it in range(1 if parallel else cfg.buddy_iters):
+            ok = usable("buddy")
+            m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy, dup)
+            if it == 0 and prio is not None:
+                pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), _pos_radius(cfg.r_buddy, dup, n))
+                m = np.where(pm >= prio[:, None], m, np.nan)
+            z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
+            mask = (
+                testable("buddy") & active[grp] & (cnt >= cfg.buddy_min)
+                & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
+            )
+            if not mask.any():
+                break
+            hit = apply(mask, CODE_BUDDY)
+            had = np.zeros(n_grps, dtype=bool)
+            had[grp[hit]] = True
+            active &= had
 
     # ---- sct_fg (code 2, optional; reference: sct_fg_resistant.r:136-163 —
     # SCT with the external field as background): deviation from the
@@ -327,7 +346,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         mu = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[0] for r in roles])
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
-        for _ in range(cfg.sct_iters):
+        for _ in range(1 if parallel else cfg.sct_iters):
             m = _neighbour_matrix(q, usable("sct_fg"), grp, t, cfg.r_sct, dup)
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", category=RuntimeWarning)
@@ -339,32 +358,34 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
             mask = testable("sct_fg") & active[grp] & (cnt >= cfg.sct_min) & (np.abs(z) > cfg.sct_fg_t)
             if not mask.any():
                 break
-            flags[mask] = CODE_SCT_FG
+            hit = apply(mask, CODE_SCT_FG)
             had = np.zeros(n_grps, dtype=bool)
-            had[grp[mask]] = True
+            had[grp[hit]] = True
             active &= had
 
     # ---- sct (code 1), iterate; keep sctpog = z² ----
-    n_grps = int(grp.max()) + 1 if n else 0
-    active = np.ones(n_grps, dtype=bool)
-    for _ in range(cfg.sct_iters):
-        m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct, dup)
-        z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
-        judged = testable("sct") & active[grp] & (cnt >= cfg.sct_min)
-        sctpog = np.where(judged, z * z, sctpog)
-        mask = judged & (np.abs(z) > cfg.sct_t)
-        if not mask.any():
-            break
-        flags[mask] = CODE_SCT
-        had = np.zeros(n_grps, dtype=bool)
-        had[grp[mask]] = True
-        active &= had
+    if cfg.enable_sct:
+        n_grps = int(grp.max()) + 1 if n else 0
+        active = np.ones(n_grps, dtype=bool)
+        for _ in range(1 if parallel else cfg.sct_iters):
+            m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct, dup)
+            z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
+            judged = testable("sct") & active[grp] & (cnt >= cfg.sct_min)
+            sctpog = np.where(judged, z * z, sctpog)
+            mask = judged & (np.abs(z) > cfg.sct_t)
+            if not mask.any():
+                break
+            hit = apply(mask, CODE_SCT)
+            had = np.zeros(n_grps, dtype=bool)
+            had[grp[hit]] = True
+            active &= had
 
     # ---- isolation (code 800) ----
-    m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso, dup)
-    cnt = np.sum(~np.isnan(m), axis=1)
-    mask = testable("isolation") & (cnt < cfg.n_iso)
-    flags[mask] = CODE_ISOLATION
+    if cfg.enable_isolation:
+        m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso, dup)
+        cnt = np.sum(~np.isnan(m), axis=1)
+        mask = testable("isolation") & (cnt < cfg.n_iso)
+        apply(mask, CODE_ISOLATION)
 
     return flags, sctpog
 
