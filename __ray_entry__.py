@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qc_conv_dual": qc_battery.qc_conv_dual,
         "qc_conv_fgt": qc_battery.qc_conv_fgt,
         "qc_conv_isolation": qc_battery.qc_conv_isolation,
+        "qc_positional_lists": qc_battery.qc_positional_lists,
         # --- flagship in cascade mode (iterative convergence — non-SQL;
         # verified by the serial oracle + planted-label F1 in pytest) ---
         "qc_full_cascade": _qc_dataset,
@@ -102,8 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_allpairs": neardup.ngram_jaccard_allpairs,
         "simhash_docs": neardup.simhash_docs,
         "minhash_dedup_docs": neardup.minhash_dedup_docs,
-        # --- multimodal plumbing (rows-only: binary payload decode stub) ---
-        "media_features": lambda sf_dir: multimodal.media_features(),
+        # --- multimodal plumbing (rows-only: file-backed binary payloads
+        # through the real read -> actor-pool decode path; codec = stub) ---
+        "media_features": multimodal.media_features_query,
     }
 
 
@@ -115,7 +117,7 @@ def _scrub_sql_expr(col: str = "text") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    tok = _TOKEN_PATTERN.replace("\\", "\\")  # literal; duckdb strings keep backslashes
+    tok = _TOKEN_PATTERN  # duckdb single-quoted strings keep backslashes literal
     cos = (
         "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
         "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "

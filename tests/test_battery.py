@@ -118,3 +118,93 @@ def test_parallel_vs_cascade_differ_only_downstream(ray_session):
     # rowwise codes identical between modes
     ra, rb = np.isin(a, [999, 901, 501, 502, 990]), np.isin(b, [999, 901, 501, 502, 990])
     assert (a[ra] == b[ra]).all() and (ra == rb).all()
+
+
+def _kernel_df(q, lang=None):
+    n = len(q)
+    return pd.DataFrame(
+        {
+            "conv_key": ["c1#0"] * n,
+            "conv_id": ["c1"] * n,
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "role": ["user"] * n,
+            "lang": lang if lang is not None else ["en"] * n,
+            "qscore": np.asarray(q, dtype=np.float64),
+            "dqcflag": np.full(n, -1, dtype=np.int32),
+            "is_core": [True] * n,
+        }
+    )
+
+
+def test_sct_trend_background_catches_drift():
+    """A linearly drifting conversation: one off-trend turn is invisible to
+    the flat median background but flagged by the Theil-Sen trend variant
+    (reference argparser_sct.r:13-16 VerticalProfile/TheilSen)."""
+    from titan_ray.stages.conv import run_conv_checks
+
+    q = 0.2 * np.arange(24)
+    q[10] += 1.5  # off the local trend, inside the global spread
+    base = dict(
+        dedup=False, enable_dual=False, enable_fgt=False, enable_buddy=False,
+        enable_isolation=False,
+    )
+    med = run_conv_checks(_kernel_df(q), QCConfig(**base, sct_background="median"))
+    trend = run_conv_checks(_kernel_df(q), QCConfig(**base, sct_background="trend"))
+    med = med.sort_values("turn_idx").reset_index(drop=True)
+    trend = trend.sort_values("turn_idx").reset_index(drop=True)
+    assert (med["dqcflag"] == -1).all()          # median background misses it
+    assert trend.loc[10, "dqcflag"] == 1          # trend flags exactly it
+    assert (trend.drop(index=10)["dqcflag"] == -1).all()
+
+
+def test_buddy_admissible_band_gates_flags():
+    """Admissible value band (buddy.r:69-83): a z-outlier inside the band is
+    NOT flaggable; outside it is."""
+    from titan_ray.stages.conv import run_conv_checks
+
+    q = np.full(20, 2.0)
+    q[7] = 3.6  # z = 1.6/0.35 = 4.57 > 3
+    base = dict(
+        dedup=False, enable_dual=False, enable_fgt=False, enable_sct=False,
+        enable_isolation=False,
+    )
+    plain = run_conv_checks(_kernel_df(q), QCConfig(**base)).sort_values("turn_idx")
+    banded = run_conv_checks(
+        _kernel_df(q), QCConfig(**base, buddy_adm_delta=2.0)
+    ).sort_values("turn_idx")
+    assert plain.reset_index(drop=True).loc[7, "dqcflag"] == 10
+    assert (banded["dqcflag"] == -1).all()       # |3.6-2.0| < delta 2.0 -> inadmissible
+
+
+def test_buddy_boxcox_formula():
+    """boxcox matches the reference formulas (statistics_util.r:101-107)."""
+    from titan_ray.functions.scalars import boxcox
+
+    x = np.array([0.25, 1.0, 4.0])
+    assert np.allclose(boxcox(x, 0.0), np.log(x))
+    assert np.allclose(boxcox(x, 0.5), (np.sqrt(x) - 1.0) / 0.5)
+
+
+def test_multitest_trend_boxcox_band_parity(ray_session, small_corpus):
+    """Engine == serial oracle with every new knob on at once: multi-test
+    vectors for buddy+sct, Theil-Sen background, Box-Cox, admissible band —
+    and invariance to block count."""
+    import ray.data as rd
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    cfg = QCConfig(
+        dedup=True,
+        buddy_tests=((4, 2.5, 2.5, 2), (8, 3.0, 3.0, 3)),
+        sct_tests=((6, 4.0, 3), (12, 3.5, 5)),
+        sct_background="trend",
+        buddy_boxcox=0.5,
+        buddy_adm_delta=0.2,
+        buddy_adm_fact=0.1,
+    )
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    for blocks in (5, 17):
+        ds = rd.from_arrow(small_corpus).repartition(blocks)
+        eng = build_qc_pipeline(ds, cfg).to_pandas().sort_values(KEY, na_position="last").reset_index(drop=True)
+        assert len(eng) == len(ora)
+        assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all(), blocks

@@ -64,10 +64,31 @@ class QCConfig:
     buddy_min: int = 3         # min usable neighbours to judge
     buddy_iters: int = 5       # convergence passes (reference i.buddy=10 cap)
     sigma_min: float = 0.35    # MAD floor for the z denominator
+    # multi-test vectors (reference buddy.r:32-52: N sub-tests per check,
+    # each with its own radius/thresholds, run IN ORDER inside every
+    # convergence pass — flags update between sub-tests). Empty = use the
+    # scalar params above as the single test.
+    buddy_tests: tuple[tuple[int, float, float, int], ...] = ()  # (r, tpos, tneg, min)
+    # Box-Cox transform of qscore before buddy deviations (reference
+    # buddy.r:87-93, statistics_util.r:101-107; lambda=0.5 default there)
+    buddy_boxcox: float | None = None
+    # admissible deviation band in VALUE space (reference buddy.r:69-83):
+    # a row is flaggable only if its (transformed) qscore falls OUTSIDE
+    # [max(bg - max(delta, fact*bg), 0), bg + max(delta, fact*bg)] around
+    # the local background — the RR-style asymmetric clamped-at-0 band.
+    buddy_adm_delta: float | None = None
+    buddy_adm_fact: float = 0.0
     r_sct: int = 12
     sct_t: float = 3.5
     sct_min: int = 5
     sct_iters: int = 5
+    sct_tests: tuple[tuple[int, float, int], ...] = ()  # (r, t, min)
+    # SCT background (reference argparser_sct.r:13-16 background_elab_type):
+    # "median" = MedianOuterCircle analog; "trend" = Theil-Sen robust linear
+    # fit of qscore vs turn_idx over the neighbourhood (VerticalProfile/
+    # TheilSen analog) — catches drifting conversations the flat median
+    # background misses.
+    sct_background: str = "median"
     r_dual: int = 8
     dual_thr: float = 0.75     # required agreeing-neighbour fraction
     dual_min: int = 4
@@ -122,6 +143,11 @@ class QCConfig:
     # ---- lists / scrub ----
     keeplist_col: str | None = "is_keeplist"
     blacklist_terms: tuple[str, ...] = ("BLOCKLISTED_TOKEN", "DO_NOT_TRAIN")
+    # positionally-keyed lists (reference read_data_to_check.r:99-119 —
+    # exact lon/lat epsilon-join): broadcast (conv_id, turn_idx) sets;
+    # matching rows get 999 / 990 at seed time
+    positional_blacklist: tuple[tuple[str, int], ...] = ()
+    positional_keeplist: tuple[tuple[str, int], ...] = ()
 
     # ---- dedup at read (reference: read_data_to_check.r:121-143, opt-in) ----
     dedup: bool = False

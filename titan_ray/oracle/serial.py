@@ -72,16 +72,27 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
     n = len(df)
     flags = np.full(n, UNFLAGGED, dtype=np.int32)
 
-    # ---- seeding: blacklist then keeplist ----
+    # ---- seeding: blacklist (terms + positions) then keeplist ----
     black_re = re.compile("|".join(re.escape(t) for t in cfg.blacklist_terms)) if cfg.blacklist_terms else None
+    black_pos = set(cfg.positional_blacklist)
+    keep_pos = set(cfg.positional_keeplist)
+
+    def _pos(i):
+        c = df["conv_id"].iloc[i]
+        return (c, int(df["turn_idx"].iloc[i])) if isinstance(c, str) else None
+
     for i in range(n):
         t = df["text"].iloc[i]
-        if black_re is not None and isinstance(t, str) and black_re.search(t):
+        if (black_re is not None and isinstance(t, str) and black_re.search(t)) or (
+            black_pos and _pos(i) in black_pos
+        ):
             flags[i] = CODE_BLACKLIST
-    if cfg.keeplist_col and cfg.keeplist_col in df.columns:
-        for i in range(n):
-            if flags[i] == UNFLAGGED and bool(df[cfg.keeplist_col].iloc[i]):
-                flags[i] = CODE_KEEP
+    for i in range(n):
+        if flags[i] != UNFLAGGED:
+            continue
+        kl = bool(df[cfg.keeplist_col].iloc[i]) if cfg.keeplist_col and cfg.keeplist_col in df.columns else False
+        if kl or (keep_pos and _pos(i) in keep_pos):
+            flags[i] = CODE_KEEP
 
     # ---- metadata (may overwrite 990) ----
     for i in range(n):
@@ -256,29 +267,44 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
                 new.append(i)
         apply(new, CODE_FGT)
 
-    # buddy (iterate, two-phase per pass; priority-restricted first pass)
+    # buddy (iterate, multi-test per pass; priority-restricted first pass;
+    # optional Box-Cox + admissible value band)
     if cfg.enable_buddy:
+        from ..functions.scalars import boxcox
+
+        bq = boxcox(lq, cfg.buddy_boxcox) if cfg.buddy_boxcox is not None else lq
+        btests = cfg.buddy_tests or ((cfg.r_buddy, cfg.buddy_tpos, cfg.buddy_tneg, cfg.buddy_min),)
         for it in range(1 if parallel else cfg.buddy_iters):
-            ok = usable("buddy")
-            new = []
-            for i in range(m):
-                if not testable("buddy", i):
-                    continue
-                nb = _neigh(i, lt, cfg.r_buddy, ok)
-                if it == 0 and cfg.prio:
-                    my_p = cfg.prio.get(lroles[i], 0)
-                    nb = [j for j in nb if cfg.prio.get(lroles[j], 0) >= my_p]
-                if len(nb) < cfg.buddy_min:
-                    continue
-                med = float(np.median(lq[nb]))
-                mad = float(np.median(np.abs(lq[nb] - med)))
-                sigma = max(1.4826 * mad, cfg.sigma_min)
-                z = (lq[i] - med) / sigma
-                if z > cfg.buddy_tpos or z < -cfg.buddy_tneg:
+            any_new = False
+            for (br, btpos, btneg, bmin) in btests:
+                ok = usable("buddy")
+                new = []
+                for i in range(m):
+                    if not testable("buddy", i):
+                        continue
+                    nb = _neigh(i, lt, br, ok)
+                    if it == 0 and cfg.prio:
+                        my_p = cfg.prio.get(lroles[i], 0)
+                        nb = [j for j in nb if cfg.prio.get(lroles[j], 0) >= my_p]
+                    if len(nb) < bmin:
+                        continue
+                    med = float(np.median(bq[nb]))
+                    mad = float(np.median(np.abs(bq[nb] - med)))
+                    sigma = max(1.4826 * mad, cfg.sigma_min)
+                    z = (bq[i] - med) / sigma
+                    if not (z > btpos or z < -btneg):
+                        continue
+                    if cfg.buddy_adm_delta is not None:
+                        half = max(cfg.buddy_adm_delta, cfg.buddy_adm_fact * abs(med))
+                        lo, hi = max(med - half, 0.0), med + half
+                        if lo <= bq[i] <= hi:
+                            continue
                     new.append(i)
-            if not new:
+                if new:
+                    any_new = True
+                    apply(new, CODE_BUDDY)
+            if not any_new:
                 break
-            apply(new, CODE_BUDDY)
 
     # sct_fg (code 2, optional): external centre, local robust spread
     if cfg.enable_sct_fg:
@@ -301,27 +327,45 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
                 break
             apply(new, CODE_SCT_FG)
 
-    # sct (iterate; sctpog = z^2)
+    # sct (iterate, multi-test per pass; median or Theil-Sen trend
+    # background; sctpog = z^2)
     if cfg.enable_sct:
+        stests = cfg.sct_tests or ((cfg.r_sct, cfg.sct_t, cfg.sct_min),)
         for _ in range(1 if parallel else cfg.sct_iters):
-            ok = usable("sct")
-            new = []
-            for i in range(m):
-                if not testable("sct", i):
-                    continue
-                nb = _neigh(i, lt, cfg.r_sct, ok)
-                if len(nb) < cfg.sct_min:
-                    continue
-                med = float(np.median(lq[nb]))
-                mad = float(np.median(np.abs(lq[nb] - med)))
-                sigma = max(1.4826 * mad, cfg.sigma_min)
-                z = (lq[i] - med) / sigma
-                lpog[i] = z * z
-                if abs(z) > cfg.sct_t:
-                    new.append(i)
-            if not new:
+            any_new = False
+            for (sr, st, smin) in stests:
+                ok = usable("sct")
+                new = []
+                for i in range(m):
+                    if not testable("sct", i):
+                        continue
+                    nb = _neigh(i, lt, sr, ok)
+                    if len(nb) < smin:
+                        continue
+                    if cfg.sct_background == "trend":
+                        dts = lt[nb] - lt[i]
+                        slopes = [
+                            (lq[nb[a]] - lq[nb[b]]) / (dts[a] - dts[b])
+                            for a in range(len(nb)) for b in range(a + 1, len(nb))
+                            if dts[a] != dts[b]
+                        ]
+                        slope = float(np.median(slopes)) if slopes else 0.0
+                        bg = float(np.median(lq[nb] - slope * dts))
+                        resid = lq[nb] - (bg + slope * dts)
+                        mad = float(np.median(np.abs(resid)))
+                    else:
+                        bg = float(np.median(lq[nb]))
+                        mad = float(np.median(np.abs(lq[nb] - bg)))
+                    sigma = max(1.4826 * mad, cfg.sigma_min)
+                    z = (lq[i] - bg) / sigma
+                    lpog[i] = z * z
+                    if abs(z) > st:
+                        new.append(i)
+                if new:
+                    any_new = True
+                    apply(new, CODE_SCT)
+            if not any_new:
                 break
-            apply(new, CODE_SCT)
 
     # isolation
     if cfg.enable_isolation:

@@ -64,6 +64,9 @@ def events_buddy(sf_dir: str, num_buckets: int = 64):
         )
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # typed empty => no schema-mismatch RefBundle warnings
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "user_id": pd.Series(dtype=np.int64)})
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
         vm = df["vm"].to_numpy()
         uid = df["user_id"].to_numpy()
@@ -159,6 +162,9 @@ def events_sessions(sf_dir: str, num_buckets: int = 64):
         )
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("user_id", "session_id", "n_events", "sum_vm")})
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
         ts = df["ts"].astype("int64").to_numpy()
         uid = df["user_id"].to_numpy()

@@ -184,6 +184,40 @@ def qc_conv_isolation(sf_dir: str):
     return _single_check(sf_dir, "isolation", CODE_ISOLATION)
 
 
+# fixed positional lists for the driver query (conversations c1..c8 exist at
+# every scale factor; a position absent from the corpus simply matches no row)
+POSITIONAL_BLACK = tuple((f"c{i:08d}", 3) for i in range(1, 9))
+POSITIONAL_KEEP = tuple((f"c{i:08d}", 4) for i in range(1, 9))
+
+
+def positional_config() -> QCConfig:
+    cfg = battery_config()
+    cfg.positional_blacklist = POSITIONAL_BLACK
+    cfg.positional_keeplist = POSITIONAL_KEEP
+    for c in ("dual", "fgt", "buddy", "sct", "isolation"):
+        setattr(cfg, f"enable_{c}", False)
+    return cfg
+
+
+def qc_positional_lists(sf_dir: str):
+    """Positionally-keyed black/keep lists (reference
+    read_data_to_check.r:99-119): broadcast (conv_id, turn_idx) sets seed
+    codes 999/990 — returns every seeded row (term + positional)."""
+    import pandas as pd
+
+    ds = _battery_result(sf_dir, positional_config())
+    out = ds.filter(expr="dqcflag == 999 or dqcflag == 990").map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "dqcflag"]), batch_format="pyarrow"
+    )
+    df = out.to_pandas()
+    if df.shape[1] == 0:
+        df = pd.DataFrame(
+            {"conv_id": pd.Series(dtype=object), "turn_idx": pd.Series(dtype="int32"),
+             "dqcflag": pd.Series(dtype="int32")}
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL builders (generated from the same QCConfig constants)
 # ---------------------------------------------------------------------------
@@ -204,15 +238,27 @@ def _clim_case(cfg: QCConfig) -> str:
     return "CASE coalesce(lang, 'und') " + " ".join(arms) + " ELSE FALSE END"
 
 
+def _pos_in(positions) -> str:
+    vals = ", ".join(f"'{c}#{t}'" for c, t in positions)
+    # NULL conv_id -> concat NULL -> never IN (matches engine semantics)
+    return f"concat(conv_id, '#', CAST(turn_idx AS VARCHAR)) IN ({vals})"
+
+
 def _rowwise_case(cfg: QCConfig) -> str:
     black = "|".join(re.escape(t) for t in cfg.blacklist_terms).replace("'", "''")
+    black_arm = f"(text IS NOT NULL AND regexp_matches(text, '{black}'))"
+    if cfg.positional_blacklist:
+        black_arm += f" OR {_pos_in(cfg.positional_blacklist)}"
+    keep_arm = "is_keeplist"
+    if cfg.positional_keeplist:
+        keep_arm += f" OR {_pos_in(cfg.positional_keeplist)}"
     return (
         "CASE "
-        f"WHEN text IS NOT NULL AND regexp_matches(text, '{black}') THEN 999 "
+        f"WHEN {black_arm} THEN 999 "
         "WHEN text IS NULL OR conv_id IS NULL OR turn_idx IS NULL OR turn_idx < 0 "
         f"OR strlen(text) < {cfg.min_chars} OR strlen(text) > {cfg.max_chars} THEN 901 "
         f"WHEN lang_conf < {cfg.conf_min!r} OR ppl > {cfg.ppl_hard_max!r} THEN 501 "
-        "WHEN is_keeplist THEN 990 "
+        f"WHEN {keep_arm} THEN 990 "
         f"WHEN {_clim_case(cfg)} THEN 502 "
         "ELSE 0 END"
     )
@@ -361,4 +407,9 @@ def battery_sql(sf: float = 0.01) -> dict[str, str]:
     }
     for name, tail in single.items():
         out[name] = f"WITH {base}, {tail}"
+    pos_base = _base_ctes(positional_config(), rel)
+    out["qc_positional_lists"] = (
+        f"WITH {pos_base} SELECT conv_id, turn_idx, dqcflag FROM f "
+        "WHERE dqcflag = 999 OR dqcflag = 990"
+    )
     return out

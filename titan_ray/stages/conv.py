@@ -170,8 +170,8 @@ def _neighbour_matrix(
     return m
 
 
-def _robust_z(q: np.ndarray, m: np.ndarray, sigma_min: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(z, count, sigma) of q vs the neighbour matrix (median/MAD)."""
+def _robust_z(q: np.ndarray, m: np.ndarray, sigma_min: float) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(z, count, sigma, median) of q vs the neighbour matrix (median/MAD)."""
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", category=RuntimeWarning)
         cnt = np.sum(~np.isnan(m), axis=1)
@@ -179,7 +179,42 @@ def _robust_z(q: np.ndarray, m: np.ndarray, sigma_min: float) -> tuple[np.ndarra
         mad = np.nanmedian(np.abs(m - med[:, None]), axis=1)
     sigma = np.maximum(1.4826 * mad, sigma_min)
     z = np.where(cnt > 0, (q - med) / sigma, 0.0)
-    return np.nan_to_num(z), cnt, sigma
+    return np.nan_to_num(z), cnt, sigma, med
+
+
+def _trend_z(q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int,
+             dup: int, sigma_min: float) -> tuple[np.ndarray, np.ndarray]:
+    """(z, count) vs a Theil-Sen local-trend background (reference
+    argparser_sct.r:13-16 VerticalProfile/TheilSen analogs): per row, fit a
+    robust line q ~ turn_idx over the usable neighbours (median of pairwise
+    slopes, median intercept), normalize the leave-one-out deviation by the
+    MAD of the neighbour residuals. ~ (2R+1 choose 2) slope columns per row
+    — bounded by the salting window, vectorized."""
+    R = _pos_radius(r, dup, len(q))
+    vals = np.where(ok, q, np.nan)
+    m = _sliding(vals, R).copy()
+    m[:, R] = np.nan
+    gm = _sliding(grp.astype(np.float64), R)
+    tm = _sliding(t.astype(np.float64), R)
+    bad = (gm != grp[:, None]) | (np.abs(tm - t[:, None]) > r)
+    m[bad] = np.nan
+    dt = tm - t[:, None]
+    dt = np.where(np.isnan(m), np.nan, dt)
+    cols = m.shape[1]
+    ia, ib = np.triu_indices(cols, k=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        ddt = dt[:, ia] - dt[:, ib]
+        slopes = np.where(ddt != 0, (m[:, ia] - m[:, ib]) / ddt, np.nan)
+        slope = np.nanmedian(slopes, axis=1)
+        slope = np.nan_to_num(slope)  # no valid pair -> flat background
+        bg = np.nanmedian(m - slope[:, None] * dt, axis=1)
+        resid = m - (bg[:, None] + slope[:, None] * dt)
+        mad = np.nanmedian(np.abs(resid), axis=1)
+        cnt = np.sum(~np.isnan(m), axis=1)
+    sigma = np.maximum(1.4826 * np.nan_to_num(mad), sigma_min)
+    z = np.where(cnt > 0, (q - np.nan_to_num(bg)) / sigma, 0.0)
+    return np.nan_to_num(z), cnt
 
 
 def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
@@ -309,11 +344,19 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
     # first pass (reference: buddy.r:64,112-115,142 — round 1 compares a row
     # only against buddies of >= its own priority) ----
     if cfg.enable_buddy:
+        from ..functions.scalars import boxcox
+
         prio = (
             np.asarray([cfg.prio.get(r, 0) for r in roles], dtype=np.int32)
             if cfg.prio
             else None
         )
+        # optional Box-Cox symmetrization of the checked value
+        # (reference buddy.r:87-93)
+        bq = boxcox(q, cfg.buddy_boxcox) if cfg.buddy_boxcox is not None else q
+        # multi-test vectors: N sub-tests per pass, flags updating between
+        # them (reference buddy.r:32-52); scalar params = single test
+        btests = cfg.buddy_tests or ((cfg.r_buddy, cfg.buddy_tpos, cfg.buddy_tneg, cfg.buddy_min),)
         # convergence is tracked PER WINDOW (grp): a window with no new flags
         # in a pass is frozen — otherwise iteration count (and thus the
         # pass-indexed prio rule) would depend on which windows share a
@@ -322,21 +365,33 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
         for it in range(1 if parallel else cfg.buddy_iters):
-            ok = usable("buddy")
-            m = _neighbour_matrix(q, ok, grp, t, cfg.r_buddy, dup)
-            if it == 0 and prio is not None:
-                pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), _pos_radius(cfg.r_buddy, dup, n))
-                m = np.where(pm >= prio[:, None], m, np.nan)
-            z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
-            mask = (
-                testable("buddy") & active[grp] & (cnt >= cfg.buddy_min)
-                & ((z > cfg.buddy_tpos) | (z < -cfg.buddy_tneg))
-            )
-            if not mask.any():
-                break
-            hit = apply(mask, CODE_BUDDY)
             had = np.zeros(n_grps, dtype=bool)
-            had[grp[hit]] = True
+            any_new = False
+            for (br, btpos, btneg, bmin) in btests:
+                ok = usable("buddy")
+                m = _neighbour_matrix(bq, ok, grp, t, br, dup)
+                if it == 0 and prio is not None:
+                    pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), _pos_radius(br, dup, n))
+                    m = np.where(pm >= prio[:, None], m, np.nan)
+                z, cnt, _, med = _robust_z(bq, m, cfg.sigma_min)
+                mask = (
+                    testable("buddy") & active[grp] & (cnt >= bmin)
+                    & ((z > btpos) | (z < -btneg))
+                )
+                if cfg.buddy_adm_delta is not None:
+                    # admissible VALUE band around the background (reference
+                    # buddy.r:69-83, RR-style asymmetric clamp at 0): only
+                    # deviations outside it are flaggable
+                    half = np.maximum(cfg.buddy_adm_delta, cfg.buddy_adm_fact * np.abs(med))
+                    lo = np.maximum(np.nan_to_num(med) - half, 0.0)
+                    hi = np.nan_to_num(med) + half
+                    mask &= (bq < lo) | (bq > hi)
+                if mask.any():
+                    any_new = True
+                    hit = apply(mask, CODE_BUDDY)
+                    had[grp[hit]] = True
+            if not any_new:
+                break
             active &= had
 
     # ---- sct_fg (code 2, optional; reference: sct_fg_resistant.r:136-163 —
@@ -365,19 +420,28 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
 
     # ---- sct (code 1), iterate; keep sctpog = z² ----
     if cfg.enable_sct:
+        stests = cfg.sct_tests or ((cfg.r_sct, cfg.sct_t, cfg.sct_min),)
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
         for _ in range(1 if parallel else cfg.sct_iters):
-            m = _neighbour_matrix(q, usable("sct"), grp, t, cfg.r_sct, dup)
-            z, cnt, _ = _robust_z(q, m, cfg.sigma_min)
-            judged = testable("sct") & active[grp] & (cnt >= cfg.sct_min)
-            sctpog = np.where(judged, z * z, sctpog)
-            mask = judged & (np.abs(z) > cfg.sct_t)
-            if not mask.any():
-                break
-            hit = apply(mask, CODE_SCT)
             had = np.zeros(n_grps, dtype=bool)
-            had[grp[hit]] = True
+            any_new = False
+            for (sr, st, smin) in stests:
+                ok = usable("sct")
+                if cfg.sct_background == "trend":
+                    z, cnt = _trend_z(q, ok, grp, t, sr, dup, cfg.sigma_min)
+                else:
+                    m = _neighbour_matrix(q, ok, grp, t, sr, dup)
+                    z, cnt, _, _ = _robust_z(q, m, cfg.sigma_min)
+                judged = testable("sct") & active[grp] & (cnt >= smin)
+                sctpog = np.where(judged, z * z, sctpog)
+                mask = judged & (np.abs(z) > st)
+                if mask.any():
+                    any_new = True
+                    hit = apply(mask, CODE_SCT)
+                    had[grp[hit]] = True
+            if not any_new:
+                break
             active &= had
 
     # ---- isolation (code 800) ----

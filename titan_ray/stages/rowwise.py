@@ -16,7 +16,6 @@ from ..config import QCConfig
 from ..schema import (
     CODE_BLACKLIST,
     CODE_CLIM,
-    CODE_FGT,
     CODE_KEEP,
     CODE_NOMETA,
     CODE_PLAUS,
@@ -36,19 +35,39 @@ def _set_col(batch: pa.Table, name: str, arr) -> pa.Table:
     return batch.append_column(name, [arr])
 
 
+def _position_mask(batch: pa.Table, positions: tuple[tuple[str, int], ...]) -> np.ndarray:
+    """Rows whose (conv_id, turn_idx) is in the broadcast position set
+    (reference: read_data_to_check.r:99-119 — the exact-coordinate
+    epsilon-join; positions with null conv_id never match)."""
+    keys = pc.binary_join_element_wise(
+        pc.coalesce(batch["conv_id"], pa.scalar("\x00")),
+        pc.cast(pc.coalesce(batch["turn_idx"], pa.scalar(-(2**31), pa.int32())), pa.string()),
+        "#",
+    ).to_numpy(zero_copy_only=False)
+    wanted = np.asarray([f"{c}#{t}" for c, t in positions], dtype=object)
+    return np.isin(keys, wanted)
+
+
 def seed_lists(batch: pa.Table, cfg: QCConfig) -> pa.Table:
-    """Blacklist (999) + keep-list (990) seeding at read
+    """Blacklist (999) + keep-list (990) seeding at read — by term regex, by
+    position, and by keep column
     (reference: read_data_to_check.r:94-119, codes argparser_qccodes.r:72-80)."""
     flags = _get_flags(batch)
     text = batch["text"]
+    black = np.zeros(batch.num_rows, dtype=bool)
     if cfg.blacklist_terms:
         pat = "|".join(re.escape(t) for t in cfg.blacklist_terms)
         hit = pc.fill_null(pc.match_substring_regex(text, pat), False)
-        hit_np = hit.to_numpy(zero_copy_only=False).astype(bool)
-        flags = apply_flag(flags, hit_np, CODE_BLACKLIST)
+        black |= hit.to_numpy(zero_copy_only=False).astype(bool)
+    if cfg.positional_blacklist:
+        black |= _position_mask(batch, cfg.positional_blacklist)
+    flags = apply_flag(flags, black, CODE_BLACKLIST)
+    keep = np.zeros(batch.num_rows, dtype=bool)
     if cfg.keeplist_col and cfg.keeplist_col in batch.column_names:
-        kl = pc.fill_null(batch[cfg.keeplist_col], False).to_numpy(zero_copy_only=False).astype(bool)
-        flags = apply_flag(flags, kl, CODE_KEEP)
+        keep |= pc.fill_null(batch[cfg.keeplist_col], False).to_numpy(zero_copy_only=False).astype(bool)
+    if cfg.positional_keeplist:
+        keep |= _position_mask(batch, cfg.positional_keeplist)
+    flags = apply_flag(flags, keep, CODE_KEEP)
     return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
 
 
@@ -101,21 +120,6 @@ def climatological_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
     his = np.asarray([cfg.clim_bands.get(l, default)[1] for l in langs])
     bad = (ppl < los) | (ppl > his)
     flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_CLIM)
-    return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
-
-
-def fgt_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
-    """Code 11: deviation from the broadcast first-guess expectation per role
-    (reference: fgt.r:267-289 with background_elab_type="External"; ensemble
-    voting fgt.r:335-343 degenerates to one member here)."""
-    flags = _get_flags(batch)
-    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
-    doit = cfg.doit_for("fgt", roles)
-    q = batch["qscore"].to_numpy(zero_copy_only=False)
-    mu = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[0] for r in roles])
-    sd = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[1] for r in roles])
-    bad = np.abs(q - mu) > cfg.fgt_t * sd
-    flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_FGT)
     return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
 
 
