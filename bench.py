@@ -135,6 +135,104 @@ def run_scaling() -> dict:
     }
 
 
+STAGES = ("read", "dedup", "scorer", "rowwise", "conv", "scrub", "write")
+
+
+def run_stage(stage: str) -> dict:
+    """Time ONE stage-prefix pipeline at NUM_CPUS (internal helper for
+    --stages; fresh process per call so levels don't share a Ray session)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from functools import partial
+
+    from titan_ray.config import QCConfig
+    from titan_ray.corpus import corpus_path_for_sf
+    from titan_ray.stages.conv import run_conv_checks_arrow, salt_batch
+    from titan_ray.stages.dedup import dedup_exact
+    from titan_ray.stages.rowwise import (
+        climatological_check, metadata_check, plausibility_check, seed_lists,
+    )
+    from titan_ray.stages.scorer import Scorer
+    from titan_ray.stages.scrub_stage import ScrubStage
+
+    sf = _sf()
+    corpus = corpus_path_for_sf(sf)
+    rd.read_parquet(corpus).count()  # warm page cache
+    cfg = QCConfig(dedup=True, scorer_concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
+
+    def build(ds):
+        if stage == "read":
+            return ds
+        if stage == "dedup":
+            return dedup_exact(ds)
+        if stage == "scrub":
+            return ds.map_batches(ScrubStage, batch_format="pyarrow",
+                                  batch_size=cfg.batch_size, concurrency=cfg.scorer_concurrency)
+        if stage == "write":
+            return ds
+        # scorer and beyond
+        ds = ds.map_batches(Scorer, batch_format="pyarrow", batch_size=cfg.batch_size,
+                            concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
+        if stage == "scorer":
+            return ds
+        for fn in (seed_lists, metadata_check, plausibility_check, climatological_check):
+            ds = ds.map_batches(partial(fn, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+        if stage == "rowwise":
+            return ds
+        ds = ds.map_batches(partial(salt_batch, cfg=cfg, num_buckets=max(64, NUM_CPUS * 4)),
+                            batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = ds.groupby("bucket").map_groups(partial(run_conv_checks_arrow, cfg=cfg),
+                                             batch_format="pyarrow")
+        return ds  # stage == "conv"
+
+    runs = []
+    for _ in range(2):  # 2nd run = steady state
+        t0 = time.perf_counter()
+        ds = build(rd.read_parquet(corpus))
+        if stage == "write":
+            out = "/tmp/titan_ray_stage_out"
+            shutil.rmtree(out, ignore_errors=True)
+            ds.write_parquet(out)
+        else:
+            ds.count()
+        runs.append(time.perf_counter() - t0)
+    ray.shutdown()
+    return {"stage": stage, "num_cpus": NUM_CPUS, "sec": round(min(runs), 3)}
+
+
+def run_stages() -> dict:
+    """Per-stage scaling table: every stage-prefix pipeline at lo vs hi
+    num_cpus in fresh processes (round-2 verdict item: show WHICH stage
+    bounds the whole-pipeline scaling, with the DRAM probe alongside)."""
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", SF_DIR)
+
+    def sub(stage: str, ncpu: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_STAGE=stage)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--stage-run"],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])["sec"]
+
+    table = {}
+    for stage in STAGES:
+        s_lo, s_hi = sub(stage, lo), sub(stage, hi)
+        table[stage] = {
+            "sec_lo": s_lo, "sec_hi": s_hi,
+            "efficiency": round((s_lo / s_hi) / (hi / lo), 3),
+        }
+    return {"metric": "per_stage_scaling", "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "sf_dir": sf_dir, "stages": table}
+
+
 def run_bandwidth_probe() -> dict:
     """Hardware control experiment: scale the scorer kernel with PLAIN
     multiprocessing (no Ray) at 1 / lo / hi processes. On a single host,
@@ -184,5 +282,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--bandwidth-probe" in sys.argv:
         print(json.dumps(run_bandwidth_probe()))
+    elif "--stages" in sys.argv:
+        print(json.dumps(run_stages()))
+    elif "--stage-run" in sys.argv:
+        print(json.dumps(run_stage(os.environ.get("GRAFT_STAGE", "read"))))
     else:
         print(json.dumps(run_bench()))

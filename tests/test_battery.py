@@ -208,3 +208,24 @@ def test_multitest_trend_boxcox_band_parity(ray_session, small_corpus):
         eng = build_qc_pipeline(ds, cfg).to_pandas().sort_values(KEY, na_position="last").reset_index(drop=True)
         assert len(eng) == len(ora)
         assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all(), blocks
+
+
+def test_fgt_lapse_rate_adjustment(ray_session, small_corpus):
+    """Lapse-rate analog (fgt.r:262-264): with gamma set, the fgt expectation
+    shifts with turn length; engine == oracle under the knob."""
+    import ray.data as rd
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    cfg = QCConfig(dedup=True, fgt_t=2.0, fgt_len_gamma=0.002, fgt_len_ref=150.0)
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    ds = rd.from_arrow(small_corpus).repartition(7)
+    eng = build_qc_pipeline(ds, cfg).to_pandas().sort_values(KEY, na_position="last").reset_index(drop=True)
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+    assert (eng["dqcflag"].to_numpy() == 11).sum() > 0  # knob actually bites
+
+
+def test_lapse_adjust_formula():
+    from titan_ray.functions.scalars import lapse_adjust
+
+    out = lapse_adjust(np.array([10.0]), np.array([1500.0]), gamma=-0.0065, z_ref=500.0)
+    assert np.allclose(out, 10.0 - 0.0065 * 1000.0)

@@ -99,6 +99,11 @@ class QCConfig:
     # ---- fgt (11) ----
     fgt_ref: dict[str, tuple[float, float]] = field(default_factory=_default_fgt_ref)
     fgt_t: float = 8.0
+    # lapse-rate analog (reference fgt.r:262-264: adjust the background for
+    # elevation): adjust the role expectation by turn length before the
+    # deviation test — mu' = mu + gamma * (n_chars - len_ref)
+    fgt_len_gamma: float = 0.0
+    fgt_len_ref: float = 200.0
 
     # ---- conversation-check execution mode ----
     # "cascade" (default): reference semantics — checks run in order

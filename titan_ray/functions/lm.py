@@ -119,7 +119,9 @@ class CharLM:
             return out
         g_ends = np.cumsum(counts)
         g_starts = g_ends - counts
-        sums = segment_sum(lp[idx].astype(np.float64), g_starts, g_ends)
+        # float32 gather; segment_sum's cumsum upcasts per element (same
+        # math as astype(float64) first, without materializing the 8B copy)
+        sums = segment_sum(lp[idx], g_starts, g_ends)
         scored = (counts > 0) & valid
         out[scored] = np.exp(-sums[scored] / counts[scored])
         return out

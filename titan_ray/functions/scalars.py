@@ -16,6 +16,14 @@ def boxcox(x: np.ndarray, lam: float = 0.5) -> np.ndarray:
     return (np.power(x, lam) - 1.0) / lam
 
 
+def lapse_adjust(val: np.ndarray, z: np.ndarray, gamma: float = -0.0065, z_ref: float = 0.0) -> np.ndarray:
+    """Lapse-rate adjustment val + gamma*(z - z_ref) (reference:
+    argparser_data_misc.r:17-20; applied at ccrrt.r:91, fgt.r:262-264,
+    statSpat_mapply:68). Transcript recast: adjust an expected score by a
+    covariate (e.g. turn length) before comparing."""
+    return np.asarray(val, dtype=np.float64) + gamma * (np.asarray(z, dtype=np.float64) - z_ref)
+
+
 def contingency_metrics(pred_bad: np.ndarray, truth_bad: np.ndarray) -> dict[str, float]:
     """ACC / POD / POFA / ETS from the (a,b,c,d) contingency table
     (reference: test/test_titan_ta_sct.r:10-18) plus precision/recall/F1 —

@@ -70,13 +70,19 @@ def rolling_ngram_hash(data: np.ndarray, n: int) -> np.ndarray:
 
 
 def multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Vectorized concatenation of arange(starts[i], starts[i]+counts[i])."""
+    """Vectorized concatenation of arange(starts[i], starts[i]+counts[i]).
+
+    int32 output (batches are bounded far below 2^31 windows): the index
+    array is one of the largest intermediates in the scorer hot path —
+    halving its width halves that stream's DRAM traffic."""
     total = int(counts.sum())
     if total == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int32)
     cum = np.cumsum(counts)
-    shift = np.repeat(starts - np.concatenate([[0], cum[:-1]]), counts)
-    return np.arange(total, dtype=np.int64) + shift
+    shift = np.repeat((starts - np.concatenate([[0], cum[:-1]])).astype(np.int32), counts)
+    out = np.arange(total, dtype=np.int32)
+    np.add(out, shift, out=out)
+    return out
 
 
 def segment_sum(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

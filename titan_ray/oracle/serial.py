@@ -173,8 +173,9 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
             lq = q[part]
             lroles = df["role"].fillna("").to_numpy()[part]
             llang = lang[part]
+            lnch = feats["n_chars"][part].astype(np.float64)
             lpog = np.full(len(part), np.nan)
-            _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog)
+            _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch)
             flags[part[is_core]] = lflags[is_core]
             sctpog[part[is_core]] = lpog[is_core]
 
@@ -197,7 +198,7 @@ def _neigh(i: int, lt: np.ndarray, r: int, ok: np.ndarray) -> list[int]:
     return [j for j in range(len(lt)) if j != i and ok[j] and abs(lt[j] - lt[i]) <= r]
 
 
-def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
+def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None) -> None:
     m = len(lflags)
     parallel = cfg.conv_mode == "parallel"
     state = lflags.copy() if parallel else lflags  # frozen snapshot in parallel mode
@@ -262,6 +263,8 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog) -> None:
             if not testable("fgt", i):
                 continue
             mu, sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
+            if cfg.fgt_len_gamma != 0.0 and lnch is not None:
+                mu = mu + cfg.fgt_len_gamma * (lnch[i] - cfg.fgt_len_ref)
             votes = sum(1 for tau in taus if abs(lq[i] - mu) > tau * sd)
             if votes >= needed:
                 new.append(i)

@@ -244,9 +244,13 @@ def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
         roles = tbl["role"].to_pandas().fillna("").to_numpy(dtype=object)
     else:
         roles = np.full(n, "", dtype=object)
+    if cfg.fgt_len_gamma != 0.0 and "n_chars" in tbl.column_names:
+        nchars = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        nchars = None
     sctpog = np.full(n, np.nan)
 
-    flags, sctpog = _conv_kernel(cfg, flags, q, t, grp, core, roles, event_np, sctpog)
+    flags, sctpog = _conv_kernel(cfg, flags, q, t, grp, core, roles, event_np, sctpog, nchars)
 
     keep_idx = np.flatnonzero(core)
     out = tbl.take(pa.array(keep_idx))
@@ -266,7 +270,7 @@ def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
     return res.drop(columns=[c for c in ("bucket",) if c in res.columns])
 
 
-def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog):
+def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog, nchars=None):
     """The check battery over sorted, conv-masked arrays (shared by the arrow
     fast path and the pandas wrapper).
 
@@ -328,6 +332,12 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         ref = cfg.fgt_ref
         mu = np.asarray([ref.get(r, (1.9, 0.6))[0] for r in roles])
         sd = np.asarray([ref.get(r, (1.9, 0.6))[1] for r in roles])
+        if cfg.fgt_len_gamma != 0.0 and nchars is not None:
+            # lapse-rate analog: expectation adjusted by turn length
+            # (reference fgt.r:262-264)
+            from ..functions.scalars import lapse_adjust
+
+            mu = lapse_adjust(mu, nchars, cfg.fgt_len_gamma, cfg.fgt_len_ref)
         dev = np.abs(q - mu)
         if cfg.fgt_ensemble <= 1:
             votes = (dev > cfg.fgt_t * sd).astype(np.int32)
@@ -367,17 +377,26 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         for it in range(1 if parallel else cfg.buddy_iters):
             had = np.zeros(n_grps, dtype=bool)
             any_new = False
+            # later passes touch only still-ACTIVE windows (convergence is
+            # per window, so selecting whole windows keeps neighbourhoods
+            # intact; rows are grp-sorted). This makes pass 2+ nearly free —
+            # the matrices/medians are the conv stage's dominant cost.
+            sel = None if it == 0 else np.flatnonzero(active[grp])
+            if sel is not None and len(sel) == 0:
+                break
             for (br, btpos, btneg, bmin) in btests:
                 ok = usable("buddy")
-                m = _neighbour_matrix(bq, ok, grp, t, br, dup)
+                if sel is None:
+                    s_q, s_ok, s_grp, s_t = bq, ok, grp, t
+                else:
+                    s_q, s_ok, s_grp, s_t = bq[sel], ok[sel], grp[sel], t[sel]
+                m = _neighbour_matrix(s_q, s_ok, s_grp, s_t, br, dup)
                 if it == 0 and prio is not None:
                     pm = _sliding(np.where(ok, prio, -(2**30)).astype(np.float64), _pos_radius(br, dup, n))
                     m = np.where(pm >= prio[:, None], m, np.nan)
-                z, cnt, _, med = _robust_z(bq, m, cfg.sigma_min)
-                mask = (
-                    testable("buddy") & active[grp] & (cnt >= bmin)
-                    & ((z > btpos) | (z < -btneg))
-                )
+                z, cnt, _, med = _robust_z(s_q, m, cfg.sigma_min)
+                tst = testable("buddy") if sel is None else testable("buddy")[sel]
+                mask = tst & (cnt >= bmin) & ((z > btpos) | (z < -btneg))
                 if cfg.buddy_adm_delta is not None:
                     # admissible VALUE band around the background (reference
                     # buddy.r:69-83, RR-style asymmetric clamp at 0): only
@@ -385,10 +404,13 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
                     half = np.maximum(cfg.buddy_adm_delta, cfg.buddy_adm_fact * np.abs(med))
                     lo = np.maximum(np.nan_to_num(med) - half, 0.0)
                     hi = np.nan_to_num(med) + half
-                    mask &= (bq < lo) | (bq > hi)
+                    mask &= (s_q < lo) | (s_q > hi)
                 if mask.any():
                     any_new = True
-                    hit = apply(mask, CODE_BUDDY)
+                    gmask = mask if sel is None else np.zeros(n, dtype=bool)
+                    if sel is not None:
+                        gmask[sel[mask]] = True
+                    hit = apply(gmask, CODE_BUDDY)
                     had[grp[hit]] = True
             if not any_new:
                 break
@@ -423,22 +445,37 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog)
         stests = cfg.sct_tests or ((cfg.r_sct, cfg.sct_t, cfg.sct_min),)
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
-        for _ in range(1 if parallel else cfg.sct_iters):
+        for it in range(1 if parallel else cfg.sct_iters):
             had = np.zeros(n_grps, dtype=bool)
             any_new = False
+            sel = None if it == 0 else np.flatnonzero(active[grp])
+            if sel is not None and len(sel) == 0:
+                break
             for (sr, st, smin) in stests:
                 ok = usable("sct")
-                if cfg.sct_background == "trend":
-                    z, cnt = _trend_z(q, ok, grp, t, sr, dup, cfg.sigma_min)
+                if sel is None:
+                    s_q, s_ok, s_grp, s_t = q, ok, grp, t
                 else:
-                    m = _neighbour_matrix(q, ok, grp, t, sr, dup)
-                    z, cnt, _, _ = _robust_z(q, m, cfg.sigma_min)
-                judged = testable("sct") & active[grp] & (cnt >= smin)
-                sctpog = np.where(judged, z * z, sctpog)
+                    s_q, s_ok, s_grp, s_t = q[sel], ok[sel], grp[sel], t[sel]
+                if cfg.sct_background == "trend":
+                    z, cnt = _trend_z(s_q, s_ok, s_grp, s_t, sr, dup, cfg.sigma_min)
+                else:
+                    m = _neighbour_matrix(s_q, s_ok, s_grp, s_t, sr, dup)
+                    z, cnt, _, _ = _robust_z(s_q, m, cfg.sigma_min)
+                tst = testable("sct") if sel is None else testable("sct")[sel]
+                judged = tst & (cnt >= smin)
+                if sel is None:
+                    sctpog = np.where(judged, z * z, sctpog)
+                else:
+                    upd = sel[judged]
+                    sctpog[upd] = (z * z)[judged]
                 mask = judged & (np.abs(z) > st)
                 if mask.any():
                     any_new = True
-                    hit = apply(mask, CODE_SCT)
+                    gmask = mask if sel is None else np.zeros(n, dtype=bool)
+                    if sel is not None:
+                        gmask[sel[mask]] = True
+                    hit = apply(gmask, CODE_SCT)
                     had[grp[hit]] = True
             if not any_new:
                 break

@@ -105,10 +105,21 @@ def _norm_and_rank(batch: pa.Table) -> tuple[pd.Series, pd.Series]:
         pc.coalesce(batch["conv_id"], pa.scalar("\x7f")),
         turn,
         pc.utf8_lpad(ts_us, 20, "0"),
-        pa.array(np.char.mod("%020d", chash)),
+        _hex16(chash),
         _RANK_SEP,
     )
     return norm, rank.to_pandas()
+
+
+def _hex16(ch: np.ndarray) -> pa.Array:
+    """uint64 -> 16-char lowercase hex, fully vectorized (lexicographic
+    order == numeric order); ~30x np.char.mod."""
+    b = ch.byteswap().view(np.uint8).reshape(-1, 8)
+    digits = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    out = np.empty((len(ch), 16), dtype=np.uint8)
+    out[:, 0::2] = digits[b >> 4]
+    out[:, 1::2] = digits[b & 15]
+    return pa.array(out.reshape(-1).view("S16")).cast(pa.string())
 
 
 def _hash2(norm: pd.Series) -> tuple[np.ndarray, np.ndarray]:
