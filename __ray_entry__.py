@@ -45,16 +45,47 @@ def entry() -> Any:
 
 def _qc_metrics(sf_dir: str):
     """Conformance scorecard: the reference's contingency metrics
-    (test_titan_ta_sct.r:10-18) computed for the engine's keep/drop vs the
-    corpus's planted ge labels."""
+    (test_titan_ta_sct.r:10-18) for the engine's keep/drop vs the planted ge
+    labels — contingency CELLS aggregated distributed (per-batch indicator
+    sums + Sum aggregate; no driver-side materialization of the output)."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    from titan_ray.functions.scalars import contingency_metrics
-
-    df = _qc_dataset(sf_dir).to_pandas()
     drop_labels = ["ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black"]
-    scored = ~df["is_keeplist"]
-    m = contingency_metrics((~df["keep"] & scored), (df[drop_labels].any(axis=1) & scored))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        truth = np.zeros(batch.num_rows, dtype=bool)
+        for c in drop_labels:
+            truth |= batch[c].to_numpy(zero_copy_only=False).astype(bool)
+        pred = ~batch["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        scored = ~batch["is_keeplist"].to_numpy(zero_copy_only=False).astype(bool)
+        truth &= scored
+        pred &= scored
+        return pa.table(
+            {
+                "a": pa.array([int((pred & truth).sum())]),      # hits
+                "b": pa.array([int((pred & ~truth).sum())]),     # false alarms
+                "c": pa.array([int((~pred & truth).sum())]),     # misses
+                "d": pa.array([int((~pred & ~truth & scored).sum())]),
+            }
+        )
+
+    agg = _qc_dataset(sf_dir).map_batches(cells, batch_format="pyarrow")
+    tot = agg.sum(["a", "b", "c", "d"])  # one pass, one aggregate
+    a, b, c, d = (float(tot[f"sum({k})"]) for k in ("a", "b", "c", "d"))
+    n = a + b + c + d
+    a_rand = (a + b) * (a + c) / n if n else 0.0
+    den_ets = a + b + c - a_rand
+    m = {
+        "acc": (a + d) / n if n else 0.0,
+        "pod": a / (a + c) if a + c else 0.0,
+        "pofa": b / (a + b) if a + b else 0.0,
+        "ets": (a - a_rand) / den_ets if den_ets else 0.0,
+        "precision": a / (a + b) if a + b else 0.0,
+        "recall": a / (a + c) if a + c else 0.0,
+        "f1": 2 * a / (2 * a + b + c) if 2 * a + b + c else 0.0,
+    }
     return pd.DataFrame([{"metric": k, "value": round(v, 6)} for k, v in sorted(m.items())])
 
 
@@ -90,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_isolation": events.events_isolation,
         "events_extent": events.events_extent,
         "events_sessions": events.events_sessions,
+        "events_asof": events.events_asof,
+        "events_range": events.events_range,
         # --- similarity search over embeddings (SQL-checked) ---
         "ann_topk": ann.ann_topk,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -192,6 +225,20 @@ def oracle_sql() -> dict[str, str]:
             "  FROM d"
             ") SELECT user_id, session_id, count(*) AS n_events, "
             "CAST(sum(vm) AS BIGINT) AS sum_vm FROM s GROUP BY user_id, session_id"
+        ),
+        "events_asof": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1), "
+            "r AS (SELECT event_id, user_id, ts, CAST(round(value*1000) AS BIGINT) AS vm "
+            "FROM events WHERE event_id % 2 = 0) "
+            "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.vm AS r_vm "
+            "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_range": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1), "
+            "r AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0) "
+            "SELECT l.event_id, l.user_id, r.event_id AS r_event_id FROM l JOIN r "
+            "ON r.user_id = l.user_id AND r.ts > l.ts "
+            "AND r.ts <= l.ts + INTERVAL 10 MINUTE"
         ),
         "events_isolation": (
             "SELECT event_id FROM events WHERE user_id IN ("

@@ -54,3 +54,26 @@ def test_project_output_order():
     cols = project_output(b).column_names
     assert cols[:6] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert cols.index("my_extra") < cols.index("dqcflag")  # extras before derived
+
+
+def test_asof_and_range_join_kernels(ray_session):
+    """Custom join operators (stages/joins.py) vs a hand-computed oracle."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from titan_ray.stages.joins import asof_join, range_join
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3], "t": [10, 20, 5, 7], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": [1, 1, 2, 9], "t": [8, 15, 9, 1], "rv": [100, 150, 90, 9]})
+    l = rd.from_pandas(left).repartition(2)
+    r = rd.from_pandas(right).repartition(2)
+    out = asof_join(l, r, by="k", on="t", value_cols=("rv",)).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    # (1,10)->8/100, (1,20)->15/150, (2,5)->no match (9>5), (3,7)->no right key
+    assert out[["k", "t", "r_rv"]].values.tolist() == [[1, 10, 100], [1, 20, 150]]
+
+    pairs = range_join(l, r, by="k", on="t", lo=0, hi=6, right_cols=("rv",)).to_pandas()
+    pairs = pairs.sort_values(["k", "t", "r_rv"]).reset_index(drop=True)
+    # (1,10): right t in [10,16] -> 15; (1,20): none; (2,5): t in [5,11] -> 9
+    assert pairs[["k", "t", "r_rv"]].values.tolist() == [[1, 10, 150], [2, 5, 90]]

@@ -198,3 +198,67 @@ def events_sessions(sf_dir: str, num_buckets: int = 64):
 
     ds = ds.map_batches(bucketize, batch_format="pyarrow")
     return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def _events_sides(sf_dir: str):
+    """(left, right) = odd / even event_id halves of the events table with an
+    integer-microsecond `ts_us` join key (exact comparisons, no float/tz
+    hazard)."""
+    import ray.data as rd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()) if not isinstance(batch["ts"], pa.ChunkedArray)
+                else batch["ts"].combine_chunks().cast(pa.int64()),
+                "vm": pa.array(_vm(batch)),
+            }
+        )
+
+    def side(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    left = ds.map_batches(side(1), batch_format="pyarrow")
+    right = ds.map_batches(side(0), batch_format="pyarrow")
+    return left, right
+
+
+def events_asof(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks; stages/joins.py): every
+    odd-id event joined to the most recent even-id event of the same user at
+    or before it. Inner semantics = DuckDB ASOF JOIN (the SQL oracle)."""
+    from ..stages.joins import asof_join
+
+    left, right = _events_sides(sf_dir)
+    out = asof_join(left, right, by="user_id", on="ts_us", value_cols=("event_id", "vm"))
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "r_event_id", "r_vm"]),
+        batch_format="pyarrow",
+    )
+
+
+RANGE_LO_US = 1                    # strictly after the left event...
+RANGE_HI_US = 10 * 60 * 1_000_000  # ...within 10 minutes
+
+
+def events_range(sf_dir: str):
+    """Range join (custom operator): (odd, even) event pairs of the same
+    user with 0 < ts(even) - ts(odd) <= 10 min."""
+    from ..stages.joins import range_join
+
+    left, right = _events_sides(sf_dir)
+    out = range_join(
+        left, right, by="user_id", on="ts_us",
+        lo=RANGE_LO_US, hi=RANGE_HI_US, right_cols=("event_id",),
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "r_event_id"]), batch_format="pyarrow"
+    )
