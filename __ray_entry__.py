@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": docqc.doc_length_stats,
         "doc_token_counts": docqc.doc_token_counts,
         "doc_char_classes": docqc.doc_char_classes,
+        "doc_quality_scores": docqc.doc_quality_scores,
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_scrub": docqc.doc_scrub,
@@ -174,6 +175,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, "
             "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha "
             "FROM documents"
+        ),
+        "doc_quality_scores": (
+            "WITH c AS (SELECT doc_id, strlen(text) AS n_bytes, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd, "
+            "CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS ns, "
+            f"CAST(length(regexp_extract_all(text, '{tok}')) AS BIGINT) AS token_count "
+            "FROM documents) "
+            "SELECT doc_id, n_bytes, "
+            "round(CAST(na AS DOUBLE) / greatest(n_bytes, 1), 6) AS alpha_ratio, "
+            "round(CAST(nd AS DOUBLE) / greatest(n_bytes, 1), 6) AS digit_ratio, "
+            "round(CAST(n_bytes - na - nd - ns AS DOUBLE) / greatest(n_bytes, 1), 6) AS punct_ratio, "
+            "round(CAST(ns AS DOUBLE) / greatest(n_bytes, 1), 6) AS space_ratio, "
+            "token_count FROM c"
         ),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "

@@ -168,3 +168,35 @@ def doc_langid(sf_dir: str):
         )
 
     return ds.map_batches(det, batch_format="pyarrow")
+
+
+def doc_quality_scores(sf_dir: str):
+    """Quality-score vector per document (graft brief: length/punct ratios):
+    byte-class ratios + token count, rounded half-away-from-zero to 6 so the
+    DuckDB oracle (integer counts -> identical doubles -> same rounding)
+    hash-matches."""
+    from ..functions.strings import char_class_counts, string_view
+    from ..functions.features import token_count
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        data, offsets, _ = string_view(texts)
+        cls = char_class_counts(data, offsets)
+        n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        denom = np.maximum(n_bytes, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_bytes),
+                "alpha_ratio": pa.array(round_half_away(cls["alpha"] / denom, 6)),
+                "digit_ratio": pa.array(round_half_away(cls["digit"] / denom, 6)),
+                "punct_ratio": pa.array(round_half_away(cls["punct"] / denom, 6)),
+                "space_ratio": pa.array(round_half_away(cls["space"] / denom, 6)),
+                "token_count": pa.array(token_count(texts).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
