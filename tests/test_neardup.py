@@ -121,3 +121,19 @@ def test_lsh_verify_matches_bruteforce(ray_session, tmp_path):
     # dedup drops exactly the doc_b side of each verified pair
     kept = neardup.minhash_dedup_docs(str(sf_dir), 0.5).to_pandas()
     assert len(kept) == len(texts) - len({b for _, b, _ in want})
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    from titan_ray.stages.multimodal import media_pipeline, synth_media_table
+
+    t = synth_media_table(24, seed=7)
+    out = media_pipeline(t, batch_size=8).to_pandas()
+    n_video = sum(1 for k in t["kind"].to_pylist() if k == "video")
+    # videos fan out to 4 frames, images/audio to 1
+    assert len(out) == n_video * 4 + (24 - n_video)
+    assert out.groupby("media_id")["frame_idx"].max().max() == 3
+    # deterministic across runs/batch sizes
+    out2 = media_pipeline(t, batch_size=3).to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["features"].map(tuple) == b["features"].map(tuple)).all()

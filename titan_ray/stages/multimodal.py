@@ -151,3 +151,97 @@ def media_features_query(sf_dir: str, batch_size: int = 16, concurrency=(1, 4)):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage (graft brief: decode / feature-extract /
+    resize / frame-sample as actor-pool stages). The pixel transform sits
+    behind the same stubbed codec seam as decode; the REAL parts are the
+    Ray plumbing and the metadata algebra: target-box fit preserving aspect
+    ratio, payload passthrough, small batches for large blobs."""
+
+    def __init__(self, max_w: int = 256, max_h: int = 256, fake: bool = True):
+        self.max_w, self.max_h, self.fake = max_w, max_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real pixel resampling requires codec libraries not in this container"
+            )
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, np.minimum(self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1)))
+        out = pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": batch["payload"],  # codec-stub: bytes pass through
+                "width": pa.array(np.floor(w * scale).astype(np.int32)),
+                "height": pa.array(np.floor(h * scale).astype(np.int32)),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+        return out
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler for video rows: emit n_frames evenly spaced
+    'frames' per video (deterministic byte slices of the payload stand in
+    for decoded frames); non-video rows pass through as a single frame.
+    Fan-out stage: one input row -> n_frames output rows."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 256):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, fidx, ts_ms, frames = [], [], [], [], []
+        payloads = batch["payload"].to_pylist()
+        for mid, kind, dur, p in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["duration_ms"].to_pylist(), payloads,
+        ):
+            n = self.n_frames if kind == "video" else 1
+            for j in range(n):
+                off = (j * max(len(p) - self.frame_bytes, 0)) // max(n - 1, 1) if n > 1 else 0
+                ids.append(mid)
+                kinds.append(kind)
+                fidx.append(j)
+                ts_ms.append((j * dur) // max(n - 1, 1) if n > 1 else 0)
+                frames.append(p[off : off + self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "frame_idx": pa.array(fidx, type=pa.int32()),
+                "frame_ts_ms": pa.array(ts_ms, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def media_pipeline(table: pa.Table | None = None, batch_size: int = 16, concurrency=(1, 4)):
+    """Full multimodal chain: resize -> frame-sample -> decode/features —
+    three actor-pool stages over binary payloads, small batches throughout."""
+    import ray.data as rd
+
+    if table is None:
+        table = synth_media_table()
+    ds = rd.from_arrow(table)
+    ds = ds.map_batches(MediaResizeStage, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency)
+    ds = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency)
+
+    def frame_features(batch: pa.Table) -> pa.Table:
+        stage = MediaDecodeStage(feature_dim=8)
+        feats = [stage._decode(p, k) for p, k in zip(batch["frame"].to_pylist(), batch["kind"].to_pylist())]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "features": pa.array([list(f) for f in feats], type=pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(frame_features, batch_format="pyarrow", batch_size=batch_size)
