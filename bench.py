@@ -135,6 +135,32 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship pipeline's ds.stats() operator breakdown at
+    NUM_CPUS over GRAFT_SF_DIR's corpus — the per-operator tuning loop."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from titan_ray.config import QCConfig
+    from titan_ray.corpus import corpus_path_for_sf
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    corpus = corpus_path_for_sf(_sf())
+    cfg = QCConfig(dedup=True, scorer_concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
+    ds = build_qc_pipeline(rd.read_parquet(corpus), cfg, num_buckets=max(64, NUM_CPUS * 4))
+    out = "/tmp/titan_ray_stats_out"
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out)
+    print(ds.stats())
+    ray.shutdown()
+
+
 STAGES = ("read", "dedup", "scorer", "rowwise", "conv", "scrub", "write")
 
 
@@ -284,6 +310,8 @@ if __name__ == "__main__":
         print(json.dumps(run_bandwidth_probe()))
     elif "--stages" in sys.argv:
         print(json.dumps(run_stages()))
+    elif "--stats" in sys.argv:
+        run_stats()
     elif "--stage-run" in sys.argv:
         print(json.dumps(run_stage(os.environ.get("GRAFT_STAGE", "read"))))
     else:

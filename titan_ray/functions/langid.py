@@ -34,11 +34,13 @@ _QUANT = 8.0  # log-prob quantization steps per nat (int8 table)
 
 
 def _train_table() -> np.ndarray:
-    """(HASH_BUCKETS, n_lang) int8 table of QUANTIZED per-language trigram
-    log-probs. int8 cuts the per-window gather traffic 4x vs float32 — the
-    scorer is memory-bandwidth-bound, and this directly raises the
-    multi-worker scaling ceiling. Quantization error (1/16 nat) is far below
-    the language-discrimination margins."""
+    """(HASH_BUCKETS, n_lang) int16 table of QUANTIZED per-language trigram
+    log-probs (values still clipped to int8 range). int16 storage lets the
+    per-row segment reduction run DIRECTLY on the gathered rows — max
+    segment sum is (MAX_BYTES/STRIDE) * 127 = 16256 < 2^15, so reduceat
+    accumulates without the 2x-wider int32 materialization the scorer's
+    bandwidth bound cannot afford. Quantization error (1/8 nat) is far
+    below the language-discrimination margins."""
     table = np.zeros((HASH_BUCKETS, len(LANGS)), dtype=np.float64)
     for j, lang in enumerate(LANGS):
         data = np.frombuffer(SEED_CORPORA[lang].encode("utf-8"), dtype=np.uint8)
@@ -48,7 +50,7 @@ def _train_table() -> np.ndarray:
         probs = (counts + 0.05) / (counts.sum() + 0.05 * HASH_BUCKETS)
         table[:, j] = np.log(probs)
     q = np.clip(np.round(table * _QUANT), -127, 127)
-    return q.astype(np.int8)
+    return q.astype(np.int16)
 
 
 _TABLE: np.ndarray | None = None
@@ -61,9 +63,13 @@ def table() -> np.ndarray:
     return _TABLE
 
 
-STRIDE = 2        # score every 2nd trigram window — halves the gather with
-                  # negligible discrimination loss (profiles are smooth)
+STRIDE = 4        # score every 4th trigram window — quarters the gather
+                  # with negligible discrimination loss (profiles are
+                  # smooth; ~50 samples on a typical 200-byte turn)
 MAX_BYTES = 512   # langid needs only a prefix of very long rows
+
+# int16 reduceat safety: the largest per-row segment sum
+assert (MAX_BYTES // STRIDE) * 127 < 2**15
 
 
 def detect(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -93,17 +99,18 @@ def detect(texts) -> tuple[np.ndarray, np.ndarray]:
     idx = multi_arange(np.zeros_like(starts), s_counts) * STRIDE + np.repeat(starts, s_counts)
     if len(idx) == 0:
         return lang_out, conf_out
-    gathered = tab[(h[idx] % HASH_BUCKETS).astype(np.int64)]  # (n_sel, n_lang) i8
-    # per-row segment sums via reduceat (int32 accumulate over short segments,
-    # then de-quantize; dtype= on the ufunc hits a slow non-SIMD path, so
-    # cast first)
+    # power-of-two bucket mask (cheaper than %) and a direct uint64 index —
+    # no int64 astype pass over the selection
+    gathered = tab[h[idx] & np.uint64(HASH_BUCKETS - 1)]  # (n_sel, n_lang) i16
+    # per-row segment sums via reduceat accumulating IN int16 (safe per the
+    # static assert above) — no widened copy of the gathered matrix
     g_ends = np.cumsum(s_counts)
     g_starts = (g_ends - s_counts).astype(np.int64)
     nz = s_counts > 0
     red_idx = g_starts[nz]
     sums = np.zeros((n_rows, gathered.shape[1]), dtype=np.float64)
     if len(red_idx):
-        sums[nz] = np.add.reduceat(gathered.astype(np.int32), red_idx, axis=0) / _QUANT
+        sums[nz] = np.add.reduceat(gathered, red_idx, axis=0) / _QUANT
     scored = nz & valid
     mean_lp = np.zeros_like(sums)
     mean_lp[scored] = sums[scored] / s_counts[scored, None]

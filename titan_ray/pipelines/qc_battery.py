@@ -47,7 +47,7 @@ from ..schema import (
 )
 
 SCORES_ROOT = "/tmp/titan_ray_scores"
-SCORES_VERSION = "v2"  # bump when scorer/dedup/corpus semantics change
+SCORES_VERSION = "v3"  # bump when scorer/dedup/corpus semantics change (v3: langid stride 4 + int16 table)
 
 SCORE_COLS = [
     "conv_id", "turn_idx", "role", "text", "tool", "ts",
