@@ -71,21 +71,11 @@ def _qc_metrics(sf_dir: str):
             }
         )
 
+    from titan_ray.functions.scalars import metrics_from_cells
+
     agg = _qc_dataset(sf_dir).map_batches(cells, batch_format="pyarrow")
     tot = agg.sum(["a", "b", "c", "d"])  # one pass, one aggregate
-    a, b, c, d = (float(tot[f"sum({k})"]) for k in ("a", "b", "c", "d"))
-    n = a + b + c + d
-    a_rand = (a + b) * (a + c) / n if n else 0.0
-    den_ets = a + b + c - a_rand
-    m = {
-        "acc": (a + d) / n if n else 0.0,
-        "pod": a / (a + c) if a + c else 0.0,
-        "pofa": b / (a + b) if a + b else 0.0,
-        "ets": (a - a_rand) / den_ets if den_ets else 0.0,
-        "precision": a / (a + b) if a + b else 0.0,
-        "recall": a / (a + c) if a + c else 0.0,
-        "f1": 2 * a / (2 * a + b + c) if 2 * a + b + c else 0.0,
-    }
+    m = metrics_from_cells(*(float(tot[f"sum({k})"]) for k in ("a", "b", "c", "d")))
     return pd.DataFrame([{"metric": k, "value": round(v, 6)} for k, v in sorted(m.items())])
 
 
@@ -176,6 +166,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha "
             "FROM documents"
         ),
+        # NOTE: engine punct excludes non-ASCII bytes (separate class);
+        # the SQL's punct = rest-of-bytes, equal because the documents
+        # table is pure ASCII (verified octet_length == length everywhere,
+        # same precondition as neardup_sql)
         "doc_quality_scores": (
             "WITH c AS (SELECT doc_id, strlen(text) AS n_bytes, "
             "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na, "

@@ -165,8 +165,14 @@ STAGES = ("read", "dedup", "scorer", "rowwise", "conv", "scrub", "write")
 
 
 def run_stage(stage: str) -> dict:
-    """Time ONE stage-prefix pipeline at NUM_CPUS (internal helper for
-    --stages; fresh process per call so levels don't share a Ray session)."""
+    """Time ONE stage pipeline at NUM_CPUS (internal helper for --stages;
+    fresh process per call so levels don't share a Ray session).
+
+    Semantics per stage (NOT uniformly cumulative — the table compares each
+    row's lo-vs-hi SCALING, not absolute seconds across rows):
+    read/dedup/scrub/write are ISOLATED pipelines over the raw corpus;
+    scorer/rowwise/conv are cumulative prefixes WITHOUT the dedup stage
+    (dedup's scaling is measured by its own row)."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,

@@ -137,3 +137,30 @@ def test_media_resize_and_frame_sample(ray_session):
     a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert (a["features"].map(tuple) == b["features"].map(tuple)).all()
+
+
+def test_ngram_jaccard_allpairs_matches_bruteforce(ray_session, tmp_path):
+    """The distributed inverted-index all-pairs path == brute force when no
+    shingle exceeds the common-shingle cap (46 docs < cap)."""
+    import pyarrow.parquet as pq
+    from titan_ray.stages import neardup
+
+    rng = np.random.default_rng(5)
+    words = [f"q{i:03d}z{i % 5}" for i in range(700)]
+    texts = [" ".join(words[k] for k in rng.integers(0, len(words), 25)) for _ in range(40)]
+    for i in range(6):
+        t = texts[i].split()
+        t[3] = "other"
+        texts.append(" ".join(t))
+    sf_dir = tmp_path / "sf0.6"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        sf_dir / "documents.parquet",
+    )
+    got = neardup.ngram_jaccard_allpairs(str(sf_dir), 0.5).to_pandas()
+    want = _brute_jaccard(texts, 0.5)
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert list(zip(got["doc_a"], got["doc_b"])) == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["jaccard"], [j for _, _, j in want], atol=1e-4)

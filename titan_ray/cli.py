@@ -63,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
         # two autoscaling actor pools (scorer chain, conv chain) each pin a
         # CPU; below 4 the shuffle tasks can starve and the job deadlocks
         raise SystemExit("--num-cpus must be >= 4 (actor pools + shuffle tasks)")
-    if not ray.is_initialized():
+    own_session = not ray.is_initialized()
+    if own_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     try:
@@ -94,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
             out.write_parquet(args.output)
         return 0
     finally:
-        ray.shutdown()
+        if own_session:  # never tear down an embedding process's session
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -242,6 +242,19 @@ def write_corpus(out_dir: str, n_turns: int, seed: int = 42, shards: int = 8, me
     return out_dir
 
 
+def corpus_fingerprint(sf: float, root: str = "/tmp/titan_ray_corpus") -> str:
+    """Content of the corpus _SUCCESS marker (n_turns + seed) — dependent
+    caches (scored corpus, LSH candidates) embed it so a regenerated corpus
+    invalidates them."""
+    import os
+
+    marker = os.path.join(root, f"sf{sf:g}", "_SUCCESS")
+    try:
+        return open(marker).read().strip()
+    except OSError:
+        return "absent"
+
+
 def corpus_path_for_sf(sf: float, root: str = "/tmp/titan_ray_corpus", seed: int = 42) -> str:
     """Materialize (once) and return the corpus directory for a scale factor."""
     import os

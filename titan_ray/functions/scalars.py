@@ -24,16 +24,11 @@ def lapse_adjust(val: np.ndarray, z: np.ndarray, gamma: float = -0.0065, z_ref: 
     return np.asarray(val, dtype=np.float64) + gamma * (np.asarray(z, dtype=np.float64) - z_ref)
 
 
-def contingency_metrics(pred_bad: np.ndarray, truth_bad: np.ndarray) -> dict[str, float]:
-    """ACC / POD / POFA / ETS from the (a,b,c,d) contingency table
-    (reference: test/test_titan_ta_sct.r:10-18) plus precision/recall/F1 —
-    the engine's conformance scorecard."""
-    pred_bad = np.asarray(pred_bad, dtype=bool)
-    truth_bad = np.asarray(truth_bad, dtype=bool)
-    a = float(np.sum(pred_bad & truth_bad))       # hits
-    b = float(np.sum(pred_bad & ~truth_bad))      # false alarms
-    c = float(np.sum(~pred_bad & truth_bad))      # misses
-    d = float(np.sum(~pred_bad & ~truth_bad))     # correct negatives
+def metrics_from_cells(a: float, b: float, c: float, d: float) -> dict[str, float]:
+    """ACC / POD / POFA / ETS / precision / recall / F1 from the (a,b,c,d)
+    contingency cells (reference: test/test_titan_ta_sct.r:10-18) — the one
+    formula implementation; callers supply cells however they aggregate
+    them (driver-side booleans here, distributed Sum in __ray_entry__)."""
     n = a + b + c + d
     a_random = (a + b) * (a + c) / n if n else 0.0
     denom_ets = a + b + c - a_random
@@ -46,3 +41,15 @@ def contingency_metrics(pred_bad: np.ndarray, truth_bad: np.ndarray) -> dict[str
         "recall": a / (a + c) if a + c else 0.0,
         "f1": 2 * a / (2 * a + b + c) if 2 * a + b + c else 0.0,
     }
+
+
+def contingency_metrics(pred_bad: np.ndarray, truth_bad: np.ndarray) -> dict[str, float]:
+    """metrics_from_cells over boolean prediction/truth vectors."""
+    pred_bad = np.asarray(pred_bad, dtype=bool)
+    truth_bad = np.asarray(truth_bad, dtype=bool)
+    return metrics_from_cells(
+        float(np.sum(pred_bad & truth_bad)),
+        float(np.sum(pred_bad & ~truth_bad)),
+        float(np.sum(~pred_bad & truth_bad)),
+        float(np.sum(~pred_bad & ~truth_bad)),
+    )

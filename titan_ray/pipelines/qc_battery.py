@@ -79,10 +79,13 @@ def ensure_scored(sf_dir: str) -> str:
     from ..stages.dedup import dedup_exact
     from ..stages.scorer import Scorer
 
+    from ..corpus import corpus_fingerprint
+
     sf = _sf_of(sf_dir)
     out = scores_dir(sf)
     marker = os.path.join(out, "_SUCCESS")
-    stamp = f"{SCORES_VERSION} sf={sf:g}"
+    corpus_path_for_sf(sf)  # ensure the corpus (and its marker) exists first
+    stamp = f"{SCORES_VERSION} sf={sf:g} corpus=({corpus_fingerprint(sf)})"
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out
     import shutil

@@ -221,10 +221,15 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, n_planes: int = 
         emb = pa.concat_arrays(
             [e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e for e in embs]
         )
+        # ONE composite group key (table << n_planes | bucket): grouping by
+        # the 2^n_planes-valued bucket alone would co-locate every table's
+        # rows in a handful of giant groups (review r2 finding)
+        tab_arr = np.concatenate(tabs).astype(np.int64)
+        key_arr = np.concatenate(keys)
         return pa.table(
             {
-                "table": pa.array(np.concatenate(tabs)),
-                "bucket": pa.array(np.concatenate(keys)),
+                "table": pa.array(tab_arr.astype(np.int32)),
+                "bucket": pa.array((tab_arr << n_planes) | key_arr),
                 "vec_id": pa.array(np.concatenate(out_ids)),
                 "embedding": emb,
             }

@@ -213,6 +213,11 @@ def _trend_z(q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: i
     dt = tm - t[:, None]
     dt = np.where(np.isnan(m), np.nan, dt)
     cols = m.shape[1]
+    if cols > 129:  # ~8.3k slope pairs/row; beyond this the pair matrix OOMs
+        raise ValueError(
+            f"trend background with a {cols}-position window (duplicate "
+            "multiplicity too high) — run dedup before the conversation checks"
+        )
     ia, ib = np.triu_indices(cols, k=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         ddt = dt[:, ia] - dt[:, ib]

@@ -119,9 +119,10 @@ def range_join(left, right, by: str, on: str, lo, hi, right_cols: tuple[str, ...
             total = int(counts.sum())
             if total == 0:
                 continue
+            from ..functions.strings import multi_arange
+
             li = np.repeat(np.arange(len(l)), counts)
-            cum = np.cumsum(counts)
-            ri = np.arange(total) + np.repeat(starts - np.concatenate([[0], cum[:-1]]), counts)
+            ri = multi_arange(starts, counts)
             part = pd.DataFrame(
                 {c: l[c].to_numpy()[li] for c in l.columns if c not in ("_side", "_b")}
             )

@@ -118,11 +118,16 @@ def ensure_media_table(sf_dir: str, rows_per_sf: int = 6400) -> str:
 
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     sf = float(m.group(1)) if m else 0.001
+    MEDIA_VERSION = "v2"
     out = os.path.join(MEDIA_ROOT, f"sf{sf:g}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    n = max(64, int(rows_per_sf * sf * 100))
+    stamp = f"{MEDIA_VERSION} n={n}"
+    if not (os.path.exists(marker) and open(marker).read().strip() == stamp):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        n = max(64, int(rows_per_sf * sf * 100))
         table = synth_media_table(n)
         shards = max(1, n // 256)
         bounds = [int(i * n / shards) for i in range(shards + 1)]
@@ -132,7 +137,7 @@ def ensure_media_table(sf_dir: str, rows_per_sf: int = 6400) -> str:
                 os.path.join(out, f"part-{i:05d}.parquet"),
             )
         with open(marker, "w") as f:
-            f.write(f"n={n}\n")
+            f.write(stamp + "\n")
     return out
 
 

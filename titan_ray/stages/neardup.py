@@ -283,9 +283,11 @@ def ngram_jaccard_allpairs(sf_dir: str, threshold: float = 0.2):
         g = df.groupby(["doc_a", "doc_b"], sort=False).agg(
             inter=("inter", "sum"), sa=("sa", "first"), sb=("sb", "first")
         ).reset_index()
+        from .ann import round_half_away
+
         jac = g["inter"] / (g["sa"] + g["sb"] - g["inter"])
         g = g[jac > threshold].copy()
-        g["jaccard"] = np.round(jac[jac > threshold].astype(float), 4)
+        g["jaccard"] = round_half_away(jac[jac > threshold].to_numpy(dtype=float), 4)
         return g[["doc_a", "doc_b", "jaccard"]]
 
     ds = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
@@ -340,6 +342,20 @@ def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0
 
     def emit(batch: pa.Table) -> pa.Table:
         lookup = ray.get(ref)
+        # filter to involved docs BEFORE shingling — the candidate set is
+        # typically <1% of docs and shingling is the dominant cost here
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        involved = np.fromiter(lookup.keys(), dtype=np.int64, count=len(lookup))
+        batch = batch.filter(pa.array(np.isin(ids, involved)))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "pid": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sh": pa.array([], type=pa.int64()),
+                    "_b": pa.array([], type=pa.int32()),
+                }
+            )
         doc, sh, _size = _distinct_shingles(batch)
         # rows of involved docs only, duplicated once per pair
         out_pid, out_doc, out_sh = [], [], []
@@ -425,11 +441,21 @@ def ensure_candidates(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
+    import hashlib
+
     m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     sf = float(m.group(1)) if m else 0.001
     path = candidates_path(sf)
     marker = os.path.join(os.path.dirname(path), "_SUCCESS")
-    stamp = f"{NEARDUP_VERSION} sf={sf:g}"
+    # fingerprint the SOURCE documents file so a regenerated table
+    # invalidates the cached candidate pairs (review r2 finding)
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        st = os.stat(src)
+        fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    except OSError:
+        fp = "absent"
+    stamp = f"{NEARDUP_VERSION} sf={sf:g} src={fp}"
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
