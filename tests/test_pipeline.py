@@ -191,3 +191,37 @@ def test_dedup_exact_tie_single_survivor(ray_session):
         ko = ora[(ora["conv_id"] == df.loc[10, "conv_id"]) & (ora["turn_idx"] == df.loc[10, "turn_idx"])]
         assert len(k) == 1 and len(ko) == 1, strategy
         assert k["text"].iloc[0] == ko["text"].iloc[0], strategy
+
+
+def test_dedup_near_drops_near_duplicates(ray_session):
+    """Epsilon-tolerance dedup at read (duplicate_check analog): a turn that
+    is a near-copy (one changed word) of an earlier turn is dropped; the
+    first-ranked copy and unrelated turns survive."""
+    import ray.data as rd
+
+    from titan_ray.stages.dedup import dedup_near
+
+    t = generate_corpus(700, seed=31, mega=False)
+    df = t.to_pandas()
+    # plant near-dups: copy 10 clean turns into OTHER conversations with one
+    # appended word (same normalized prefix => jaccard >> 0.5)
+    clean = df[~df[[c for c in df.columns if c.startswith("ge_")]].any(axis=1)]
+    src = clean.iloc[:10]
+    near = df.iloc[-10:].copy()
+    near["text"] = (src["text"].to_numpy() + " tail")
+    both = pd.concat([df.iloc[:-10], near], ignore_index=True)
+    ds = rd.from_arrow(pa.Table.from_pandas(both, preserve_index=False)).repartition(4)
+    out = dedup_near(ds, threshold=0.5).to_pandas()
+    # each planted near-pair loses exactly its higher-ranked member; the
+    # original copies survive
+    survivors = set(zip(out["conv_id"], out["turn_idx"]))
+    for _, row in src.iterrows():
+        assert (row["conv_id"], row["turn_idx"]) in survivors
+    assert len(out) <= len(both) - 8  # at least 8 of the 10 near-copies caught
+    # determinism across partitionings
+    out2 = dedup_near(
+        rd.from_arrow(pa.Table.from_pandas(both, preserve_index=False)).repartition(11),
+        threshold=0.5,
+    ).to_pandas()
+    assert sorted(zip(out["conv_id"].fillna("@"), out["turn_idx"])) == \
+           sorted(zip(out2["conv_id"].fillna("@"), out2["turn_idx"]))

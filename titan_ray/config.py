@@ -156,6 +156,11 @@ class QCConfig:
 
     # ---- dedup at read (reference: read_data_to_check.r:121-143, opt-in) ----
     dedup: bool = False
+    # NEAR-duplicate removal at read (the epsilon-radius analog of the
+    # reference's duplicate_check): MinHash/LSH + exact-Jaccard verify over
+    # normalized turn text; keeps the first-ranked copy of each near-pair
+    dedup_near: bool = False
+    dedup_near_threshold: float = 0.5
     # "shuffle": full-row hash-bucket shuffle (best when the text IS most of
     # the row, as here); "broadcast": narrow hash aggregate + broadcast
     # filter (wins when rows carry wide passthrough payloads the narrow

@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from ..config import QCConfig
 from ..stages.conv import run_conv_checks_arrow, salt_batch
-from ..stages.dedup import dedup_broadcast, dedup_exact
+from ..stages.dedup import dedup_broadcast, dedup_exact, dedup_near
 from ..stages.rowwise import (
     ccrrt_check,
     climatological_check,
@@ -44,6 +44,8 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
 
     if cfg.dedup:
         ds = dedup_broadcast(ds) if cfg.dedup_strategy == "broadcast" else dedup_exact(ds)
+    if cfg.dedup_near:
+        ds = dedup_near(ds, threshold=cfg.dedup_near_threshold)
 
     if cfg.impute_role_default is not None:
         ds = ds.map_batches(

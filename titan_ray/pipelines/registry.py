@@ -34,7 +34,7 @@ def _ensure_builtin() -> None:
         return
     from ..stages import rowwise
     from ..stages.conv import run_conv_checks_arrow, salt_batch
-    from ..stages.dedup import dedup_broadcast, dedup_exact
+    from ..stages.dedup import dedup_broadcast, dedup_exact, dedup_near
     from ..stages.scorer import Scorer
     from ..stages.scrub_stage import ScrubStage
     from ..sources.reader import affine_rescale_qscore, impute_defaults, project_output
@@ -50,6 +50,7 @@ def _ensure_builtin() -> None:
             "dedup": lambda ds, cfg: (
                 dedup_broadcast(ds) if cfg.dedup_strategy == "broadcast" else dedup_exact(ds)
             ),
+            "dedup_near": lambda ds, cfg: dedup_near(ds, threshold=cfg.dedup_near_threshold),
             "impute": lambda ds, cfg: ds.map_batches(
                 partial(impute_defaults, role_default=cfg.impute_role_default),
                 batch_format="pyarrow", batch_size=cfg.batch_size,

@@ -193,3 +193,130 @@ def dedup_broadcast(ds):
         return batch.filter(pa.array(~drop.to_numpy()))
 
     return ds.map_batches(drop_nonfirst, batch_format="pyarrow")
+
+
+def dedup_near(ds, threshold: float = 0.5, num_buckets: int = 64):
+    """NEAR-duplicate removal at read over transcript text — the epsilon-
+    tolerance analog of the reference's duplicate_check (500 m / 1 m radii,
+    read_data_to_check.r:121-143; exact dedup covers distance 0, this
+    covers 'close'): MinHash/LSH candidates over normalized turn text ->
+    exact-Jaccard verify on candidates only -> drop the HIGHER-ranked row
+    of each verified pair (rank = the same (conv_id, turn_idx, ts, content)
+    order exact dedup keeps-first by).
+
+    Scale shape mirrors minhash_dedup_docs: one narrow (band_hash, rank)
+    shuffle for candidates, pair-bucketed verify, broadcast drop set; the
+    wide rows stream through a single stateless filter."""
+    import ray
+
+    from .neardup import (
+        MAX_BAND_BUCKET,
+        _bucket_pairs,
+        band_hashes,
+        minhash_signatures,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        norm, rank = _norm_and_rank(batch)
+        texts = pa.array(norm.to_numpy(dtype=object), type=pa.string())
+        sig = minhash_signatures(texts)
+        bh = band_hashes(sig)
+        bands = bh.shape[1]
+        # doc_id := dense rank string (kept-first order is rank order)
+        doc = np.repeat(rank.to_numpy(dtype=object), bands)
+        band = np.tile(np.arange(bands, dtype=np.int32), batch.num_rows)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.string()),
+                "band": pa.array(band),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+                "_b": pa.array((bh.reshape(-1) % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    cand = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda d: _bucket_pairs(d, ["band", "band_hash"]), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .to_pandas()
+    )
+    # verify candidates exactly: co-locate each pair's two normalized texts
+    pair_of_rank: dict[str, list[int]] = {}
+    for pid, (a, b) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        pair_of_rank.setdefault(a, []).append(pid)
+        pair_of_rank.setdefault(b, []).append(pid)
+    ref = ray.put(pair_of_rank)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from .neardup import _distinct_shingles
+
+        lookup = ray.get(ref)
+        norm, rank = _norm_and_rank(batch)
+        rk = rank.to_numpy(dtype=object)
+        keep = np.asarray([r in lookup for r in rk])
+        if not keep.any():
+            return pa.table(
+                {"pid": pa.array([], type=pa.int64()), "rank": pa.array([], type=pa.string()),
+                 "sh": pa.array([], type=pa.int64()), "_b": pa.array([], type=pa.int32())}
+            )
+        sub_norm = norm.to_numpy(dtype=object)[keep]
+        sub_rank = rk[keep]
+        tbl = pa.table({"doc_id": pa.array(np.arange(keep.sum(), dtype=np.int64)),
+                        "text": pa.array(list(sub_norm), type=pa.string())})
+        doc, sh, _ = _distinct_shingles(tbl)
+        pid_out, rank_out, sh_out = [], [], []
+        bounds = np.flatnonzero(np.concatenate([[True], doc[1:] != doc[:-1], [True]]))
+        for s_, e_ in zip(bounds[:-1], bounds[1:]):
+            r = sub_rank[doc[s_]]
+            for pid in lookup.get(r, ()):
+                pid_out.append(np.full(e_ - s_, pid, dtype=np.int64))
+                rank_out.extend([r] * (e_ - s_))
+                sh_out.append(sh[s_:e_].astype(np.int64))
+        if not pid_out:
+            return pa.table(
+                {"pid": pa.array([], type=pa.int64()), "rank": pa.array([], type=pa.string()),
+                 "sh": pa.array([], type=pa.int64()), "_b": pa.array([], type=pa.int32())}
+            )
+        pid_arr = np.concatenate(pid_out)
+        return pa.table(
+            {
+                "pid": pa.array(pid_arr),
+                "rank": pa.array(rank_out, type=pa.string()),
+                "sh": pa.array(np.concatenate(sh_out)),
+                "_b": pa.array((pid_arr % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        drops = []
+        for _pid, g in df.groupby("pid", sort=False):
+            by_rank = g.groupby("rank", sort=False)["sh"]
+            if by_rank.ngroups != 2:
+                continue
+            (ra, sa), (rb, sb) = ((r, s.to_numpy()) for r, s in by_rank)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union > threshold:
+                drops.append(max(ra, rb))  # keep the lower (first) rank
+        return pd.DataFrame({"rank": pd.Series(drops, dtype=object)})
+
+    drops = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda d: per_pair(d.drop(columns=["_b"])), batch_format="pandas")
+        .to_pandas()
+    )
+    drop_set = set(drops["rank"]) if len(drops) else set()
+    drop_ref = ray.put(np.asarray(sorted(drop_set), dtype=object))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return batch
+        _, rank = _norm_and_rank(batch)
+        return batch.filter(pa.array(~np.isin(rank.to_numpy(dtype=object), d)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
