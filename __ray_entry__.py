@@ -141,6 +141,18 @@ def _scrub_sql_expr(col: str = "text") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # safety net for call-order: the battery/neardup oracles read parquet
+    # the engine persists under /tmp — make sure it exists even if the
+    # driver evaluates the SQL before running the corresponding queries()
+    # (Ray is initialised by the driver before importing this module)
+    try:
+        qc_battery.ensure_scored("/root/testdata/sf0.01")
+        from titan_ray.stages.neardup import ensure_candidates
+
+        ensure_candidates("/root/testdata/sf0.01")
+    except Exception:
+        pass  # queries() creates them; worst case the gate reports the error
+
     tok = _TOKEN_PATTERN  # duckdb single-quoted strings keep backslashes literal
     cos = (
         "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
