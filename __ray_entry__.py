@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": docqc.doc_token_counts,
         "doc_char_classes": docqc.doc_char_classes,
         "doc_quality_scores": docqc.doc_quality_scores,
+        "doc_stopword_ratio": docqc.doc_stopword_ratio,
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_scrub": docqc.doc_scrub,
@@ -136,7 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _scrub_sql_expr(col: str = "text") -> str:
     expr = col
     for _name, pat, repl in SCRUB_RULES:
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        q = pat.replace("'", "''")  # SQL string-literal escaping
+        expr = f"regexp_replace({expr}, '{q}', '{repl}', 'g')"
     return expr
 
 
@@ -196,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(ns AS DOUBLE) / greatest(n_bytes, 1), 6) AS space_ratio, "
             "token_count FROM c"
         ),
+        "doc_stopword_ratio": docqc.stopword_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "
             "WHERE length(text) BETWEEN 20 AND 2000 "

@@ -79,7 +79,12 @@ def stopword_ratio(texts: pa.Array, n_words: np.ndarray) -> np.ndarray:
     """Fraction of whitespace tokens that are English stopwords (vectorized
     via pyarrow count_substring over lowercased padded text)."""
     lowered = pc.utf8_lower(texts)
-    padded = pc.binary_join_element_wise(pa.scalar(" "), lowered, pa.scalar(" "), null_handling="replace")
+    # NOTE the last positional argument of binary_join_element_wise is the
+    # SEPARATOR — the round-1 3-arg call made the trailing " " the separator
+    # and left no trailing pad, silently missing stopwords at end-of-text
+    padded = pc.binary_join_element_wise(
+        pa.scalar(" "), lowered, pa.scalar(" "), "", null_handling="replace"
+    )
     total = np.zeros(len(texts), dtype=np.float64)
     for w in STOPWORDS:
         c = pc.count_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)

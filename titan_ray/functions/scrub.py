@@ -27,6 +27,9 @@ SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
     ("phone", r"(?:\+[0-9]{1,3}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b", "[PHONE]"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
     ("api_key", r"\b(?:sk|pk|ak)-[A-Za-z0-9]{16,}\b", "[KEY]"),
+    # URLs after email (an email's domain must not first become part of a
+    # URL match) — RE2-safe class, no lookarounds
+    ("url", r"https?://[^\s\"'<>]+", "[URL]"),
 )
 
 # Toxicity lexicon (mild placeholder terms — the mechanism, not a full list).

@@ -200,3 +200,48 @@ def doc_quality_scores(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_stopword_ratio(sf_dir: str):
+    """Stopword ratio per document (graft brief: quality scoring): fraction
+    of whitespace tokens that are English stopwords — engine counts via one
+    padded substring scan per stopword (pyarrow re2-free count_substring);
+    the DuckDB oracle replays it with replace()-difference counting (both
+    count NON-OVERLAPPING occurrences left-to-right, so they agree)."""
+    from ..functions.features import STOPWORDS, stopword_ratio
+    from ..functions.strings import string_view, word_counts
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        data, offsets, _ = string_view(texts)
+        n_words = word_counts(data, offsets)
+        ratio = stopword_ratio(texts, n_words.astype(np.int32))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "stopword_ratio": pa.array(round_half_away(ratio, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def stopword_sql() -> str:
+    """DuckDB oracle for doc_stopword_ratio."""
+    from ..functions.features import STOPWORDS
+
+    terms = " + ".join(
+        f"(strlen(p) - strlen(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        for w in STOPWORDS
+    )
+    return (
+        "WITH b AS (SELECT doc_id, concat(' ', lower(text), ' ') AS p, "
+        "CAST(length(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_words "
+        "FROM documents) "
+        f"SELECT doc_id, n_words, round(CAST({terms} AS DOUBLE) / greatest(n_words, 1), 6) "
+        "AS stopword_ratio FROM b"
+    )
