@@ -225,3 +225,17 @@ def test_dedup_near_drops_near_duplicates(ray_session):
     ).to_pandas()
     assert sorted(zip(out["conv_id"].fillna("@"), out["turn_idx"])) == \
            sorted(zip(out2["conv_id"].fillna("@"), out2["turn_idx"]))
+
+
+def test_dedup_near_engine_oracle_parity(ray_session):
+    """dedup_near=True: full pipeline engine == serial oracle row-for-row."""
+    import ray.data as rd
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    t = generate_corpus(1100, seed=33, mega=False)
+    cfg = QCConfig(dedup=True, dedup_near=True)
+    ora = oracle_qc(t, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    eng = build_qc_pipeline(rd.from_arrow(t).repartition(6), cfg).to_pandas()
+    eng = eng.sort_values(KEY, na_position="last").reset_index(drop=True)
+    assert len(eng) == len(ora)
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()

@@ -69,6 +69,41 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
             keep_rows.append(i)
         df = df.loc[sorted(keep_rows)].drop(columns=["_chash"])
     df = df.reset_index(drop=True)
+
+    # ---- NEAR dedup (epsilon-radius duplicate_check analog): same
+    # minhash/LSH candidacy + exact-Jaccard verify the engine uses, run
+    # serially; drop the higher-ranked member of each verified pair ----
+    if getattr(cfg, "dedup_near", False):
+        from ..stages.dedup import _norm_and_rank
+        from ..stages.neardup import SHINGLE, band_hashes, minhash_signatures
+
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        norm, rank = _norm_and_rank(tbl)
+        norm_np = norm.to_numpy(dtype=object)
+        rank_np = rank.to_numpy(dtype=object)
+        sig = band_hashes(minhash_signatures(pa.array(list(norm_np), type=pa.string())))
+        cand = set()
+        for b in range(sig.shape[1]):
+            buckets: dict[int, list[int]] = {}
+            for i, h in enumerate(sig[:, b]):
+                buckets.setdefault(int(h), []).append(i)
+            for rows_ in buckets.values():
+                if 1 < len(rows_) <= 256:
+                    for x in range(len(rows_)):
+                        for y in range(x + 1, len(rows_)):
+                            cand.add((rows_[x], rows_[y]))
+        shingle_sets = [
+            {norm_np[i][j : j + SHINGLE] for j in range(max(len(norm_np[i]) - SHINGLE + 1, 0))}
+            for i in range(len(norm_np))
+        ]
+        drop_ranks = set()
+        for i, j in cand:
+            si, sj = shingle_sets[i], shingle_sets[j]
+            u = len(si | sj)
+            if u and len(si & sj) / u > cfg.dedup_near_threshold:
+                drop_ranks.add(max(rank_np[i], rank_np[j]))
+        df = df[~pd.Series(rank_np).isin(drop_ranks).to_numpy()].reset_index(drop=True)
+
     n = len(df)
     flags = np.full(n, UNFLAGGED, dtype=np.int32)
 
