@@ -22,7 +22,7 @@ import os
 import shutil
 import time
 
-ENGINE_VERSION = "titan_ray-r1"
+ENGINE_VERSION = "titan_ray-r2"
 
 
 def _partition_inputs(input_dir: str, files_per_partition: int) -> list[list[str]]:
@@ -73,8 +73,10 @@ def run_qc_resumable(
                 m = json.load(f)
             # a manifest only covers THIS partition if the input file list
             # matches exactly — resuming with a different files_per_partition
-            # must re-run, not silently skip (verified failure mode)
-            if m.get("inputs") == files:
+            # must re-run, not silently skip (verified failure mode) — and
+            # only if the ENGINE version matches: resuming after an engine
+            # upgrade must not mix old- and new-semantics partitions
+            if m.get("inputs") == files and m.get("engine_version") == ENGINE_VERSION:
                 total_rows += m["rows"]
                 skipped += 1
                 continue
