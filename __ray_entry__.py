@@ -92,9 +92,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qc_conv_fgt": qc_battery.qc_conv_fgt,
         "qc_conv_isolation": qc_battery.qc_conv_isolation,
         "qc_positional_lists": qc_battery.qc_positional_lists,
-        # --- flagship in cascade mode (iterative convergence — non-SQL;
-        # verified by the serial oracle + planted-label F1 in pytest) ---
-        "qc_full_cascade": _qc_dataset,
+        # --- SCT OI machinery: sctpog + corep value parity (round-3) ---
+        "qc_sct_scores": qc_battery.qc_sct_scores,
+        # --- flagship in cascade mode (iterative reference semantics) —
+        # DuckDB-checked via the pass-by-pass unrolled cascade_sql ---
+        "qc_full_cascade": qc_battery.qc_full_cascade,
         "qc_metrics": _qc_metrics,
         # --- document-table analogs (SQL-checked) ---
         "doc_length_stats": docqc.doc_length_stats,
@@ -142,18 +144,34 @@ def _scrub_sql_expr(col: str = "text") -> str:
     return expr
 
 
+# the driver's correctness gate runs engine queries AND oracle SQL at this
+# scale factor; battery/neardup SQL read /tmp artifacts keyed by it. If the
+# gate ever moves to another sf, change ONLY this constant (round-2 advice
+# item 1 — previously hardcoded in several places).
+GATE_SF = 0.01
+GATE_SF_DIR = f"/root/testdata/sf{GATE_SF:g}"
+
+
 def oracle_sql() -> dict[str, str]:
     # safety net for call-order: the battery/neardup oracles read parquet
     # the engine persists under /tmp — make sure it exists even if the
     # driver evaluates the SQL before running the corresponding queries()
     # (Ray is initialised by the driver before importing this module)
     try:
-        qc_battery.ensure_scored("/root/testdata/sf0.01")
+        qc_battery.ensure_scored(GATE_SF_DIR)
+        from titan_ray.functions.langid import ensure_table_parquet
         from titan_ray.stages.neardup import ensure_candidates
 
-        ensure_candidates("/root/testdata/sf0.01")
+        ensure_candidates(GATE_SF_DIR)
+        ensure_table_parquet()
     except Exception:
-        pass  # queries() creates them; worst case the gate reports the error
+        # queries() creates them; worst case the gate reports the error —
+        # but log it so a provisioning failure is visible, not swallowed
+        import logging
+
+        logging.getLogger("titan_ray.oracle").exception(
+            "oracle_sql: /tmp artifact provisioning failed"
+        )
 
     tok = _TOKEN_PATTERN  # duckdb single-quoted strings keep backslashes literal
     cos = (
@@ -164,8 +182,8 @@ def oracle_sql() -> dict[str, str]:
     out = {
         # flagship battery over the persisted scored corpus (the driver gate
         # runs at sf=0.01; queries() writes the file before the SQL reads it)
-        **qc_battery.battery_sql(0.01),
-        **neardup.neardup_sql(0.01),
+        **qc_battery.battery_sql(GATE_SF),
+        **neardup.neardup_sql(GATE_SF),
         "doc_length_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
@@ -199,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
             "token_count FROM c"
         ),
         "doc_stopword_ratio": docqc.stopword_sql(),
+        "doc_langid": docqc.langid_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "
             "WHERE length(text) BETWEEN 20 AND 2000 "

@@ -21,6 +21,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# silence the C++ core_worker chatter (e.g. the actor-restart-args note) so
+# the bench log of record ends at the JSON line
+os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
+
 
 def _sf() -> float:
     import re
@@ -29,17 +33,35 @@ def _sf() -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _quiet_init(num_cpus: int) -> None:
+    """ray.init with a clean log tail: no worker-log forwarding (the
+    'Failed to hash the schemas' lines are upstream log-dedup noise emitted
+    from worker processes) and ray.data driver loggers at ERROR (the
+    empty-block-after-Sort RefBundle schema warnings are cosmetic — empty
+    partitions of Ray's own sort, not engine blocks)."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+    # Ray Data registers fresh per-dataset loggers at execution start that
+    # bypass the parent level — suppress everything below ERROR process-wide
+    # (bench output is the single JSON print; nothing legitimate is lost)
+    logging.disable(logging.WARNING)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
 def run_bench() -> dict:
     if not os.path.isdir(SF_DIR) and not os.environ.get("GRAFT_HEADLINE_ONLY"):
         raise SystemExit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    _quiet_init(NUM_CPUS)
 
     from titan_ray.config import QCConfig
     from titan_ray.corpus import corpus_path_for_sf
@@ -140,11 +162,7 @@ def run_stats() -> None:
     NUM_CPUS over GRAFT_SF_DIR's corpus — the per-operator tuning loop."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    _quiet_init(NUM_CPUS)
     import ray.data as rd
 
     from titan_ray.config import QCConfig
@@ -175,11 +193,7 @@ def run_stage(stage: str) -> dict:
     (dedup's scaling is measured by its own row)."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    _quiet_init(NUM_CPUS)
     import ray.data as rd
     from functools import partial
 

@@ -229,3 +229,166 @@ def test_lapse_adjust_formula():
 
     out = lapse_adjust(np.array([10.0]), np.array([1500.0]), gamma=-0.0065, z_ref=500.0)
     assert np.allclose(out, 10.0 - 0.0065 * 1000.0)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: fgt member ensemble, SCT eps2/corep, cascade SQL oracle,
+# dedup_broadcast guard, langid SQL oracle
+# ---------------------------------------------------------------------------
+
+
+def test_fgt_member_ensemble_majority_vote():
+    """Member-level fgt ensemble (fgt.r:335-343): each member tests against
+    its OWN background mu_k = mu + sd*spread*u_k; majority-vote semantics —
+    a deviation flagged by only a minority of members does not flag."""
+    from titan_ray.stages.conv import run_conv_checks
+
+    base = dict(enable_dual=False, enable_buddy=False, enable_sct=False,
+                enable_isolation=False, fgt_t=2.0,
+                fgt_ref={"user": (2.0, 0.5)})
+    # dev = |q - mu_k|; members at mu_k = 2.0 + 0.5*0.25*{-1,0,1} = {1.875, 2.0, 2.125}
+    # q = 3.1: devs {1.225, 1.1, 0.975} vs t*sd = 1.0 -> votes 2/3 => flag
+    # q = 3.05: devs {1.175, 1.05, 0.925} -> votes 2/3 => flag
+    # q = 2.99: devs {1.115, 0.99, 0.865} -> votes 1/3 => no flag
+    q = [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 3.1, 3.05, 2.99]
+    out = run_conv_checks(_kernel_df(q), QCConfig(**base, fgt_ensemble=3))
+    flags = out.sort_values("turn_idx")["dqcflag"].to_numpy()
+    assert flags[6] == 11 and flags[7] == 11 and flags[8] == -1
+    # ensemble=1 reduces exactly to the single test (round-2 verdict item 9):
+    # q=2.99 has dev 0.99 < t*sd=1.0 -> unflagged there too
+    out1 = run_conv_checks(_kernel_df(q), QCConfig(**base, fgt_ensemble=1))
+    single = out1.sort_values("turn_idx")["dqcflag"].to_numpy()
+    assert (single[6:] == np.array([11, 11, -1])).all()
+
+
+def test_sct_eps2_corep_emitted_and_weighted():
+    """corep = z^2 * eps2/(1+eps2) for judged rows (sct_resistant.r:158-188
+    / read_data_to_check.r:281-290 analog); sct_weighted shrinks the test
+    statistic so borderline outliers stop flagging."""
+    from titan_ray.stages.conv import run_conv_checks
+
+    base = dict(enable_dual=False, enable_buddy=False, enable_fgt=False,
+                enable_isolation=False)
+    q = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.1, 0.9, 1.0, 9.0]
+    out = run_conv_checks(_kernel_df(q), QCConfig(**base))
+    out = out.sort_values("turn_idx").reset_index(drop=True)
+    judged = ~out["sctpog"].isna()
+    assert judged.any()
+    w = 0.5 / 1.5  # default eps2 0.5
+    assert np.allclose(out.loc[judged, "corep"], out.loc[judged, "sctpog"] * w)
+    assert out["dqcflag"].iloc[-1] == 1  # the planted outlier flags unweighted
+    # weighted: pog = z^2*w vs t^2 — same outlier now needs z^2 > 3*t^2
+    out_w = run_conv_checks(
+        _kernel_df(q), QCConfig(**base, sct_weighted=True, sct_eps2_default=0.5)
+    ).sort_values("turn_idx").reset_index(drop=True)
+    jw = ~out_w["sctpog"].isna()
+    assert np.allclose(out_w.loc[jw, "sctpog"], out_w.loc[jw, "corep"])  # pog==corep when weighted
+
+
+def test_sct_weighted_engine_oracle_parity(ray_session, small_corpus):
+    """sct_weighted + per-role eps2: Ray engine == serial oracle exactly."""
+    import ray.data as rd
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    cfg = QCConfig(dedup=True, sct_weighted=True, sct_t=2.0,
+                   sct_eps2={"tool": 0.8, "system": 0.3})
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    ds = rd.from_arrow(small_corpus).repartition(9)
+    eng = build_qc_pipeline(ds, cfg).to_pandas().sort_values(KEY, na_position="last").reset_index(drop=True)
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+    e = eng["corep"].fillna(-9).to_numpy()
+    o = ora["corep"].fillna(-9).to_numpy()
+    assert np.allclose(e, o, atol=1e-12)
+
+
+def test_cascade_sql_parity_small():
+    """The unrolled cascade oracle (round-2 verdict item 2): DuckDB replay of
+    the ITERATIVE mode == engine flags at sf0.001 (the real gate runs at
+    sf0.01; tools/check_contract.py covers that path)."""
+    import duckdb as _dd
+
+    from titan_ray.pipelines import qc_battery
+
+    pytest.importorskip("ray")
+    import ray
+
+    if not ray.is_initialized():
+        pytest.skip("needs the session fixture")
+    sf_dir = "/root/testdata/sf0.001"
+    if not __import__("os").path.isdir(sf_dir):
+        pytest.skip("testdata absent")
+    qc_battery.ensure_scored(sf_dir)
+    eng = qc_battery.qc_full_cascade(sf_dir).to_pandas()
+    eng = eng.sort_values(["conv_id", "turn_idx", "role"], na_position="last").reset_index(drop=True)
+    ora = _dd.connect().execute(qc_battery.cascade_sql(0.001)).df()
+    ora = ora.sort_values(["conv_id", "turn_idx", "role"], na_position="last").reset_index(drop=True)
+    assert len(eng) == len(ora)
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+    assert (eng["keep"].to_numpy() == ora["keep"].to_numpy()).all()
+
+
+def test_dedup_broadcast_fallback_on_large_dup_map(ray_session):
+    """High-dup corpus: the broadcast strategy counts the duplicate map and
+    falls back to dedup_exact above the bound (round-2 verdict item 6)."""
+    import ray.data as rd
+
+    from titan_ray.stages.dedup import dedup_broadcast, dedup_exact
+
+    t = generate_corpus(400, seed=17, mega=False)
+    df = t.to_pandas()
+    dup = pd.concat([df, df.assign(ts=df["ts"] + pd.Timedelta(seconds=5))], ignore_index=True)
+    table = pa.Table.from_pandas(dup, preserve_index=False)
+    ds = rd.from_arrow(table).repartition(4)
+    out_fb = dedup_broadcast(ds, max_dup_map_rows=3).to_pandas()     # forces fallback
+    out_ex = dedup_exact(rd.from_arrow(table).repartition(4)).to_pandas()
+    assert len(out_fb) == len(out_ex)
+    k = ["conv_id", "turn_idx", "ts"]
+    assert sorted(map(tuple, out_fb[k].astype(str).to_numpy().tolist())) == \
+           sorted(map(tuple, out_ex[k].astype(str).to_numpy().tolist()))
+
+
+def test_langid_sql_parity_small(ray_session):
+    """doc_langid's DuckDB oracle (round-2 verdict item 8): hash + table join
+    + argmax + softmax replayed in SQL == engine at sf0.001."""
+    import duckdb as _dd
+    import os
+
+    from titan_ray.functions.langid import ensure_table_parquet
+    from titan_ray.pipelines import docqc
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata absent")
+    ensure_table_parquet()
+    eng = docqc.doc_langid(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    ora = con.execute(docqc.langid_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(eng) == len(ora)
+    assert (eng["lang_pred"].to_numpy() == ora["lang_pred"].to_numpy()).all()
+    assert (eng["lang_conf"].to_numpy() == ora["lang_conf"].to_numpy()).all()
+
+
+def test_multi_arange_overflow_guard():
+    from titan_ray.functions.strings import multi_arange
+
+    with pytest.raises(ValueError):
+        multi_arange(np.array([2**31], dtype=np.int64), np.array([4], dtype=np.int64))
+
+
+def test_asof_tiebreak_deterministic(ray_session):
+    """Duplicate right-side (by, on): tiebreak picks the max-tiebreak row
+    regardless of arrival order (round-2 advice item 4)."""
+    import ray.data as rd
+
+    from titan_ray.stages.joins import asof_join
+
+    left = pa.table({"event_id": [1], "user_id": [7], "ts_us": [100]})
+    right = pa.table(
+        {"event_id": [10, 12, 11], "user_id": [7, 7, 7], "ts_us": [90, 90, 90], "vm": [1, 2, 3]}
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="user_id", on="ts_us",
+        value_cols=("event_id", "vm"), tiebreak="event_id",
+    ).to_pandas()
+    assert len(out) == 1 and out["r_event_id"].iloc[0] == 12  # max event_id among ties

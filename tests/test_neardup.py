@@ -55,12 +55,52 @@ def test_media_decode_stage_direct():
     assert len(out["features"][0].as_py()) == 4
 
 
-def test_media_decode_real_codec_is_stubbed():
+def test_media_decode_real_codec_is_stubbed_for_pixels():
+    """Image/video stay behind the stub seam; audio decodes for real, so
+    fake=False only raises when a pixel row is present."""
     import pytest
 
+    t = synth_media_table(32)
+    pix = t.filter(pa.compute.not_equal(t["kind"], "audio"))
+    assert pix.num_rows > 0
     stage = MediaDecodeStage(fake=False)
     with pytest.raises(NotImplementedError):
-        stage(synth_media_table(1))
+        stage(pix)
+    aud = t.filter(pa.compute.equal(t["kind"], "audio"))
+    assert stage(aud).num_rows == aud.num_rows  # audio decodes without the stub
+
+
+def test_wav_codec_roundtrip_and_features():
+    """The pure-numpy WAV codec: encode -> parse roundtrips bit-exactly, and
+    decode emits the documented sample statistics for a known fixture."""
+    from titan_ray.stages.multimodal import parse_wav, wav_bytes, wav_features
+
+    samples = np.asarray([0, 1000, -1000, 2000, -2000, 0, 500, -500], dtype=np.int16)
+    payload = wav_bytes(samples, sample_rate=8000)
+    back, rate = parse_wav(payload)
+    assert rate == 8000
+    assert (back == samples).all()
+    f = wav_features(payload, 8)
+    assert f[0] == 8.0                      # n_samples
+    assert f[1] == 8000.0                   # sample_rate
+    assert f[2] == float(samples.astype(np.float64).mean())
+    assert f[4] == 2000.0                   # peak
+    assert 0.0 < f[5] <= 1.0                # zero-crossing rate
+    x = samples.astype(np.float64)
+    assert f[6] == float(np.mean(x[:4] ** 2)) and f[7] == float(np.mean(x[4:] ** 2))
+
+
+def test_media_audio_features_are_sample_stats(ray_session):
+    """Audio rows in the media pipeline carry REAL WAV payloads and their
+    features are decoded sample statistics (n_samples, rate first)."""
+    t = synth_media_table(24)
+    out = media_features(t, batch_size=8).to_pandas()
+    aud = out[out["kind"] == "audio"]
+    assert len(aud) > 0
+    for f in aud["features"]:
+        assert f[0] == 2048.0   # payload_bytes // 2 samples
+        assert f[1] == 8000.0   # sample rate
+        assert f[4] <= 32767.0 and f[3] > 0  # peak within int16, rms positive
 
 
 def test_media_features_pipeline(ray_session):

@@ -83,6 +83,18 @@ class QCConfig:
     sct_min: int = 5
     sct_iters: int = 5
     sct_tests: tuple[tuple[int, float, int], ...] = ()  # (r, t, min)
+    # SCT optimal-interpolation machinery (reference sct_resistant.r:158-188
+    # passes a per-provider obs-to-background error ratio eps2 into the OI
+    # solve; argparser_sct.r --eps2.sct, default 0.5). Scalar-OI analog at
+    # the obs location: the analysis shrinks the deviation by
+    # w = eps2/(1+eps2); corep (coefficient of representativeness,
+    # read_data_to_check.r:281-290, rounded to 5 at write_output.r:67)
+    # = cvres*ares/sigma^2 = z^2 * w, ALWAYS emitted for judged rows.
+    # sct_weighted=True additionally uses pog = z^2 * w as the test
+    # statistic (flag pog > sct_t^2) instead of |z| > sct_t.
+    sct_eps2: dict[str, float] = field(default_factory=dict)  # per-role
+    sct_eps2_default: float = 0.5
+    sct_weighted: bool = False
     # SCT background (reference argparser_sct.r:13-16 background_elab_type):
     # "median" = MedianOuterCircle analog; "trend" = Theil-Sen robust linear
     # fit of qscore vs turn_idx over the neighbourhood (VerticalProfile/
@@ -137,9 +149,14 @@ class QCConfig:
     # pass a row is only compared against buddies of >= its own priority);
     # missing => 0 (all equal => no restriction)
     prio: dict[str, int] = field(default_factory=dict)
-    # fgt ensemble voting (reference: fgt.r:335-343 — flag if >= half the
-    # ensemble members flag); members perturb the threshold deterministically
+    # fgt ensemble voting (reference: fgt.r:335-343 — the test runs once per
+    # first-guess MEMBER, each with its own background field, and flags where
+    # >= half the members flag). Member-level analog: member k's background
+    # is mu_k = mu + sd * fgt_member_spread * u_k with deterministic draws
+    # u_k = linspace(-1, 1, N) (distinct per-member (mu, sd) backgrounds, not
+    # perturbed thresholds); ensemble=1 => u=[0] => exactly the single test.
     fgt_ensemble: int = 1
+    fgt_member_spread: float = 0.25
 
     # ---- source-side transforms (read_data_to_check analogs) ----
     role_affine: dict[str, tuple[float, float]] = field(default_factory=dict)  # qscore = off + fac*qscore per role
@@ -174,10 +191,17 @@ class QCConfig:
     scorer_concurrency: int | tuple[int, int] = (1, 8)
 
     def doit_for(self, check: str, roles) -> "object":
-        """Vector of doit values for ``roles`` (numpy object/str array)."""
+        """Vector of doit values for ``roles`` (numpy object/str array) —
+        factorized lookup over the unique role set, no per-row dict .get."""
         import numpy as np
+        import pandas as pd
 
         table = self.doit.get(check, {})
         if not table:
             return np.ones(len(roles), dtype=np.int8)
-        return np.asarray([table.get(r, 1) for r in roles], dtype=np.int8)
+        codes, uniq = pd.factorize(np.asarray(roles, dtype=object))
+        vals = np.asarray([table.get(u, 1) for u in uniq], dtype=np.int8)
+        if not len(vals):
+            return np.ones(len(roles), dtype=np.int8)
+        # factorize marks null roles as -1 -> default doit 1
+        return np.where(codes >= 0, vals[np.maximum(codes, 0)], np.int8(1))

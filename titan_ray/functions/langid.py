@@ -63,6 +63,39 @@ def table() -> np.ndarray:
     return _TABLE
 
 
+TABLE_PARQUET = "/tmp/titan_ray_scores/langid_table.parquet"
+TABLE_PARQUET_VERSION = "v1"
+
+
+def ensure_table_parquet(path: str = TABLE_PARQUET) -> str:
+    """Persist the quantized trigram table in long (bucket, lang, q) format —
+    the detector is deterministic and the table small (64k × n_lang int16),
+    so the DuckDB oracle can replay detect()'s argmax scoring in SQL
+    (round-2 verdict item 8: flips doc_langid from rows-only to hash-green)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = path + ".ok"
+    if os.path.exists(marker) and open(marker).read().strip() == TABLE_PARQUET_VERSION:
+        return path
+    tab = table()
+    n, k = tab.shape
+    t = pa.table(
+        {
+            "bucket": pa.array(np.repeat(np.arange(n, dtype=np.int64), k)),
+            "lang": pa.array(list(np.tile(np.asarray(LANGS, dtype=object), n)), type=pa.string()),
+            "q": pa.array(tab.reshape(-1)),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(t, path)
+    with open(marker, "w") as f:
+        f.write(TABLE_PARQUET_VERSION + "\n")
+    return path
+
+
 STRIDE = 4        # score every 4th trigram window — quarters the gather
                   # with negligible discrimination loss (profiles are
                   # smooth; ~50 samples on a typical 200-byte turn)

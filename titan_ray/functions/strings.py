@@ -78,6 +78,14 @@ def multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, dtype=np.int32)
+    # int32 overflow guard (round-2 advice): large_string batches can carry
+    # int64 offsets; indices >= 2^31 must fail loudly, not wrap into garbage
+    hi = int((starts.astype(np.int64) + counts).max(initial=0))
+    if total >= 2**31 or hi >= 2**31:
+        raise ValueError(
+            f"multi_arange: index range ({max(total, hi)}) exceeds int32 — "
+            "batch text buffer too large; reduce batch_size"
+        )
     cum = np.cumsum(counts)
     shift = np.repeat((starts - np.concatenate([[0], cum[:-1]])).astype(np.int32), counts)
     out = np.arange(total, dtype=np.int32)

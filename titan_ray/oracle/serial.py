@@ -88,10 +88,19 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
             for i, h in enumerate(sig[:, b]):
                 buckets.setdefault(int(h), []).append(i)
             for rows_ in buckets.values():
-                if 1 < len(rows_) <= 256:
+                if len(rows_) < 2:
+                    continue
+                if len(rows_) <= 256:
                     for x in range(len(rows_)):
                         for y in range(x + 1, len(rows_)):
                             cand.add((rows_[x], rows_[y]))
+                else:
+                    # oversized bucket -> star pairs vs the lowest-ranked
+                    # member (mirrors _bucket_pairs' cap fallback)
+                    anchor = min(rows_, key=lambda i: rank_np[i])
+                    for y in rows_:
+                        if y != anchor:
+                            cand.add((anchor, y))
         shingle_sets = [
             {norm_np[i][j : j + SHINGLE] for j in range(max(len(norm_np[i]) - SHINGLE + 1, 0))}
             for i in range(len(norm_np))
@@ -189,6 +198,7 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
 
     # ---- conversation-local checks, window by window ----
     sctpog = np.full(n, np.nan)
+    corep_arr = np.full(n, np.nan)
     conv_key = df["conv_id"].fillna("__null__")
     pre_flags = flags.copy()  # halo rows participate with pre-stage flags
     order = np.lexsort((df["ts"].to_numpy(), df["turn_idx"].to_numpy(), conv_key.to_numpy()))
@@ -210,9 +220,11 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
             llang = lang[part]
             lnch = feats["n_chars"][part].astype(np.float64)
             lpog = np.full(len(part), np.nan)
-            _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch)
+            lcorep = np.full(len(part), np.nan)
+            _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch, lcorep)
             flags[part[is_core]] = lflags[is_core]
             sctpog[part[is_core]] = lpog[is_core]
+            corep_arr[part[is_core]] = lcorep[is_core]
 
     # ---- final + scrub ----
     flags = np.where(flags == UNFLAGGED, 0, flags)
@@ -225,6 +237,7 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
     df["dqcflag"] = flags.astype(np.int32)
     df["keep"] = keep
     df["sctpog"] = sctpog
+    df["corep"] = corep_arr
     df["text_scrubbed"] = [scr.scrub_one(t) if isinstance(t, str) else None for t in df["text"]]
     return df
 
@@ -233,7 +246,7 @@ def _neigh(i: int, lt: np.ndarray, r: int, ok: np.ndarray) -> list[int]:
     return [j for j in range(len(lt)) if j != i and ok[j] and abs(lt[j] - lt[i]) <= r]
 
 
-def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None) -> None:
+def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None, lcorep=None) -> None:
     m = len(lflags)
     parallel = cfg.conv_mode == "parallel"
     state = lflags.copy() if parallel else lflags  # frozen snapshot in parallel mode
@@ -284,15 +297,17 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None)
                 new.append(i)
         apply(new, CODE_SCT_DUAL)
 
-    # fgt (ensemble-voted)
+    # fgt (member-level ensemble: one background per member, majority vote —
+    # reference fgt.r:335-343)
     if cfg.enable_fgt:
         if cfg.fgt_ensemble <= 1:
-            taus = [cfg.fgt_t]
+            draws = [0.0]
+            needed = 1
         else:
             import numpy as _np
 
-            taus = list(cfg.fgt_t * (1.0 + 0.1 * _np.linspace(-1, 1, cfg.fgt_ensemble)))
-        needed = 1 if cfg.fgt_ensemble <= 1 else (cfg.fgt_ensemble + 1) // 2
+            draws = list(_np.linspace(-1.0, 1.0, cfg.fgt_ensemble))
+            needed = (cfg.fgt_ensemble + 1) // 2
         new = []
         for i in range(m):
             if not testable("fgt", i):
@@ -300,7 +315,13 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None)
             mu, sd = cfg.fgt_ref.get(lroles[i], (1.9, 0.6))
             if cfg.fgt_len_gamma != 0.0 and lnch is not None:
                 mu = mu + cfg.fgt_len_gamma * (lnch[i] - cfg.fgt_len_ref)
-            votes = sum(1 for tau in taus if abs(lq[i] - mu) > tau * sd)
+            if cfg.fgt_ensemble <= 1:
+                votes = 1 if abs(lq[i] - mu) > cfg.fgt_t * sd else 0
+            else:
+                votes = sum(
+                    1 for u in draws
+                    if abs(lq[i] - (mu + sd * cfg.fgt_member_spread * u)) > cfg.fgt_t * sd
+                )
             if votes >= needed:
                 new.append(i)
         apply(new, CODE_FGT)
@@ -366,7 +387,7 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None)
             apply(new, CODE_SCT_FG)
 
     # sct (iterate, multi-test per pass; median or Theil-Sen trend
-    # background; sctpog = z^2)
+    # background; sctpog kept + corep = z^2 * eps2/(1+eps2))
     if cfg.enable_sct:
         stests = cfg.sct_tests or ((cfg.r_sct, cfg.sct_t, cfg.sct_min),)
         for _ in range(1 if parallel else cfg.sct_iters):
@@ -396,8 +417,13 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None)
                         mad = float(np.median(np.abs(lq[nb] - bg)))
                     sigma = max(1.4826 * mad, cfg.sigma_min)
                     z = (lq[i] - bg) / sigma
-                    lpog[i] = z * z
-                    if abs(z) > st:
+                    eps2 = cfg.sct_eps2.get(lroles[i], cfg.sct_eps2_default)
+                    w = eps2 / (1.0 + eps2)
+                    lpog[i] = (z * z) * w if cfg.sct_weighted else z * z
+                    if lcorep is not None:
+                        lcorep[i] = (z * z) * w
+                    flagged = ((z * z) * w > st * st) if cfg.sct_weighted else (abs(z) > st)
+                    if flagged:
                         new.append(i)
                 if new:
                     any_new = True

@@ -151,9 +151,13 @@ def dedup_exact_docs(sf_dir: str, num_buckets: int = 64):
 
 
 def doc_langid(sf_dir: str):
-    """Language-ID over documents (text-analysis op; rows-only check — the
-    detector is the engine's own model, SURVEY.md §2.2 spatconv analog)."""
+    """Language-ID over documents (text-analysis op, SURVEY.md §2.2 spatconv
+    analog). DuckDB-checkable: the quantized trigram table is persisted as
+    parquet and the oracle replays the stride-4 hash -> table join -> argmax
+    -> softmax scoring in SQL (langid_sql); conf rounded half-away to match
+    DuckDB round()."""
     from ..functions import langid
+    from ..stages.ann import round_half_away
 
     ds = _read(sf_dir, ["doc_id", "text"])
 
@@ -163,11 +167,54 @@ def doc_langid(sf_dir: str):
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(list(langs), type=pa.string()),
-                "lang_conf": pa.array(np.round(conf, 6)),
+                "lang_conf": pa.array(round_half_away(conf, 6)),
             }
         )
 
     return ds.map_batches(det, batch_format="pyarrow")
+
+
+def langid_sql() -> str:
+    """DuckDB oracle for doc_langid: replay detect() exactly — stride-4
+    trigram windows over the first 512 windows, the FNV-style rolling hash in
+    HUGEINT mod-2^64 arithmetic, int16 table join, per-doc mean log-prob
+    ((int_sum / 8.0) / n, the engine's op order), argmax with lang-ascending
+    tie-break (numpy argmax = first index over the sorted LANGS), softmax
+    confidence 1/sum(exp(mlp - max)) (exp(0) == 1 exactly at the argmax)."""
+    from ..functions import langid
+
+    path = langid.TABLE_PARQUET
+    T = 1 << 64
+    M = 1099511628211
+    C1 = (1469598103934665603 * M) % T  # SEED*MULT mod 2^64, precomputed
+    h = (
+        f"CAST(((((CAST({C1} AS HUGEINT) + ascii(substring(text, w + 1, 1))) % {T}) * {M} "
+        f"+ ascii(substring(text, w + 2, 1))) % {T} * {M} "
+        f"+ ascii(substring(text, w + 3, 1))) % {T} % 65536 AS BIGINT)"
+    )
+    return (
+        f"WITH t AS (SELECT bucket, lang, q FROM read_parquet('{path}')), "
+        "d AS (SELECT doc_id, text FROM documents), "
+        "pos AS (SELECT doc_id, text, "
+        "unnest(generate_series(0, least(strlen(text) - 3, 511), 4)) AS w "
+        "FROM d WHERE text IS NOT NULL AND strlen(text) >= 3), "
+        f"hw AS (SELECT doc_id, {h} AS bucket FROM pos), "
+        "sc AS (SELECT doc_id, count(*) AS n FROM hw GROUP BY doc_id), "
+        "sums AS (SELECT hw.doc_id, t.lang, sum(t.q) AS sq FROM hw "
+        "JOIN t ON t.bucket = hw.bucket GROUP BY hw.doc_id, t.lang), "
+        "m AS (SELECT s.doc_id, s.lang, (CAST(s.sq AS DOUBLE) / 8.0) / sc.n AS mlp "
+        "FROM sums s JOIN sc ON sc.doc_id = s.doc_id), "
+        "mm AS (SELECT doc_id, max(mlp) AS mx FROM m GROUP BY doc_id), "
+        "zs AS (SELECT m.doc_id, sum(exp(m.mlp - mm.mx)) AS z FROM m "
+        "JOIN mm ON mm.doc_id = m.doc_id GROUP BY m.doc_id), "
+        "best AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY mlp DESC, lang ASC) AS rn "
+        "FROM m) WHERE rn = 1) "
+        "SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred, "
+        "coalesce(round(1.0 / zs.z, 6), 0.0) AS lang_conf "
+        "FROM d LEFT JOIN best b ON b.doc_id = d.doc_id "
+        "LEFT JOIN zs ON zs.doc_id = d.doc_id"
+    )
 
 
 def doc_quality_scores(sf_dir: str):

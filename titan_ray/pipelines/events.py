@@ -238,7 +238,11 @@ def events_asof(sf_dir: str):
     from ..stages.joins import asof_join
 
     left, right = _events_sides(sf_dir)
-    out = asof_join(left, right, by="user_id", on="ts_us", value_cols=("event_id", "vm"))
+    # tiebreak makes the engine deterministic under duplicate (user_id, ts);
+    # the DuckDB ASOF oracle is only defined when such ties are absent
+    # (verified for the driver events table), so parity is unaffected
+    out = asof_join(left, right, by="user_id", on="ts_us",
+                    value_cols=("event_id", "vm"), tiebreak="event_id")
     return out.map_batches(
         lambda b: b.select(["event_id", "user_id", "r_event_id", "r_vm"]),
         batch_format="pyarrow",

@@ -42,10 +42,19 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
     write_output.r:41-45). Returns the lazy scored+flagged+scrubbed Dataset."""
     cfg = cfg or QCConfig()
 
-    if cfg.dedup:
-        ds = dedup_broadcast(ds) if cfg.dedup_strategy == "broadcast" else dedup_exact(ds)
     if cfg.dedup_near:
+        # dedup_near consumes the upstream dataset three times (candidates,
+        # drop set, final filter). dedup_broadcast's residual cross-batch
+        # multi-keep is batching-dependent, so its output could differ
+        # between those executions (round-2 advice item 3): force the
+        # deterministic full-row shuffle and materialize ONCE so all three
+        # passes read the same blocks instead of recomputing the prefix.
+        if cfg.dedup:
+            ds = dedup_exact(ds)
+        ds = ds.materialize()
         ds = dedup_near(ds, threshold=cfg.dedup_near_threshold)
+    elif cfg.dedup:
+        ds = dedup_broadcast(ds) if cfg.dedup_strategy == "broadcast" else dedup_exact(ds)
 
     if cfg.impute_role_default is not None:
         ds = ds.map_batches(

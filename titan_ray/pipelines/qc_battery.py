@@ -62,6 +62,14 @@ def battery_config() -> QCConfig:
     return QCConfig(dedup=True, conv_mode="parallel")
 
 
+def cascade_config() -> QCConfig:
+    """The flagship DEFAULT semantics (conv_mode="cascade": checks run in
+    reference order seeing each other's flags, buddy/sct iterating to
+    convergence, titan.r:209-257) — same config entry()/_qc_dataset uses;
+    cascade_sql() unrolls it pass-by-pass for the DuckDB gate."""
+    return QCConfig(dedup=True, conv_mode="cascade")
+
+
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     return float(m.group(1)) if m else 0.001
@@ -108,12 +116,16 @@ def ensure_scored(sf_dir: str) -> str:
 
 def _battery_result(sf_dir: str, cfg: QCConfig):
     """Full flagship pipeline (parallel conv mode) over the raw corpus,
-    projected to the driver-comparable columns."""
+    projected to the driver-comparable columns.
+
+    The oracle-side scored-corpus sidecar is NOT produced here (round-2
+    verdict item 1: an in-query ensure_scored double-ran the read->dedup->
+    scorer prefix inside every measured battery query) — oracle_sql()
+    provisions it before the SQL runs."""
     import ray.data as rd
 
     from .qc import build_qc_pipeline
 
-    ensure_scored(sf_dir)  # the oracle side reads this file
     ds = rd.read_parquet(corpus_path_for_sf(_sf_of(sf_dir)))
     out = build_qc_pipeline(ds, cfg)
     return out.map_batches(lambda b: b.select(OUT_COLS), batch_format="pyarrow")
@@ -200,6 +212,63 @@ def positional_config() -> QCConfig:
     for c in ("dual", "fgt", "buddy", "sct", "isolation"):
         setattr(cfg, f"enable_{c}", False)
     return cfg
+
+
+def qc_full_cascade(sf_dir: str):
+    """Per-turn flags/keep from the flagship DEFAULT mode: the iterative
+    cascade (reference semantics, titan.r:209-257) — DuckDB-checkable via
+    cascade_sql()'s pass-by-pass unroll (round-2 verdict item 2)."""
+    return _battery_result(sf_dir, cascade_config())
+
+
+# per-role eps2 for the SCT-scores driver row — exercises the per-role
+# error-ratio path (reference --eps2.sct is per-provider, titan.r:115-122)
+SCT_SCORES_EPS2 = {"tool": 0.8, "system": 0.3}
+
+
+def sct_scores_config() -> QCConfig:
+    cfg = battery_config()
+    for c in ("dual", "fgt", "buddy", "isolation"):
+        setattr(cfg, f"enable_{c}", False)
+    cfg.sct_eps2 = SCT_SCORES_EPS2
+    return cfg
+
+
+def qc_sct_scores(sf_dir: str):
+    """SCT score outputs for every judged row: sctpog (z²) and corep
+    (z² · eps2/(1+eps2), the coefficient-of-representativeness analog —
+    reference sct_resistant.r:158-188 / read_data_to_check.r:281-290),
+    rounded to 5 as write_output.r:67 does. DuckDB replays the weighted-z
+    arithmetic over the scored corpus."""
+    import numpy as np
+
+    from ..stages.ann import round_half_away
+
+    cfg = sct_scores_config()
+    import ray.data as rd
+
+    from .qc import build_qc_pipeline
+
+    ds = rd.read_parquet(corpus_path_for_sf(_sf_of(sf_dir)))
+    out = build_qc_pipeline(ds, cfg)
+
+    def proj(b: pa.Table) -> pa.Table:
+        pog = b["sctpog"].to_numpy(zero_copy_only=False)
+        sub = b.select(["conv_id", "turn_idx", "sctpog", "corep"]).filter(
+            pa.array(~np.isnan(pog))
+        )
+        return pa.table(
+            {
+                "conv_id": sub["conv_id"],
+                "turn_idx": sub["turn_idx"],
+                "sctpog": pa.array(round_half_away(
+                    sub["sctpog"].to_numpy(zero_copy_only=False), 5)),
+                "corep": pa.array(round_half_away(
+                    sub["corep"].to_numpy(zero_copy_only=False), 5)),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
 
 
 def qc_positional_lists(sf_dir: str):
@@ -415,4 +484,170 @@ def battery_sql(sf: float = 0.01) -> dict[str, str]:
         f"WITH {pos_base} SELECT conv_id, turn_idx, dqcflag FROM f "
         "WHERE dqcflag = 999 OR dqcflag = 990"
     )
+    out["qc_full_cascade"] = cascade_sql(sf)
+    out["qc_sct_scores"] = sct_scores_sql(sf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# cascade-mode oracle: the iterative reference semantics unrolled pass-by-pass
+# ---------------------------------------------------------------------------
+
+_STATE_COLS = "conv_id, turn_idx, role, qscore, w, f0"
+
+
+def _robust_pass(name: str, prev: str, r: int, min_cnt: int, cond: str,
+                 sigma_min: float, code: int) -> str:
+    """One buddy/sct convergence pass as four CTEs: pairs (usable neighbours
+    under the halo rule), median, MAD, hits; plus the next state CTE.
+
+    The halo rule (matches the engine kernel + serial oracle exactly): a
+    neighbour u of target t contributes with its LIVE cascade state when it
+    is core in t's window (u.w = t.w) and with its frozen POST-ROWWISE state
+    (f0) otherwise — halo copies in the engine never receive conv flags, so
+    cross-window neighbours stay usable even after their own core copy is
+    flagged in the adjacent window."""
+    usable = f"(CASE WHEN u.w = t.w THEN u.fc ELSE u.f0 END) IN (0, 990)"
+    pairs = (
+        f"{name}_p AS MATERIALIZED (SELECT t.conv_id, t.turn_idx, t.qscore AS q, u.qscore AS nq "
+        f"FROM {prev} t JOIN {prev} u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {r} "
+        f"AND {usable} WHERE t.fc = 0)"
+    )
+    med = (
+        f"{name}_m AS MATERIALIZED (SELECT conv_id, turn_idx, q, median(nq) AS med, count(*) AS cnt "
+        f"FROM {name}_p GROUP BY conv_id, turn_idx, q)"
+    )
+    mad = (
+        f"{name}_d AS MATERIALIZED (SELECT p.conv_id, p.turn_idx, median(abs(p.nq - m.med)) AS mad "
+        f"FROM {name}_p p JOIN {name}_m m ON m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx "
+        "GROUP BY p.conv_id, p.turn_idx)"
+    )
+    z = f"((m.q - m.med) / greatest(1.4826 * d.mad, {sigma_min!r}))"
+    hits = (
+        f"{name}_h AS MATERIALIZED (SELECT m.conv_id, m.turn_idx FROM {name}_m m "
+        f"JOIN {name}_d d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx "
+        f"WHERE m.cnt >= {min_cnt} AND ({cond.replace('__Z__', z)}))"
+    )
+    state = (
+        f"{name} AS MATERIALIZED (SELECT {', '.join('p.' + c.strip() for c in _STATE_COLS.split(','))}, "
+        f"CASE WHEN p.fc = 0 AND h.turn_idx IS NOT NULL THEN {code} ELSE p.fc END AS fc "
+        f"FROM {prev} p LEFT JOIN {name}_h h "
+        "ON h.conv_id = p.conv_id AND h.turn_idx = p.turn_idx)"
+    )
+    return ", ".join([pairs, med, mad, hits, state])
+
+
+def cascade_sql(sf: float = 0.01, cfg: QCConfig | None = None) -> str:
+    """DuckDB oracle for the ITERATIVE cascade mode (round-2 verdict item 2):
+    dual -> fgt -> buddy×buddy_iters -> sct×sct_iters -> isolation, each pass
+    consuming the previous pass's flags, unrolled as chained state CTEs.
+    Idempotence makes the fixed unroll exact: a pass that finds nothing new
+    leaves the state unchanged, so engine-side early convergence (global or
+    per-window freezing) computes the same fixpoint the full unroll does."""
+    cfg = cfg or cascade_config()
+    # guard: the builder supports exactly the default cascade surface; any
+    # extension (multi-tests, prio, boxcox, trend, weighted sct, doit) must
+    # extend the SQL too rather than silently diverge
+    assert not (cfg.buddy_tests or cfg.sct_tests or cfg.prio or cfg.doit), "cascade_sql: unsupported config"
+    assert cfg.buddy_boxcox is None and cfg.buddy_adm_delta is None, "cascade_sql: unsupported config"
+    assert cfg.sct_background == "median" and not cfg.sct_weighted, "cascade_sql: unsupported config"
+    assert cfg.fgt_ensemble <= 1 and cfg.fgt_len_gamma == 0.0, "cascade_sql: unsupported config"
+    assert not (cfg.enable_dual_fg or cfg.enable_sct_fg or cfg.enable_zdem or cfg.enable_ccrrt)
+    rel = f"read_parquet('{scores_dir(sf)}/*.parquet')"
+    W = cfg.window
+    ctes = [
+        f"s AS MATERIALIZED (SELECT * FROM {rel})",
+        # post-rowwise state + the salting window id (engine: max(turn,0)//W)
+        f"fr AS MATERIALIZED (SELECT conv_id, turn_idx, role, lang, qscore, "
+        f"greatest(coalesce(turn_idx, 0), 0) // {W} AS w, "
+        f"{_rowwise_case(cfg)} AS f0 FROM s)",
+    ]
+    # ---- dual (one two-phase pass over the post-rowwise state) ----
+    ctes.append(
+        "d_p AS MATERIALIZED (SELECT t.conv_id, t.turn_idx, "
+        "(t.lang IS NULL OR t.lang <> 'en') AS ev, "
+        "CAST(u.lang IS NULL OR u.lang <> 'en' AS INT) AS nev "
+        "FROM fr t JOIN fr u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {cfg.r_dual} "
+        "AND u.f0 IN (0, 990) WHERE t.f0 = 0)"
+    )
+    ctes.append(
+        "d_h AS MATERIALIZED (SELECT conv_id, turn_idx FROM d_p "
+        f"GROUP BY conv_id, turn_idx, ev HAVING count(*) >= {cfg.dual_min} "
+        f"AND ((ev AND avg(nev) < {1.0 - cfg.dual_thr!r}) "
+        f"OR (NOT ev AND avg(nev) > {cfg.dual_thr!r})))"
+    )
+    ctes.append(
+        f"c1 AS MATERIALIZED (SELECT {', '.join('fr.' + c.strip() for c in _STATE_COLS.split(','))}, "
+        "CASE WHEN fr.f0 <> 0 THEN fr.f0 WHEN h.turn_idx IS NOT NULL THEN 3 ELSE 0 END AS fc "
+        "FROM fr LEFT JOIN d_h h ON h.conv_id = fr.conv_id AND h.turn_idx = fr.turn_idx)"
+    )
+    # ---- fgt (no neighbours; sees dual's flags) ----
+    mu, sd = _fgt_mu_sd(cfg)
+    ctes.append(
+        f"c2 AS MATERIALIZED (SELECT {_STATE_COLS}, "
+        f"CASE WHEN fc <> 0 THEN fc WHEN abs(qscore - ({mu})) > {cfg.fgt_t!r} * ({sd}) "
+        "THEN 11 ELSE 0 END AS fc FROM c1)"
+    )
+    # ---- buddy passes ----
+    prev = "c2"
+    bcond = f"__Z__ > {cfg.buddy_tpos!r} OR __Z__ < -{cfg.buddy_tneg!r}"
+    for k in range(1, cfg.buddy_iters + 1):
+        ctes.append(_robust_pass(f"b{k}", prev, cfg.r_buddy, cfg.buddy_min,
+                                 bcond, cfg.sigma_min, CODE_BUDDY))
+        prev = f"b{k}"
+    # ---- sct passes ----
+    scond = f"abs(__Z__) > {cfg.sct_t!r}"
+    for k in range(1, cfg.sct_iters + 1):
+        ctes.append(_robust_pass(f"t{k}", prev, cfg.r_sct, cfg.sct_min,
+                                 scond, cfg.sigma_min, CODE_SCT))
+        prev = f"t{k}"
+    # ---- isolation (sees every prior flag) ----
+    ctes.append(
+        f"i_h AS MATERIALIZED (SELECT t.conv_id, t.turn_idx FROM {prev} t "
+        f"LEFT JOIN {prev} u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {cfg.r_iso} "
+        "AND (CASE WHEN u.w = t.w THEN u.fc ELSE u.f0 END) IN (0, 990) "
+        f"WHERE t.fc = 0 GROUP BY t.conv_id, t.turn_idx HAVING count(u.conv_id) < {cfg.n_iso})"
+    )
+    ctes.append(
+        f"res AS MATERIALIZED (SELECT p.conv_id, p.turn_idx, p.role, "
+        f"CASE WHEN p.fc = 0 AND h.turn_idx IS NOT NULL THEN {CODE_ISOLATION} ELSE p.fc END AS dqcflag "
+        f"FROM {prev} p LEFT JOIN i_h h ON h.conv_id = p.conv_id AND h.turn_idx = p.turn_idx)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT conv_id, turn_idx, role, dqcflag, "
+        "(dqcflag = 0 OR dqcflag = 990) AS keep FROM res"
+    )
+
+
+def sct_scores_sql(sf: float = 0.01) -> str:
+    """DuckDB oracle for qc_sct_scores: the sct robust-z CTE chain emitting
+    round(z², 5) AS sctpog and round(z² · eps2/(1+eps2), 5) AS corep per
+    judged row, with eps2 resolved per role (weights precomputed as exact
+    repr() constants so engine/SQL share identical double multiplications)."""
+    cfg = sct_scores_config()
+    rel = f"read_parquet('{scores_dir(sf)}/*.parquet')"
+    base = _base_ctes(cfg, rel)
+    # the pairs/median/MAD chain (chk_sct_p/m/d) from the parallel battery
+    chain = _robust_cte(
+        "chk_sct", cfg.r_sct, cfg.sct_min, f"abs(__Z__) > {cfg.sct_t!r}", cfg.sigma_min
+    )
+    w_arms = " ".join(
+        f"WHEN '{r}' THEN {e / (1.0 + e)!r}"
+        for r, e in sorted(cfg.sct_eps2.items())
+    )
+    dflt = cfg.sct_eps2_default / (1.0 + cfg.sct_eps2_default)
+    w_case = f"CASE coalesce(f.role, '') {w_arms} ELSE {dflt!r} END"
+    z = f"((m.q - m.med) / greatest(1.4826 * d.mad, {cfg.sigma_min!r}))"
+    return (
+        f"WITH {base}, {chain} "
+        f"SELECT m.conv_id, m.turn_idx, round({z} * {z}, 5) AS sctpog, "
+        f"round(({z} * {z}) * ({w_case}), 5) AS corep "
+        "FROM chk_sct_m m "
+        "JOIN chk_sct_d d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx "
+        "JOIN f ON f.conv_id = m.conv_id AND f.turn_idx = m.turn_idx "
+        f"WHERE m.cnt >= {cfg.sct_min}"
+    )

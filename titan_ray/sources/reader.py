@@ -27,10 +27,11 @@ def affine_rescale_qscore(batch: pa.Table, role_affine: dict[str, tuple[float, f
     role is the provider analog). Identity for roles not listed."""
     if not role_affine:
         return batch
-    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
+    from ..functions.lut import encode, lut_pair
+
+    codes, uniq = encode(batch["role"])
     q = batch["qscore"].to_numpy(zero_copy_only=False).astype(np.float64)
-    off = np.asarray([role_affine.get(r, (0.0, 1.0))[0] for r in roles])
-    fac = np.asarray([role_affine.get(r, (0.0, 1.0))[1] for r in roles])
+    off, fac = lut_pair(codes, uniq, role_affine, (0.0, 1.0))
     out = off + fac * q
     i = batch.column_names.index("qscore")
     return batch.set_column(i, "qscore", [pa.array(out)])
@@ -53,7 +54,7 @@ def impute_defaults(batch: pa.Table, role_default: str | None = None, tool_defau
 
 OUTPUT_ORDER_FIRST = [f.name for f in INPUT_SCHEMA] + [
     "lang", "lang_conf", "ppl", "qscore", "n_chars", "n_words", "rep_ratio",
-    "dqcflag", "keep", "sctpog", "text_scrubbed",
+    "dqcflag", "keep", "sctpog", "corep", "text_scrubbed",
 ]
 
 

@@ -40,14 +40,13 @@ halo rows participate with their pre-stage flags (doit=2 semantics).
 
 from __future__ import annotations
 
-import warnings
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import QCConfig
+from ..functions.lut import encode as lut_encode, lut, lut_pair
 from ..schema import (
     CODE_KEEP as CODE_KEEP_INT,
     CODE_BUDDY,
@@ -171,6 +170,33 @@ def _neighbour_matrix(
     return m
 
 
+def _range_count_sum(
+    vals: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cnt, vsum): per row, the count of USABLE rows and the sum of their
+    ``vals`` within TURN distance r in the same grp, self (by position)
+    excluded. Rows must be sorted by (grp, t). Exact for 0/1-valued ``vals``
+    (integer sums in float64). Replaces the (n, 2R+1) neighbour matrix for
+    checks that only need counts/sums (dual, isolation) — O(n log n) binary
+    search + cumsum instead of O(n·R) matrix traffic, and immune to the
+    duplicate-multiplicity window widening."""
+    n = len(t)
+    if n == 0:
+        z = np.zeros(0)
+        return z, z
+    big = np.int64(int(t.max(initial=0)) + int(r) + 2)
+    key = grp * big + t
+    lo = np.searchsorted(key, grp * big + (t - r), side="left")
+    hi = np.searchsorted(key, grp * big + (t + r), side="right")
+    okf = ok.astype(np.float64)
+    v = vals * okf
+    ccnt = np.concatenate([[0.0], np.cumsum(okf)])
+    csum = np.concatenate([[0.0], np.cumsum(v)])
+    cnt = (ccnt[hi] - ccnt[lo]) - okf
+    vsum = (csum[hi] - csum[lo]) - v
+    return cnt, vsum
+
+
 def _nanmed(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Row-wise median ignoring NaN via one sort (NaNs sort last) — bitwise
     identical to np.nanmedian (verified) and ~25x faster on the narrow
@@ -256,15 +282,15 @@ def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
     core = tbl["is_core"].to_numpy(zero_copy_only=False).astype(bool)
     lang_arr = tbl["lang"]
     event_np = pc.fill_null(pc.not_equal(lang_arr, "en"), True).to_numpy(zero_copy_only=False).astype(bool)
-    if cfg.doit or cfg.fgt_ref or cfg.prio:
-        roles = tbl["role"].to_pandas().fillna("").to_numpy(dtype=object)
-    else:
-        roles = np.full(n, "", dtype=object)
+    # role dictionary-encode once (C++); per-role tables (doit/fgt_ref/prio)
+    # are looked up over the unique set only — no per-row Python
+    rcodes, runiq = lut_encode(tbl["role"])
     if cfg.fgt_len_gamma != 0.0 and "n_chars" in tbl.column_names:
         nchars = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
     else:
         nchars = None
     sctpog = np.full(n, np.nan)
+    corep = np.full(n, np.nan)
 
     # hard-flagged rows (901/999/501/502/...) are neither usable nor testable
     # by ANY conv check — run the kernel on the live rows only; inert rows
@@ -273,23 +299,28 @@ def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
     # dead rows share a turn_idx) from widening the duplicate window.
     act = (flags == UNFLAGGED) | (flags == CODE_KEEP_INT)
     if act.all():
-        flags, sctpog = _conv_kernel(cfg, flags, q, t, grp, core, roles, event_np, sctpog, nchars)
+        flags, sctpog, corep = _conv_kernel(
+            cfg, flags, q, t, grp, core, rcodes, runiq, event_np, sctpog, corep, nchars
+        )
     elif act.any():
         ai = np.flatnonzero(act)
-        f2, p2 = _conv_kernel(
-            cfg, flags[ai].copy(), q[ai], t[ai], grp[ai], core[ai], roles[ai],
-            event_np[ai], sctpog[ai].copy(), None if nchars is None else nchars[ai],
+        f2, p2, c2 = _conv_kernel(
+            cfg, flags[ai].copy(), q[ai], t[ai], grp[ai], core[ai], rcodes[ai], runiq,
+            event_np[ai], sctpog[ai].copy(), corep[ai].copy(),
+            None if nchars is None else nchars[ai],
         )
         flags[ai] = f2
         sctpog[ai] = p2
+        corep[ai] = c2
 
     keep_idx = np.flatnonzero(core)
     out = tbl.take(pa.array(keep_idx))
     out = out.set_column(out.column_names.index("dqcflag"), "dqcflag", [pa.array(flags[keep_idx], type=pa.int32())])
-    if "sctpog" in out.column_names:
-        out = out.set_column(out.column_names.index("sctpog"), "sctpog", [pa.array(sctpog[keep_idx])])
-    else:
-        out = out.append_column("sctpog", pa.array(sctpog[keep_idx]))
+    for name, arr in (("sctpog", sctpog), ("corep", corep)):
+        if name in out.column_names:
+            out = out.set_column(out.column_names.index(name), name, [pa.array(arr[keep_idx])])
+        else:
+            out = out.append_column(name, pa.array(arr[keep_idx]))
     return out
 
 
@@ -301,9 +332,10 @@ def run_conv_checks(df: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
     return res.drop(columns=[c for c in ("bucket",) if c in res.columns])
 
 
-def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog, nchars=None):
+def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, rcodes, runiq, event_np, sctpog, corep, nchars=None):
     """The check battery over sorted, conv-masked arrays (shared by the arrow
-    fast path and the pandas wrapper).
+    fast path and the pandas wrapper). Roles arrive dictionary-encoded
+    (rcodes into runiq); all per-role tables gather via unique-set LUTs.
 
     conv_mode="cascade": reference semantics — live flag state, iteration.
     conv_mode="parallel": every mask is computed from the SAME pre-conv
@@ -316,11 +348,21 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
     # snapshot of the pre-conv flags
     state = flags.copy() if parallel else flags
 
+    _doit_cache: dict[str, np.ndarray] = {}
+
+    def doit_vec(check: str) -> np.ndarray:
+        got = _doit_cache.get(check)
+        if got is None:
+            table = cfg.doit.get(check)
+            got = lut(rcodes, runiq, table, 1, np.int8) if table else np.ones(n, dtype=np.int8)
+            _doit_cache[check] = got
+        return got
+
     def testable(check: str) -> np.ndarray:
-        return testable_mask(state, cfg.doit_for(check, roles)) & core
+        return testable_mask(state, doit_vec(check)) & core
 
     def usable(check: str) -> np.ndarray:
-        return usable_mask(state, cfg.doit_for(check, roles))
+        return usable_mask(state, doit_vec(check))
 
     def apply(mask: np.ndarray, code: int) -> np.ndarray:
         """First-flag-wins application; returns the rows newly flagged."""
@@ -332,9 +374,8 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
     # dichotomous check against an external event prior) ----
     event = event_np.astype(np.float64)
     if cfg.enable_dual_fg:
-        m = _neighbour_matrix(event, usable("dual_fg"), grp, t, cfg.r_dual, dup)
-        cnt = np.sum(~np.isnan(m), axis=1)
-        frac = np.nansum(m, axis=1) / np.maximum(cnt, 1)
+        cnt, esum = _range_count_sum(event, usable("dual_fg"), grp, t, cfg.r_dual)
+        frac = esum / np.maximum(cnt, 1)
         own = event > 0.5
         prior_event = cfg.dual_fg_prior > 0.5
         # own state disagrees with the external prior AND the neighbourhood
@@ -345,9 +386,8 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
 
     # ---- dual (code 3) ----
     if cfg.enable_dual:
-        m = _neighbour_matrix(event, usable("sct_dual"), grp, t, cfg.r_dual, dup)
-        cnt = np.sum(~np.isnan(m), axis=1)
-        frac = np.nansum(m, axis=1) / np.maximum(cnt, 1)
+        cnt, esum = _range_count_sum(event, usable("sct_dual"), grp, t, cfg.r_dual)
+        frac = esum / np.maximum(cnt, 1)
         own = event > 0.5
         disagree = np.where(own, frac < 1.0 - cfg.dual_thr, frac > cfg.dual_thr)
         mask = testable("sct_dual") & (cnt >= cfg.dual_min) & disagree
@@ -355,23 +395,25 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
 
     # ---- fgt (code 11), ensemble-voted (reference: fgt.r:335-343) ----
     if cfg.enable_fgt:
-        ref = cfg.fgt_ref
-        mu = np.asarray([ref.get(r, (1.9, 0.6))[0] for r in roles])
-        sd = np.asarray([ref.get(r, (1.9, 0.6))[1] for r in roles])
+        mu, sd = lut_pair(rcodes, runiq, cfg.fgt_ref, (1.9, 0.6))
         if cfg.fgt_len_gamma != 0.0 and nchars is not None:
             # lapse-rate analog: expectation adjusted by turn length
             # (reference fgt.r:262-264)
             from ..functions.scalars import lapse_adjust
 
             mu = lapse_adjust(mu, nchars, cfg.fgt_len_gamma, cfg.fgt_len_ref)
-        dev = np.abs(q - mu)
         if cfg.fgt_ensemble <= 1:
-            votes = (dev > cfg.fgt_t * sd).astype(np.int32)
+            votes = (np.abs(q - mu) > cfg.fgt_t * sd).astype(np.int32)
             needed = 1
         else:
-            # deterministic member thresholds spread ±10% around fgt_t
-            taus = cfg.fgt_t * (1.0 + 0.1 * np.linspace(-1, 1, cfg.fgt_ensemble))
-            votes = sum((dev > tau * sd).astype(np.int32) for tau in taus)
+            # member-level backgrounds (reference fgt.r:335-343 runs the test
+            # once per first-guess member): mu_k = mu + sd*spread*u_k with
+            # deterministic draws u_k in [-1, 1]; majority vote
+            draws = np.linspace(-1.0, 1.0, cfg.fgt_ensemble)
+            votes = sum(
+                (np.abs(q - (mu + sd * cfg.fgt_member_spread * u)) > cfg.fgt_t * sd).astype(np.int32)
+                for u in draws
+            )
             needed = (cfg.fgt_ensemble + 1) // 2
         mask = testable("fgt") & (votes >= needed)
         apply(mask, CODE_FGT)
@@ -382,11 +424,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
     if cfg.enable_buddy:
         from ..functions.scalars import boxcox
 
-        prio = (
-            np.asarray([cfg.prio.get(r, 0) for r in roles], dtype=np.int32)
-            if cfg.prio
-            else None
-        )
+        prio = lut(rcodes, runiq, cfg.prio, 0, np.int32) if cfg.prio else None
         # optional Box-Cox symmetrization of the checked value
         # (reference buddy.r:87-93)
         bq = boxcox(q, cfg.buddy_boxcox) if cfg.buddy_boxcox is not None else q
@@ -446,7 +484,7 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
     # SCT with the external field as background): deviation from the
     # broadcast first-guess centre, normalized by the LOCAL robust spread ----
     if cfg.enable_sct_fg:
-        mu = np.asarray([cfg.fgt_ref.get(r, (1.9, 0.6))[0] for r in roles])
+        mu, _ = lut_pair(rcodes, runiq, cfg.fgt_ref, (1.9, 0.6))
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
         for _ in range(1 if parallel else cfg.sct_iters):
@@ -463,8 +501,13 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
             had[grp[hit]] = True
             active &= had
 
-    # ---- sct (code 1), iterate; keep sctpog = z² ----
+    # ---- sct (code 1), iterate; keep sctpog (+ corep, the coefficient-of-
+    # representativeness analog: z² · eps2/(1+eps2), reference
+    # sct_resistant.r:158-188 / read_data_to_check.r:281-290) ----
     if cfg.enable_sct:
+        # per-role obs-to-background error-ratio weight w = eps2/(1+eps2)
+        eps2 = lut(rcodes, runiq, cfg.sct_eps2, cfg.sct_eps2_default)
+        ew = eps2 / (1.0 + eps2)
         stests = cfg.sct_tests or ((cfg.r_sct, cfg.sct_t, cfg.sct_min),)
         n_grps = int(grp.max()) + 1 if n else 0
         active = np.ones(n_grps, dtype=bool)
@@ -477,9 +520,9 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
             for (sr, st, smin) in stests:
                 ok = usable("sct")
                 if sel is None:
-                    s_q, s_ok, s_grp, s_t = q, ok, grp, t
+                    s_q, s_ok, s_grp, s_t, s_w = q, ok, grp, t, ew
                 else:
-                    s_q, s_ok, s_grp, s_t = q[sel], ok[sel], grp[sel], t[sel]
+                    s_q, s_ok, s_grp, s_t, s_w = q[sel], ok[sel], grp[sel], t[sel], ew[sel]
                 if cfg.sct_background == "trend":
                     z, cnt = _trend_z(s_q, s_ok, s_grp, s_t, sr, dup, cfg.sigma_min)
                 else:
@@ -487,12 +530,20 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
                     z, cnt, _, _ = _robust_z(s_q, m, cfg.sigma_min)
                 tst = testable("sct") if sel is None else testable("sct")[sel]
                 judged = tst & (cnt >= smin)
+                # pog: the test statistic (z² unweighted; OI-shrunk z²·w when
+                # sct_weighted); corep always carries z²·w for judged rows
+                pog = (z * z) * s_w if cfg.sct_weighted else z * z
                 if sel is None:
-                    sctpog = np.where(judged, z * z, sctpog)
+                    sctpog = np.where(judged, pog, sctpog)
+                    corep = np.where(judged, (z * z) * s_w, corep)
                 else:
                     upd = sel[judged]
-                    sctpog[upd] = (z * z)[judged]
-                mask = judged & (np.abs(z) > st)
+                    sctpog[upd] = pog[judged]
+                    corep[upd] = ((z * z) * s_w)[judged]
+                if cfg.sct_weighted:
+                    mask = judged & (pog > st * st)
+                else:
+                    mask = judged & (np.abs(z) > st)
                 if mask.any():
                     any_new = True
                     gmask = mask if sel is None else np.zeros(n, dtype=bool)
@@ -506,12 +557,11 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, roles, event_np, sctpog,
 
     # ---- isolation (code 800) ----
     if cfg.enable_isolation:
-        m = _neighbour_matrix(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso, dup)
-        cnt = np.sum(~np.isnan(m), axis=1)
+        cnt, _ = _range_count_sum(np.zeros(n), usable("isolation"), grp, t, cfg.r_iso)
         mask = testable("isolation") & (cnt < cfg.n_iso)
         apply(mask, CODE_ISOLATION)
 
-    return flags, sctpog
+    return flags, sctpog, corep
 
 
 class BucketChecker:

@@ -50,19 +50,28 @@ def _bucketed_union(left, right, by: str, num_buckets: int):
 
 
 def asof_join(left, right, by: str, on: str, value_cols: tuple[str, ...],
-              num_buckets: int = 64, direction: str = "backward"):
+              num_buckets: int = 64, direction: str = "backward",
+              tiebreak: str | None = None):
     """INNER as-of join: every LEFT row that has a RIGHT row of the same
     `by` key with right.on <= left.on (direction="backward"; "forward" =
     earliest right.on >= left.on) gets the closest such row's `value_cols`
     as r_<col>; unmatched left rows are dropped (DuckDB `ASOF JOIN`
-    semantics — the oracle the driver checks)."""
+    semantics — the oracle the driver checks).
+
+    Ties on equal right-side (by, on): pass ``tiebreak`` (a right column,
+    e.g. an event id) to pick the max-tiebreak row deterministically
+    (backward; min for forward) regardless of group arrival order. Without
+    it, unique (by, on) on the right is a documented precondition of the
+    SQL-checked queries — DuckDB ASOF picks an arbitrary tied row, so parity
+    is only defined when there are no ties (round-2 advice item 4)."""
     assert direction in ("backward", "forward")
+    sort_cols = [on] if tiebreak is None else [on, tiebreak]
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_parts = []
         for _, g in df.groupby(by, sort=False):
             l = g[g["_side"] == 0]
-            r = g[g["_side"] == 1].sort_values(on, kind="mergesort")
+            r = g[g["_side"] == 1].sort_values(sort_cols, kind="mergesort")
             if len(l) == 0 or len(r) == 0:
                 continue
             ron = r[on].to_numpy()

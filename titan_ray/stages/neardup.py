@@ -125,9 +125,11 @@ def _read_docs(sf_dir: str):
 
 
 # in-bucket pair expansion is O(k²) per band bucket: cap the bucket size so
-# a degenerate bucket (near-identical boilerplate docs) cannot explode; the
-# cap is logged, not silent — capped buckets mean "everything here is dup-
-# suspect", which exact-dedup upstream should have collapsed first.
+# a degenerate bucket (near-identical boilerplate docs) cannot explode.
+# Oversized buckets fall back to O(k) STAR pairs against the lowest-ranked
+# doc (round-2 advice item 5: a capped bucket means "everything here is
+# dup-suspect" — the star keeps the recall floor: every member is verified
+# against the would-be-kept anchor instead of losing the bucket entirely).
 MAX_BAND_BUCKET = 256
 
 
@@ -136,20 +138,23 @@ def _bucket_pairs(df: pd.DataFrame, keys: list[str], cap: int = MAX_BAND_BUCKET)
     import logging
 
     out_a, out_b = [], []
-    dropped = 0
+    capped = 0
     for _, g in df.groupby(keys, sort=False):
         ids = np.unique(g["doc_id"].to_numpy())
         if len(ids) > cap:
-            dropped += 1
+            capped += 1
+            out_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+            out_b.append(ids[1:])
             continue
         if len(ids) > 1:
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])
-    if dropped:
+    if capped:
         logging.getLogger("titan_ray.neardup").warning(
-            "LSH: skipped %d band buckets larger than %d docs (run exact dedup first)",
-            dropped, cap,
+            "LSH: %d band buckets larger than %d docs reduced to star pairs "
+            "against the lowest-ranked member (run exact dedup first)",
+            capped, cap,
         )
     if not out_a:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
@@ -418,7 +423,7 @@ def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0
 
 
 NEARDUP_ROOT = "/tmp/titan_ray_neardup"
-NEARDUP_VERSION = "v1"
+NEARDUP_VERSION = "v2"  # v2: oversized LSH buckets -> star pairs (not dropped)
 # near-dup threshold: exact char-shingle Jaccard between template-generated
 # documents has a ~0.2 noise floor (shared common words); planted near-dups
 # sit at ~0.97 — 0.5 separates them cleanly. (Round-1's 0.2 threshold only

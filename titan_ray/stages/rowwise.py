@@ -13,6 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import QCConfig
+from ..functions.lut import encode, lut, lut_pair
 from ..schema import (
     CODE_BLACKLIST,
     CODE_CLIM,
@@ -21,6 +22,17 @@ from ..schema import (
     CODE_PLAUS,
 )
 from .flags import UNFLAGGED, apply_flag, testable_mask
+
+
+def _doit_vec(batch: pa.Table, cfg: QCConfig, check: str) -> np.ndarray:
+    """Per-row doit values without materializing roles as Python objects:
+    the common empty-doit config short-circuits to ones; otherwise one
+    dictionary-encode + unique-set lookup (no per-row dict .get)."""
+    table = cfg.doit.get(check)
+    if not table:
+        return np.ones(batch.num_rows, dtype=np.int8)
+    codes, uniq = encode(batch["role"])
+    return lut(codes, uniq, table, 1, np.int8)
 
 
 def _get_flags(batch: pa.Table) -> np.ndarray:
@@ -95,8 +107,7 @@ def plausibility_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
     the reference's vmin/vmax range check (plausibility_test.r:7-11).
     May flag keep-listed rows (titan.r:194)."""
     flags = _get_flags(batch)
-    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
-    doit = cfg.doit_for("plausibility", roles)
+    doit = _doit_vec(batch, cfg, "plausibility")
     conf = batch["lang_conf"].to_numpy(zero_copy_only=False)
     ppl = batch["ppl"].to_numpy(zero_copy_only=False)
     bad = (conf < cfg.conf_min) | (ppl > cfg.ppl_hard_max)
@@ -111,13 +122,11 @@ def climatological_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
     month-indexed climatological min/max (climatological_check.r:24-28).
     Cannot flag keep-listed rows."""
     flags = _get_flags(batch)
-    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
-    doit = cfg.doit_for("climatological", roles)
-    langs = batch["lang"].to_pandas().fillna("und").to_numpy(dtype=object)
+    doit = _doit_vec(batch, cfg, "climatological")
+    lcodes, luniq = encode(batch["lang"], fill="und")
     ppl = batch["ppl"].to_numpy(zero_copy_only=False)
     default = cfg.clim_bands.get("und", (0.0, float("inf")))
-    los = np.asarray([cfg.clim_bands.get(l, default)[0] for l in langs])
-    his = np.asarray([cfg.clim_bands.get(l, default)[1] for l in langs])
+    los, his = lut_pair(lcodes, luniq, cfg.clim_bands, default)
     bad = (ppl < los) | (ppl > his)
     flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_CLIM)
     return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
@@ -142,10 +151,10 @@ def zdem_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
     if not cfg.enable_zdem:
         return batch
     flags = _get_flags(batch)
-    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
-    tools = batch["tool"].to_pandas().fillna("").to_numpy(dtype=object)
-    doit = cfg.doit_for("zdem", roles)
-    bad = (roles == "tool") != (tools != "")
+    doit = _doit_vec(batch, cfg, "zdem")
+    is_tool = pc.fill_null(pc.equal(batch["role"], "tool"), False).to_numpy(zero_copy_only=False).astype(bool)
+    has_tool = pc.fill_null(pc.not_equal(batch["tool"], ""), False).to_numpy(zero_copy_only=False).astype(bool)
+    bad = is_tool != has_tool
     flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_ZDEM)
     return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
 
@@ -159,9 +168,9 @@ def ccrrt_check(batch: pa.Table, cfg: QCConfig) -> pa.Table:
     if not cfg.enable_ccrrt:
         return batch
     flags = _get_flags(batch)
-    roles = batch["role"].to_pandas().fillna("").to_numpy(dtype=object)
-    doit = cfg.doit_for("ccrrt", roles)
+    doit = _doit_vec(batch, cfg, "ccrrt")
     q = batch["qscore"].to_numpy(zero_copy_only=False)
-    bad = (roles == "tool") & (q > cfg.ccrrt_tmax)
+    is_tool = pc.fill_null(pc.equal(batch["role"], "tool"), False).to_numpy(zero_copy_only=False).astype(bool)
+    bad = is_tool & (q > cfg.ccrrt_tmax)
     flags = apply_flag(flags, bad & testable_mask(flags, doit), CODE_CCRRT)
     return _set_col(batch, "dqcflag", pa.array(flags, type=pa.int32()))
