@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
         "ngram_jaccard_allpairs": neardup.ngram_jaccard_allpairs,
         "simhash_docs": neardup.simhash_docs,
+        "doc_winnow_fingerprints": neardup.doc_winnow_fingerprints,
         "minhash_dedup_docs": neardup.minhash_dedup_docs,
         # --- multimodal plumbing (rows-only: file-backed binary payloads
         # through the real read -> actor-pool decode path; codec = stub) ---
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_stopword_ratio": docqc.stopword_sql(),
         "doc_langid": docqc.langid_sql(),
+        "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "
             "WHERE length(text) BETWEEN 20 AND 2000 "

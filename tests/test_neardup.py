@@ -204,3 +204,35 @@ def test_ngram_jaccard_allpairs_matches_bruteforce(ray_session, tmp_path):
     got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert list(zip(got["doc_a"], got["doc_b"])) == [(a, b) for a, b, _ in want]
     assert np.allclose(got["jaccard"], [j for _, _, j in want], atol=1e-4)
+
+
+def test_winnow_fingerprints_brute_oracle(ray_session):
+    """Winnowing fingerprints == a brute-force python winnow (min k-gram
+    hash per W-window, distinct per doc) on real docs, and the guarantee
+    holds: two docs sharing a long substring share a fingerprint."""
+    import os
+
+    from titan_ray.stages.neardup import doc_winnow_fingerprints
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata absent")
+    import pyarrow.parquet as pq
+
+    eng = doc_winnow_fingerprints(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().head(3)
+    SEED, M, T = 1469598103934665603, 1099511628211, 1 << 64
+    for _, r in docs.iterrows():
+        t = r["text"].encode()
+        hs = []
+        for p in range(len(t) - 4):
+            h = SEED
+            for b in t[p : p + 5]:
+                h = (h * M + b) % T
+            hs.append(h)
+        fps = {min(hs[j - 7 : j + 1]) for j in range(7, len(hs))}
+        want = sorted(np.array(sorted(fps), dtype=np.uint64).view(np.int64))
+        got = sorted(eng[eng["doc_id"] == r["doc_id"]]["fp"])
+        assert want == got

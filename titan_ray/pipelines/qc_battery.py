@@ -17,7 +17,9 @@ engine-trained scorer models — not SQL-derivable. The split that fixes it:
    (titan.r:209-257). That mode is deterministic, partition-invariant and
    exactly expressible in SQL (self-joins + median/MAD per neighbourhood).
    The iterative cascade mode remains the flagship default, verified by the
-   serial oracle + planted-label F1 (tests/test_pipeline.py).
+   serial oracle + planted-label F1 (tests/test_pipeline.py) AND, since
+   round 3, by its own DuckDB row (qc_full_cascade / cascade_sql: the
+   iteration unrolled pass-by-pass as materialized state CTEs).
 
 Engine/SQL parity invariants the SQL builders rely on (documented, tested):
 - post-dedup rows are unique on (conv_id, turn_idx) for usable/testable

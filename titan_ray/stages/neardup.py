@@ -311,6 +311,72 @@ def ngram_jaccard_allpairs(sf_dir: str, threshold: float = 0.2):
     )
 
 
+WINNOW_K = SHINGLE  # k-gram width feeding the fingerprint
+WINNOW_W = 8        # winnowing window: every match of length >= W+K-1
+                    # chars shares at least one fingerprint (the standard
+                    # winnowing guarantee; public algorithm, Schleimer et
+                    # al. 2003 — document fingerprinting per the brief)
+
+
+def doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints per document: the minimum k-gram rolling hash
+    of every W-window of consecutive shingle hashes, deduplicated per doc.
+    Exact integer arithmetic end to end, so the DuckDB oracle (winnow_sql:
+    the same FNV chain in HUGEINT mod-2^64 + a ROWS 7 PRECEDING window min)
+    hash-matches. Stateless map_batches; no shuffle."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        hv, g_starts, counts = _row_shingles(texts)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_win = np.maximum(counts - WINNOW_W + 1, 0)
+        if len(hv) < WINNOW_W or n_win.sum() == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "fp": pa.array([], type=pa.int64())})
+        sw = np.lib.stride_tricks.sliding_window_view(hv, WINNOW_W).min(axis=1)
+        idx = multi_arange(g_starts, n_win)
+        mins = sw[idx]
+        docs = np.repeat(doc_ids, n_win)
+        # distinct (doc, fingerprint)
+        order = np.lexsort((mins, docs))
+        d_s, m_s = docs[order], mins[order]
+        first = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            first[1:] = (d_s[1:] != d_s[:-1]) | (m_s[1:] != m_s[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[first].astype(np.int64)),
+                "fp": pa.array(m_s[first].view(np.int64)),  # signed reinterpret
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def winnow_sql() -> str:
+    """DuckDB replay of doc_winnow_fingerprints: the k-byte FNV rolling hash
+    chained in HUGEINT mod-2^64 (ASCII docs => substring == bytes, same
+    precondition as neardup_sql), window-min over ROWS W-1 PRECEDING, then
+    the uint64 value reinterpreted as signed BIGINT to match the engine."""
+    T = 1 << 64
+    M = 1099511628211
+    expr = "CAST(1469598103934665603 AS HUGEINT)"
+    for i in range(WINNOW_K):
+        expr = f"((({expr}) * {M} + ascii(substring(text, p + {i + 1}, 1))) % {T})"
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM documents "
+        f"WHERE text IS NOT NULL AND strlen(text) >= {WINNOW_K + WINNOW_W - 1}), "
+        "pos AS (SELECT doc_id, text, "
+        f"unnest(generate_series(0, strlen(text) - {WINNOW_K})) AS p FROM d), "
+        f"h AS (SELECT doc_id, p, {expr} AS hv FROM pos), "
+        "w AS (SELECT doc_id, p, min(hv) OVER (PARTITION BY doc_id ORDER BY p "
+        f"ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS mn FROM h) "
+        "SELECT DISTINCT doc_id, CAST(CASE WHEN mn >= 9223372036854775808 "
+        "THEN mn - 18446744073709551616 ELSE mn END AS BIGINT) AS fp "
+        f"FROM w WHERE p >= {WINNOW_W - 1}"
+    )
+
+
 def simhash_docs(sf_dir: str):
     """64-bit SimHash per document (fingerprint column for downstream
     Hamming-bucket dedup)."""
