@@ -392,3 +392,62 @@ def test_asof_tiebreak_deterministic(ray_session):
         value_cols=("event_id", "vm"), tiebreak="event_id",
     ).to_pandas()
     assert len(out) == 1 and out["r_event_id"].iloc[0] == 12  # max event_id among ties
+
+
+def test_sct_adaptive_radius_parity(ray_session, small_corpus):
+    """Adaptive sct neighbourhood (kth-closest horizontal-scale analog,
+    argparser_sct.r): engine == serial oracle exactly under the knob."""
+    import ray.data as rd
+    from titan_ray.pipelines.qc import build_qc_pipeline
+
+    # sct-only at a tight threshold so the adaptive restriction actually
+    # changes outcomes (at the default cascade dual/buddy fire first and
+    # the knob is a no-op on this corpus — verified)
+    base = dict(dedup=True, sct_t=2.0, enable_dual=False, enable_buddy=False,
+                enable_fgt=False)
+    cfg = QCConfig(**base, sct_adaptive_k=4, sct_min_radius=2)
+    ora = oracle_qc(small_corpus, cfg).sort_values(KEY, na_position="last").reset_index(drop=True)
+    eng = build_qc_pipeline(rd.from_arrow(small_corpus).repartition(8), cfg).to_pandas()
+    eng = eng.sort_values(KEY, na_position="last").reset_index(drop=True)
+    assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+    # non-vacuous: the adaptive knob flips flags vs the fixed radius here
+    fixed = oracle_qc(small_corpus, QCConfig(**base)).sort_values(
+        KEY, na_position="last").reset_index(drop=True)
+    assert (fixed["dqcflag"].to_numpy() != ora["dqcflag"].to_numpy()).any()
+
+
+def test_sct_adaptive_radius_kernel():
+    """Kernel-level check of the kth-closest-neighbour clamp
+    (argparser_sct.r --kth_closest_obs_horizontal_scale.sct): a row whose
+    k nearest usable neighbours sit within distance d keeps ONLY neighbours
+    at |dt| <= clamp(d, rmin, rmax); a row with < k neighbours keeps all."""
+    from titan_ray.stages.conv import _adaptive_restrict, _neighbour_matrix
+
+    # two dense runs separated by a turn gap: t = 0..4, then 10..13
+    t = np.array([0, 1, 2, 3, 4, 10, 11, 12, 13], dtype=np.int64)
+    q = np.arange(9, dtype=np.float64) + 1.0
+    ok = np.ones(9, dtype=bool)
+    grp = np.zeros(9, dtype=np.int64)
+    m, adt = _neighbour_matrix(q, ok, grp, t, r=6, return_dt=True)
+    out = _adaptive_restrict(m, adt, k=2, rmin=1, rmax=6)
+
+    def kept(i):
+        row = out[i]
+        return sorted(v for v in row[~np.isnan(row)])
+
+    # row t=4 (idx 4): neighbour dts {1,2,3,4,6}; 2nd-closest = 2 -> keep
+    # only t=2,3 (values 3.0, 4.0) — the dt=6 run and dt=3,4 rows drop.
+    assert kept(4) == [3.0, 4.0]
+    # row t=0 (idx 0): dts {1,2,3,4}; 2nd-closest = 2 -> keep t=1,2.
+    assert kept(0) == [2.0, 3.0]
+    # interior dense row t=2 (idx 2): 2nd-closest = 1... clamped UP to
+    # rmin=1 -> keep both dt=1 neighbours only.
+    assert kept(2) == [2.0, 4.0]
+    # a row with fewer than k usable neighbours keeps the full radius
+    ok2 = ok.copy()
+    ok2[:] = False
+    ok2[[4, 5]] = True  # t=4 has exactly one usable neighbour (t=10, dt=6)
+    m2, adt2 = _neighbour_matrix(q, ok2, grp, t, r=6, return_dt=True)
+    out2 = _adaptive_restrict(m2, adt2, k=2, rmin=1, rmax=6)
+    row4 = out2[4]
+    assert sorted(v for v in row4[~np.isnan(row4)]) == [6.0]  # t=10 kept

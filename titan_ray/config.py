@@ -95,6 +95,13 @@ class QCConfig:
     sct_eps2: dict[str, float] = field(default_factory=dict)  # per-role
     sct_eps2_default: float = 0.5
     sct_weighted: bool = False
+    # adaptive neighbourhood (reference argparser_sct.r
+    # --kth_closest_obs_horizontal_scale.sct with min/max_horizontal_scale
+    # clamps): restrict each row's sct window to the distance of its
+    # kth-closest usable neighbour, clamped to [sct_min_radius, r_sct].
+    # None = fixed radius (default). Median background only.
+    sct_adaptive_k: int | None = None
+    sct_min_radius: int = 2
     # SCT background (reference argparser_sct.r:13-16 background_elab_type):
     # "median" = MedianOuterCircle analog; "trend" = Theil-Sen robust linear
     # fit of qscore vs turn_idx over the neighbourhood (VerticalProfile/

@@ -399,6 +399,13 @@ def _window_checks(cfg, lflags, is_core, lt, lq, lroles, llang, lpog, lnch=None,
                     if not testable("sct", i):
                         continue
                     nb = _neigh(i, lt, sr, ok)
+                    if cfg.sct_adaptive_k and cfg.sct_background != "trend":
+                        # adaptive radius: clamp to the kth-closest usable
+                        # neighbour distance (kth_closest_obs_horizontal_scale)
+                        dts = sorted(abs(int(lt[j]) - int(lt[i])) for j in nb)
+                        kd = dts[cfg.sct_adaptive_k - 1] if len(dts) >= cfg.sct_adaptive_k else sr
+                        r_i = min(max(kd, cfg.sct_min_radius), sr)
+                        nb = [j for j in nb if abs(lt[j] - lt[i]) <= r_i]
                     if len(nb) < smin:
                         continue
                     if cfg.sct_background == "trend":

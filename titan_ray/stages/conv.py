@@ -149,8 +149,9 @@ def _pos_radius(r: int, dup: int, n: int) -> int:
 
 
 def _neighbour_matrix(
-    q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int, dup: int = 1
-) -> np.ndarray:
+    q: np.ndarray, ok: np.ndarray, grp: np.ndarray, t: np.ndarray, r: int, dup: int = 1,
+    return_dt: bool = False,
+):
     """(n, 2R+1) of usable neighbour values; NaN where out-of-conv,
     out-of-TURN-radius, not usable, or self. Rows must be sorted by (grp, t).
 
@@ -158,16 +159,38 @@ def _neighbour_matrix(
     oracle's _neigh and the reference's metric radius, statistics_util.r:50);
     the positional window is widened by the duplicate multiplicity so rows
     sharing a turn_idx are still seen (self excluded by POSITION only —
-    duplicate rows at the same turn are legitimate buddies of each other)."""
+    duplicate rows at the same turn are legitimate buddies of each other).
+
+    return_dt: also return the |Δturn| matrix (NaN where the value is NaN) —
+    used by the adaptive-radius restriction."""
     R = _pos_radius(r, dup, len(q))
     vals = np.where(ok, q, np.nan)
     m = _sliding(vals, R).copy()
     m[:, R] = np.nan  # exclude self (reference: statistics_util.r:50-55)
     gm = _sliding(grp.astype(np.float64), R)
     tm = _sliding(t.astype(np.float64), R)
-    bad = (gm != grp[:, None]) | (np.abs(tm - t[:, None]) > r)
+    adt = np.abs(tm - t[:, None])
+    bad = (gm != grp[:, None]) | (adt > r)
     m[bad] = np.nan
+    if return_dt:
+        return m, np.where(np.isnan(m), np.nan, adt)
     return m
+
+
+def _adaptive_restrict(m: np.ndarray, adt: np.ndarray, k: int, rmin: int, rmax: int) -> np.ndarray:
+    """Clamp each row's neighbourhood to the distance of its kth-closest
+    usable neighbour (reference: argparser_sct.r
+    --kth_closest_obs_horizontal_scale.sct — the decorrelation length adapts
+    to local density, clamped to [min, max horizontal scale]). Rows with
+    fewer than k neighbours keep the full radius."""
+    ds = np.sort(adt, axis=1)  # NaN sorts last
+    cnt = np.sum(~np.isnan(adt), axis=1)
+    col = min(k, ds.shape[1]) - 1
+    kd = np.where(cnt >= k, ds[:, col], float(rmax))
+    r_i = np.clip(kd, float(rmin), float(rmax))
+    with np.errstate(invalid="ignore"):
+        keep = adt <= r_i[:, None]
+    return np.where(keep, m, np.nan)
 
 
 def _range_count_sum(
@@ -525,6 +548,10 @@ def _conv_kernel(cfg: QCConfig, flags, q, t, grp, core, rcodes, runiq, event_np,
                     s_q, s_ok, s_grp, s_t, s_w = q[sel], ok[sel], grp[sel], t[sel], ew[sel]
                 if cfg.sct_background == "trend":
                     z, cnt = _trend_z(s_q, s_ok, s_grp, s_t, sr, dup, cfg.sigma_min)
+                elif cfg.sct_adaptive_k:
+                    m, adt = _neighbour_matrix(s_q, s_ok, s_grp, s_t, sr, dup, return_dt=True)
+                    m = _adaptive_restrict(m, adt, cfg.sct_adaptive_k, cfg.sct_min_radius, sr)
+                    z, cnt, _, _ = _robust_z(s_q, m, cfg.sigma_min)
                 else:
                     m = _neighbour_matrix(s_q, s_ok, s_grp, s_t, sr, dup)
                     z, cnt, _, _ = _robust_z(s_q, m, cfg.sigma_min)
