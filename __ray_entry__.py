@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_scrub": docqc.doc_scrub,
         "doc_langid": docqc.doc_langid,
+        "doc_repetition": docqc.doc_repetition,
+        "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "dedup_exact_docs": docqc.dedup_exact_docs,
         # --- ordered-stream analogs over events (SQL-checked, exact ints) ---
         "events_hourly": events.events_hourly,
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_stopword_ratio": docqc.stopword_sql(),
         "doc_langid": docqc.langid_sql(),
+        "doc_repetition": docqc.repetition_sql(),
+        "doc_sample_rebalance": docqc.sample_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "

@@ -1,0 +1,88 @@
+"""Edge-case tests for the round-3 document operators (repetition signals,
+rebalanced sampling, dedup clusters) — engine vs DuckDB on a tiny synthetic
+documents table with degenerate rows the sf corpora don't contain."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def edge_docs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_docs")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",                      # one word repeated
+                    "one",                          # single word, no bigram
+                    "",                             # empty
+                    "  leading and   trailing  ",   # irregular whitespace
+                    "x y x y x y z",                # repeated bigram
+                    "all words here are unique",    # no repetition
+                    "a b a b c a",                  # mixed
+                ]
+            ),
+            "lang": pa.array(["en", "en", "de", "en", "fr", "en", "zh"]),
+            "source": pa.array(["s"] * 7),
+            "n_chars": pa.array([7, 3, 0, 27, 13, 25, 11], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def _compare(sf_dir, query_fn, sql):
+    from tools.check_contract import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    eng = to_pandas(query_fn(sf_dir))
+    ora = con.sql(sql).df()
+    assert len(eng) == len(ora)
+    assert sorted(map(str.lower, eng.columns)) == sorted(map(str.lower, ora.columns))
+    assert value_hash(eng) == value_hash(ora)
+    return eng
+
+
+def test_doc_repetition_edge_cases(ray_session, edge_docs):
+    from titan_ray.pipelines.docqc import doc_repetition, repetition_sql
+
+    eng = _compare(edge_docs, doc_repetition, repetition_sql()).set_index("doc_id")
+    assert eng.loc[0, "max_word_frac"] == 1.0      # 'a a a a'
+    assert eng.loc[0, "top_bigram_frac"] == 1.0    # 3/3 bigrams 'a a'
+    assert eng.loc[1, "n_words"] == 1 and eng.loc[1, "top_bigram_frac"] == 0.0
+    assert eng.loc[2, "n_words"] == 0 and eng.loc[2, "uniq_ratio"] == 0.0
+    assert eng.loc[3, "n_words"] == 3              # whitespace runs collapse
+    assert eng.loc[4, "top_bigram_frac"] == 0.5    # 'x y' 3 of 6 bigrams
+    assert eng.loc[5, "uniq_ratio"] == 1.0 and eng.loc[5, "max_word_frac"] == 0.2
+
+
+def test_doc_sample_rebalance_edge_cases(ray_session, edge_docs):
+    from titan_ray.pipelines.docqc import doc_sample_rebalance, sample_sql
+
+    eng = _compare(edge_docs, doc_sample_rebalance, sample_sql())
+    # non-en rows are never dropped (rate 1.0)
+    assert set(eng.loc[eng.lang != "en", "doc_id"]) == {2, 4, 6}
+
+
+def test_doc_sample_rebalance_deterministic_and_rate(ray_session):
+    """Keep decisions depend only on doc_id (partition-invariant) and the
+    realized rate converges to the configured one."""
+    from titan_ray.pipelines.docqc import (
+        _SAMPLE_MULT,
+        _SAMPLE_SEED,
+        SAMPLE_RATES,
+    )
+
+    ids = np.arange(200_000, dtype=np.uint64)
+    h = ids * np.uint64(_SAMPLE_MULT) + np.uint64(_SAMPLE_SEED)
+    thr = np.uint64(int(SAMPLE_RATES["en"] * (1 << 64)))
+    rate = float((h < thr).mean())
+    assert abs(rate - SAMPLE_RATES["en"]) < 0.01

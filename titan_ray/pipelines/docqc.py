@@ -217,6 +217,150 @@ def langid_sql() -> str:
     )
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition/diversity signals per document: type-token
+    ratio, most-frequent-word fraction, top word-bigram fraction (the
+    duplicate-text quality gates of large-scale LM corpora; complements the
+    char-ngram distinct_window_ratio the flagship scorer uses). Exact —
+    tokens are dictionary-encoded, then per-(doc, token[, token]) run counts
+    come from one lexsort over the whole batch; no Python per row, no hash
+    collisions (codes, not hashes). DuckDB-checkable (repetition_sql)."""
+    import pyarrow.compute as pc
+
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        n_rows = len(texts)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        values = lst.values
+        rid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+        # split on \s+ leaves "" at row edges; dropping them == '\S+' extraction
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        codes = np.asarray(pc.dictionary_encode(values).indices, dtype=np.int64)
+        rid, codes = rid[keep], codes[keep]
+        n_words = np.bincount(rid, minlength=n_rows).astype(np.int64)
+        order = np.lexsort((codes, rid))
+        r_s, c_s = rid[order], codes[order]
+        maxw = np.zeros(n_rows, dtype=np.int64)
+        uniq = np.zeros(n_rows, dtype=np.int64)
+        if len(r_s):
+            newrun = np.ones(len(r_s), dtype=bool)
+            newrun[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.flatnonzero(newrun)
+            runlen = np.diff(np.append(starts, len(r_s)))
+            np.maximum.at(maxw, r_s[starts], runlen)
+            uniq = np.bincount(r_s[starts], minlength=n_rows).astype(np.int64)
+        # bigrams = consecutive token pairs within a row (rid is row-ordered)
+        same = rid[1:] == rid[:-1] if len(rid) else np.zeros(0, dtype=bool)
+        b1, b2, br = codes[:-1][same], codes[1:][same], rid[:-1][same]
+        maxbg = np.zeros(n_rows, dtype=np.int64)
+        if len(br):
+            o2 = np.lexsort((b2, b1, br))
+            rb, k1, k2 = br[o2], b1[o2], b2[o2]
+            nr = np.ones(len(rb), dtype=bool)
+            nr[1:] = (rb[1:] != rb[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+            st = np.flatnonzero(nr)
+            rl = np.diff(np.append(st, len(rb)))
+            np.maximum.at(maxbg, rb[st], rl)
+        den = np.maximum(n_words, 1).astype(np.float64)
+        denb = np.maximum(n_words - 1, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "uniq_ratio": pa.array(round_half_away(uniq / den, 6)),
+                "max_word_frac": pa.array(round_half_away(maxw / den, 6)),
+                "top_bigram_frac": pa.array(round_half_away(maxbg / denb, 6)),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def repetition_sql() -> str:
+    """DuckDB oracle for doc_repetition (token/bigram frequency replay)."""
+    return (
+        r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents), "
+        "w AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok), "
+        "wc AS (SELECT doc_id, max(c) AS maxw, count(*) AS uniq FROM "
+        "(SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) GROUP BY doc_id), "
+        "bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM w a "
+        "JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1), "
+        "bc AS (SELECT doc_id, max(c) AS maxbg FROM "
+        "(SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2) GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_words, "
+        "round(CAST(coalesce(wc.uniq, 0) AS DOUBLE) / greatest(len(ts), 1), 6) AS uniq_ratio, "
+        "round(CAST(coalesce(wc.maxw, 0) AS DOUBLE) / greatest(len(ts), 1), 6) AS max_word_frac, "
+        "round(CAST(coalesce(bc.maxbg, 0) AS DOUBLE) / greatest(len(ts) - 1, 1), 6) AS top_bigram_frac "
+        "FROM tok t LEFT JOIN wc ON wc.doc_id = t.doc_id LEFT JOIN bc ON bc.doc_id = t.doc_id"
+    )
+
+
+# deterministic Bernoulli gate: keep iff (doc_id*M + S) mod 2^64 < rate*2^64.
+# M odd => the map is a mod-2^64 bijection, so the gate is uniform over any
+# id range; fixed constants => the sample is reproducible run-to-run and
+# exactly replayable in DuckDB HUGEINT arithmetic (sample_sql).
+_SAMPLE_MULT = 6364136223846793005
+_SAMPLE_SEED = 1442695040888963407
+# language-rebalance rates: downsample the dominant language toward parity
+# (the corpus-mixing step of large-scale LM pipelines; reference analog:
+# the keep/drop provider weighting of read_data_to_check.r:121-143)
+SAMPLE_RATES = {"en": 0.35}
+
+
+def doc_sample_rebalance(sf_dir: str, rates: dict[str, float] | None = None):
+    """Language-rebalanced deterministic sampling: per-language Bernoulli
+    keep-rates gated by a fixed integer hash of doc_id — no RNG state, no
+    shuffle, embarrassingly parallel, and the SAME rows are kept at any
+    partitioning (resumable at 100 TB). DuckDB-checkable (sample_sql)."""
+    from ..functions.lut import encode
+
+    rates = SAMPLE_RATES if rates is None else rates
+    ds = _read(sf_dir, ["doc_id", "lang"])
+
+    def samp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_SAMPLE_MULT) + np.uint64(_SAMPLE_SEED)
+        codes, uniq = encode(batch["lang"])
+        rate_tab = np.asarray([min(rates.get(u, 1.0), 1.0) for u in uniq], dtype=np.float64)
+        # exact integer thresholds (no float compare): rate >= 1 => keep all
+        thr_tab = np.asarray(
+            [np.uint64(int(r * (1 << 64))) if r < 1.0 else np.uint64(0) for r in rate_tab],
+            dtype=np.uint64,
+        )
+        always = rate_tab[codes] >= 1.0
+        keep = always | (h < thr_tab[codes])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().filter(pa.array(keep)) if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"].filter(pa.array(keep)),
+                "lang": batch["lang"].combine_chunks().filter(pa.array(keep)) if isinstance(batch["lang"], pa.ChunkedArray) else batch["lang"].filter(pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def sample_sql(rates: dict[str, float] | None = None) -> str:
+    """DuckDB oracle for doc_sample_rebalance (HUGEINT hash-gate replay)."""
+    rates = SAMPLE_RATES if rates is None else rates
+    two64 = 1 << 64
+    cases = " ".join(
+        f"WHEN '{l}' THEN CAST({int(min(r, 1.0) * two64)} AS HUGEINT)"
+        for l, r in rates.items() if r < 1.0
+    )
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        f"(CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + {_SAMPLE_SEED}) % {two64} "
+        f"< CASE lang {cases} ELSE CAST({two64} AS HUGEINT) END"
+    )
+
+
 def doc_quality_scores(sf_dir: str):
     """Quality-score vector per document (graft brief: length/punct ratios):
     byte-class ratios + token count, rounded half-away-from-zero to 6 so the
