@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": neardup.simhash_docs,
         "doc_winnow_fingerprints": neardup.doc_winnow_fingerprints,
         "minhash_dedup_docs": neardup.minhash_dedup_docs,
+        "dedup_clusters": neardup.dedup_clusters,
         # --- multimodal plumbing (rows-only: file-backed binary payloads
         # through the real read -> actor-pool decode path; codec = stub) ---
         "media_features": multimodal.media_features_query,

@@ -236,3 +236,37 @@ def test_winnow_fingerprints_brute_oracle(ray_session):
         want = sorted(np.array(sorted(fps), dtype=np.uint64).view(np.int64))
         got = sorted(eng[eng["doc_id"] == r["doc_id"]]["fp"])
         assert want == got
+
+
+def test_dedup_clusters_transitive(ray_session, tmp_path, monkeypatch):
+    """Connected components merge chains pairwise dedup can't: a~b and b~c
+    above threshold but a~c below => one size-3 cluster keyed by min id."""
+    import pyarrow.parquet as pq
+    from titan_ray.stages import neardup
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i:03d}x{i % 7}" for i in range(800)]
+    texts = [
+        " ".join(words[k] for k in rng.integers(0, len(words), 30)) for _ in range(20)
+    ]
+    # chain: a = b with the first 4 words replaced, c = b with the last 4
+    b = texts[3].split()
+    a = ["qa1", "qa2", "qa3", "qa4"] + b[4:]
+    c = b[:-4] + ["qc1", "qc2", "qc3", "qc4"]
+    texts.extend([" ".join(a), " ".join(c)])  # ids 20, 21; b is id 3
+    sf_dir = tmp_path / "sf0.7"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        sf_dir / "documents.parquet",
+    )
+    monkeypatch.setattr(neardup, "NEARDUP_ROOT", str(tmp_path / "cands"))
+    thr = 0.7
+    want = _brute_jaccard(texts, thr)
+    pairs = {(p[0], p[1]) for p in want}
+    assert (3, 20) in pairs and (3, 21) in pairs and (20, 21) not in pairs
+    out = neardup.dedup_clusters(str(sf_dir), thr).to_pandas().set_index("doc_id")
+    assert set(out.index) >= {3, 20, 21}
+    assert out.loc[20, "cluster_id"] == 3 and out.loc[21, "cluster_id"] == 3
+    assert out.loc[3, "cluster_size"] == 3

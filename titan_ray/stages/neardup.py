@@ -581,6 +581,58 @@ def minhash_dedup_docs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     return _read_docs(sf_dir).map_batches(keep, batch_format="pyarrow")
 
 
+# pairs are the SMALL side (LSH bucket caps bound them); beyond this the
+# driver-side union-find is refused rather than silently ballooning.
+MAX_CLUSTER_PAIRS = 5_000_000
+
+
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
+    """Duplicate CLUSTERS via connected components over the verified
+    near-dup pairs: transitive closure (a~b, b~c => one cluster even when
+    a!~c — pairwise dedup under-merges chains). Emits (doc_id, cluster_id =
+    min doc_id in the component, cluster_size) for every clustered doc.
+
+    Scale shape: candidate generation + exact verification are the
+    distributed stages (verified_pairs); the surviving edge list is the
+    small side — union-find over it is O(E α(E)) driver-side, guarded by
+    MAX_CLUSTER_PAIRS. (The unbounded-edges alternative is iterative
+    min-label propagation — repeat groupby(node).min(label) joins until
+    fixpoint — at log(diameter) extra shuffles; not needed while the edge
+    list fits, which the LSH bucket caps guarantee.)"""
+    v = verified_pairs(sf_dir, threshold)
+    if len(v) > MAX_CLUSTER_PAIRS:
+        raise ValueError(
+            f"dedup_clusters: {len(v)} verified pairs exceeds MAX_CLUSTER_PAIRS="
+            f"{MAX_CLUSTER_PAIRS}; run exact dedup first or raise the bound"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(v["doc_a"].to_numpy(), v["doc_b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min doc_id wins => cluster_id deterministic
+    roots = {x: find(x) for x in parent}
+    from collections import Counter
+
+    sizes = Counter(roots.values())
+    rows = sorted((d, r, sizes[r]) for d, r in roots.items())
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cluster_size": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def neardup_sql(sf: float = 0.01) -> dict[str, str]:
     """DuckDB oracles replaying exact candidate verification in SQL:
     byte shingles via BLOB substrings (engine hashes the same 5-byte
@@ -612,5 +664,18 @@ def neardup_sql(sf: float = 0.01) -> dict[str, str]:
         "minhash_dedup_docs": (
             f"WITH {base} SELECT doc_id FROM documents "
             f"WHERE doc_id NOT IN (SELECT doc_b FROM jac WHERE j > {thr})"
+        ),
+        # transitive closure of the verified pairs via recursive CTE:
+        # reach = all (a, b) connected by a path; cluster_id/size from the
+        # reachable set plus self
+        "dedup_clusters": (
+            f"WITH RECURSIVE {base}, "
+            f"e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE j > {thr}), "
+            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "reach AS (SELECT a, b FROM sym "
+            "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b), "
+            "node AS (SELECT a, b FROM reach UNION SELECT a, a FROM sym) "
+            "SELECT a AS doc_id, min(b) AS cluster_id, "
+            "count(DISTINCT b) AS cluster_size FROM node GROUP BY a"
         ),
     }
