@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": docqc.doc_langid,
         "doc_repetition": docqc.doc_repetition,
         "doc_sample_rebalance": docqc.doc_sample_rebalance,
+        "doc_top_words": docqc.doc_top_words,
+        "doc_length_quantiles": docqc.doc_length_quantiles,
         "dedup_exact_docs": docqc.dedup_exact_docs,
         # --- ordered-stream analogs over events (SQL-checked, exact ints) ---
         "events_hourly": events.events_hourly,
@@ -122,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings (SQL-checked) ---
         "ann_topk": ann.ann_topk,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_ivf_full": ann.ann_topk_ivf_full,
         "embedding_neardup": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # --- near-dup suite over documents: LSH candidates (rows-only,
@@ -224,6 +227,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": docqc.langid_sql(),
         "doc_repetition": docqc.repetition_sql(),
         "doc_sample_rebalance": docqc.sample_sql(),
+        "doc_top_words": (
+            r"WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word "
+            "FROM documents) SELECT word, count(*) AS n FROM w "
+            "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "doc_length_quantiles": (
+            "SELECT count(*) AS n_docs, "
+            "quantile_disc(length(text), 0.25) AS p25, "
+            "quantile_disc(length(text), 0.5) AS p50, "
+            "quantile_disc(length(text), 0.75) AS p75, "
+            "quantile_disc(length(text), 0.9) AS p90, "
+            "quantile_disc(length(text), 0.99) AS p99 FROM documents"
+        ),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "
@@ -295,6 +311,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id FROM events GROUP BY user_id HAVING count(*) < {events.ISO_MIN})"
         ),
         "ann_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) "
+            f"SELECT e.vec_id, round({cos}, 4) AS sim "
+            "FROM embeddings e, q ORDER BY sim DESC, e.vec_id LIMIT 10"
+        ),
+        # full-probe IVF == exact brute force (probe filter keeps all cells)
+        "ann_topk_ivf_full": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) "
             f"SELECT e.vec_id, round({cos}, 4) AS sim "
             "FROM embeddings e, q ORDER BY sim DESC, e.vec_id LIMIT 10"

@@ -86,3 +86,38 @@ def test_doc_sample_rebalance_deterministic_and_rate(ray_session):
     thr = np.uint64(int(SAMPLE_RATES["en"] * (1 << 64)))
     rate = float((h < thr).mean())
     assert abs(rate - SAMPLE_RATES["en"]) < 0.01
+
+
+def test_doc_top_words_edge_cases(ray_session, edge_docs):
+    """Combiner-pattern top-k word counts vs DuckDB, including the tie-break
+    (count desc, word asc) on the tiny corpus where most counts collide."""
+    from titan_ray.pipelines.docqc import doc_top_words
+
+    sql = (
+        r"WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word "
+        "FROM documents) SELECT word, count(*) AS n FROM w "
+        "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+    )
+    eng = _compare(edge_docs, doc_top_words, sql)
+    assert eng.iloc[0]["word"] == "a" and eng.iloc[0]["n"] == 7
+
+
+def test_doc_length_quantiles_edge_cases(ray_session, edge_docs):
+    """Histogram-walk quantiles reproduce DuckDB quantile_disc exactly
+    (sorted[ceil(q*n)-1]) on a 7-row table where every position matters."""
+    from titan_ray.pipelines.docqc import doc_length_quantiles
+
+    sql = (
+        "SELECT count(*) AS n_docs, "
+        "quantile_disc(length(text), 0.25) AS p25, "
+        "quantile_disc(length(text), 0.5) AS p50, "
+        "quantile_disc(length(text), 0.75) AS p75, "
+        "quantile_disc(length(text), 0.9) AS p90, "
+        "quantile_disc(length(text), 0.99) AS p99 FROM documents"
+    )
+    eng = _compare(edge_docs, doc_length_quantiles, sql)
+    row = eng.iloc[0]
+    lens = sorted([7, 3, 0, 26, 13, 25, 11])  # true len(text) per row
+    import math
+    for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90"), (0.99, "p99")]:
+        assert row[col] == lens[max(math.ceil(q * 7), 1) - 1]

@@ -94,3 +94,15 @@ def test_embedding_lsh_subset_of_exact(ray_session):
     assert got <= want
     if want:
         assert len(got & want) / len(want) >= 0.5
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session):
+    """Probing every cell makes IVF exact: result must equal brute-force
+    top-k bit-for-bit (same rounding, same tie order)."""
+    from titan_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann.ann_topk(sf).to_pandas().reset_index(drop=True)
+    full = ann.ann_topk_ivf_full(sf).to_pandas().reset_index(drop=True)
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert full["sim"].tolist() == exact["sim"].tolist()

@@ -361,6 +361,75 @@ def sample_sql(rates: dict[str, float] | None = None) -> str:
     )
 
 
+def doc_top_words(sf_dir: str, k: int = 20):
+    """Global top-k word counts — the canonical combiner pattern: each batch
+    pre-aggregates its token counts (dictionary-encode + bincount), so the
+    groupby shuffle moves per-batch DISTINCT words, not every token (at
+    100 TB that's the difference between a vocabulary-sized exchange and a
+    corpus-sized one). Ties at the k-boundary break by word ascending on
+    both sides. DuckDB-checkable."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        values = lst.values
+        keep = pc.not_equal(values, "").fill_null(False)
+        enc = pc.dictionary_encode(values.filter(keep))
+        counts = np.bincount(
+            np.asarray(enc.indices, dtype=np.int64), minlength=len(enc.dictionary)
+        )
+        return pa.table({"word": enc.dictionary, "n": pa.array(counts.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("word").sum("n")
+    agg = agg.map_batches(
+        lambda b: b.rename_columns(["word", "n"]), batch_format="pyarrow"
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles of doc length via a VALUE HISTOGRAM:
+    lengths are bounded small ints, so per-batch partial counts + one tiny
+    groupby reduce 10^12 rows to <= max_len histogram buckets; the driver
+    walks the cumulative histogram (never the data) to the DuckDB
+    quantile_disc positions (sorted[ceil(q*n) - 1])."""
+    import math
+
+    import pandas as pd
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = _chars(batch)
+        uniq, cnt = np.unique(nc, return_counts=True)
+        return pa.table({"len": pa.array(uniq.astype(np.int64)), "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len").sum("cnt")
+        .to_pandas()  # histogram: <= distinct-length rows, not data rows
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values("len")
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    lens = hist["len"].to_numpy()
+
+    def qd(q: float) -> int:
+        pos = max(math.ceil(q * n), 1)
+        return int(lens[np.searchsorted(cum, pos)])
+
+    return pd.DataFrame(
+        [{"n_docs": n, "p25": qd(0.25), "p50": qd(0.5), "p75": qd(0.75),
+          "p90": qd(0.9), "p99": qd(0.99)}]
+    )
+
+
 def doc_quality_scores(sf_dir: str):
     """Quality-score vector per document (graft brief: length/punct ratios):
     byte-class ratios + token count, rounded half-away-from-zero to 6 so the

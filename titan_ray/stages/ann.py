@@ -193,6 +193,15 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, vec_id: int = 0, n_probe: int = 6, n_
     return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def ann_topk_ivf_full(sf_dir: str, k: int = 10, vec_id: int = 0, n_cells: int = 16):
+    """IVF with EVERY cell probed: the probe-filter keeps all rows, so the
+    result must equal brute force exactly — this puts the whole IVF pipeline
+    (k-means build, matmul assignment, probe masking, per-batch cosine) under
+    the driver's DuckDB hash check; `ann_topk_ivf` stays the honest
+    approximate path (rows-only + recall pytest)."""
+    return ann_topk_ivf(sf_dir, k=k, vec_id=vec_id, n_probe=n_cells, n_cells=n_cells)
+
+
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, n_planes: int = 4,
                           n_tables: int = 8, seed: int = 42):
     """Embedding near-dup pairs via random-hyperplane LSH — the 10^12-row
