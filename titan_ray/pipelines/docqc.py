@@ -15,9 +15,9 @@ from ..functions.strings import char_class_counts, string_view
 
 
 def _read(sf_dir: str, columns: list[str]):
-    import ray.data as rd
+    from ..sources.reader import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _chars(batch: pa.Table) -> np.ndarray:

@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..sources.reader import read_parquet_clean
 
 WINDOW = 3          # +/- rows around each event (per user, ts order)
 DEV_MILLI = 2000    # deviation threshold in milli-units (2.0)
@@ -29,7 +30,7 @@ def events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
@@ -49,7 +50,7 @@ def events_buddy(sf_dir: str, num_buckets: int = 64):
     (reference: buddy.r:145-177 deviation-vs-local-background shape)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
@@ -98,7 +99,7 @@ def events_isolation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
     counts = ds.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
     lonely = set(counts.loc[counts["n"] < ISO_MIN, "user_id"].tolist())
     lonely_ref = ray.put(lonely)
@@ -120,7 +121,7 @@ def events_extent(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"ts": batch["ts"], "vm": pa.array(_vm(batch))})
@@ -147,7 +148,7 @@ def events_sessions(sf_dir: str, num_buckets: int = 64):
     sums so the DuckDB window-function oracle matches bit-for-bit."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
@@ -224,7 +225,7 @@ def _events_sides(sf_dir: str):
 
         return fn
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
     ds = ds.map_batches(prep, batch_format="pyarrow")
     left = ds.map_batches(side(1), batch_format="pyarrow")
     right = ds.map_batches(side(0), batch_format="pyarrow")

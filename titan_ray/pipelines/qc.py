@@ -27,6 +27,7 @@ from ..stages.rowwise import (
 from ..stages.scorer import Scorer
 from ..stages.scrub_stage import ScrubStage
 from ..sources.reader import affine_rescale_qscore, impute_defaults, project_output
+from ..sources.reader import read_parquet_clean
 
 HELPER_COLS = ("conv_key", "is_core", "bucket")
 
@@ -107,7 +108,7 @@ def run_qc(input_path: str, output_path: str | None = None, cfg: QCConfig | None
     """Read parquet → QC → (optionally) write partitioned parquet."""
     import ray.data as rd
 
-    ds = rd.read_parquet(input_path, **read_kwargs)
+    ds = read_parquet_clean(input_path, **read_kwargs)
     out = build_qc_pipeline(ds, cfg)
     if output_path is not None:
         out.write_parquet(output_path)

@@ -12,13 +12,52 @@ import pyarrow.compute as pc
 from ..schema import INPUT_SCHEMA
 
 
+def _metadata_free_schema(path: str):
+    """Schema of ``path`` with file-level metadata stripped, or None.
+
+    Parquet written by pandas carries a ``b'pandas'`` metadata blob whose
+    presence makes ``hash(schema)`` raise, which in turn makes every Ray read
+    task log ``Failed to hash the schemas (for deduplication)`` and defeats
+    schema dedup across blocks. Stripping metadata up front keeps block
+    schemas hashable (and the bench log clean) without touching the data."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return None
+        path = files[0]
+    try:
+        s = pq.read_schema(path)
+    except Exception:
+        return None
+    return s.remove_metadata() if s.metadata else None
+
+
+def read_parquet_clean(paths, columns: list[str] | None = None, **kwargs):
+    """`ray.data.read_parquet` with hashable (metadata-free) block schemas."""
+    import ray.data as rd
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if "schema" not in kwargs:
+        sch = _metadata_free_schema(first)
+        if sch is not None:
+            if columns is not None:
+                # the fragment reader builds tables against this schema AFTER
+                # column projection, so it must cover exactly the projection
+                sch = pa.schema([sch.field(c) for c in columns if c in sch.names])
+            kwargs["schema"] = sch
+    return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
 def read_transcripts(paths: str | list[str], columns: list[str] | None = None, **kwargs):
     """Union of provider directories/files (reference:
     read_data_to_check.r:174-206 rbinds providers; Ray's read_parquet over a
     path list IS the union — no driver-side concat)."""
-    import ray.data as rd
-
-    return rd.read_parquet(paths, columns=columns, **kwargs)
+    return read_parquet_clean(paths, columns=columns, **kwargs)
 
 
 def affine_rescale_qscore(batch: pa.Table, role_affine: dict[str, tuple[float, float]]) -> pa.Table:

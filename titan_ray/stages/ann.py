@@ -11,6 +11,7 @@ within matching buckets.
 from __future__ import annotations
 
 import numpy as np
+from ..sources.reader import read_parquet_clean
 import pyarrow as pa
 
 
@@ -61,7 +62,7 @@ def ann_topk(sf_dir: str, k: int = 10, vec_id: int = 0):
         s = (m @ q) / (np.maximum(norms, 1e-300) * qn)
         return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(round_half_away(s, 4))})
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ds.map_batches(sim, batch_format="pyarrow")
     return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -120,7 +121,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
@@ -142,7 +143,7 @@ def build_ivf_centroids(sf_dir: str, n_cells: int = 16, iters: int = 8, seed: in
     matmul-based assignment each iteration."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     n_total = ds.count()  # parquet metadata, no scan
     frac = min(1.0, IVF_SAMPLE_MAX / max(n_total, 1))
     if frac < 1.0:
@@ -188,7 +189,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, vec_id: int = 0, n_probe: int = 6, n_
         s = (m @ q) / (np.maximum(norms, 1e-300) * qn)
         return pa.table({"vec_id": pa.array(ids), "sim": pa.array(round_half_away(s, 4))})
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ds.map_batches(sim, batch_format="pyarrow")
     return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -268,7 +269,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, n_planes: int = 
             )
         return pd.concat(out, ignore_index=True).drop_duplicates(["vec_a", "vec_b"])
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ds.map_batches(bucketize, batch_format="pyarrow")
     pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     # dedupe pairs found by several tables (same bucket value, different table

@@ -119,9 +119,9 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _read_docs(sf_dir: str):
-    import ray.data as rd
+    from ..sources.reader import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # in-bucket pair expansion is O(k²) per band bucket: cap the bucket size so
