@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "doc_top_words": docqc.doc_top_words,
         "doc_length_quantiles": docqc.doc_length_quantiles,
+        "doc_decontaminate": docqc.doc_decontaminate,
         "dedup_exact_docs": docqc.dedup_exact_docs,
         # --- ordered-stream analogs over events (SQL-checked, exact ints) ---
         "events_hourly": events.events_hourly,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(length(text), 0.9) AS p90, "
             "quantile_disc(length(text), 0.99) AS p99 FROM documents"
         ),
+        "doc_decontaminate": docqc.decontam_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "

@@ -121,3 +121,35 @@ def test_doc_length_quantiles_edge_cases(ray_session, edge_docs):
     import math
     for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90"), (0.99, "p99")]:
         assert row[col] == lens[max(math.ceil(q * 7), 1) - 1]
+
+
+def test_doc_decontaminate_edge_cases(ray_session, tmp_path):
+    """Decontamination against a fixture with known overlaps: doc 7 is the
+    eval doc; 100 copies its 3-gram, 101 shares no gram, 102 contains two
+    distinct contaminated grams, 103 matches only across a line boundary
+    (still one gram — \\s+ split), and an eval-eval overlap stays excluded."""
+    from titan_ray.pipelines.docqc import doc_decontaminate, decontam_sql
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 107, 100, 101, 102, 103], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",        # eval: grams abg, bgd
+                    "zeta eta theta",                # eval: gram zet-eta-theta
+                    "x alpha beta gamma y",          # hit: 1 gram (abg)
+                    "alpha gamma beta",              # no shared gram
+                    "alpha beta gamma delta extra",  # hit: 2 grams (abg, bgd)
+                    "q zeta\neta   theta",           # hit: 1 gram, odd whitespace
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "decon"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_decontaminate, decontam_sql()).set_index("doc_id")
+    assert set(eng.index) == {100, 102, 103}
+    assert eng.loc[100, "n_contaminated"] == 1
+    assert eng.loc[102, "n_contaminated"] == 2
+    assert eng.loc[103, "n_contaminated"] == 1

@@ -505,3 +505,131 @@ def stopword_sql() -> str:
         f"SELECT doc_id, n_words, round(CAST({terms} AS DOUBLE) / greatest(n_words, 1), 6) "
         "AS stopword_ratio FROM b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (test-set n-gram overlap)
+# ---------------------------------------------------------------------------
+# The standard training-data hygiene step for LM corpora: flag training
+# documents that share any word n-gram with a held-out benchmark/eval set so
+# they can be dropped before training. The eval set here is carved
+# deterministically out of the documents table (doc_id % _EVAL_MOD ==
+# _EVAL_REM) — at real scale it is an external benchmark suite, which is
+# SMALL by construction, so the scale shape is: build the eval n-gram set
+# once, broadcast it with ray.put, and stream the 10^12-row training side
+# through a stateless map_batches with an np.isin membership probe. No
+# shuffle at all — the only cross-node traffic is the one broadcast.
+DECONTAM_N = 3        # words per gram (real pipelines use 8-13; the synthetic
+                      # corpus needs 3 for a non-trivial overlap surface)
+_EVAL_MOD, _EVAL_REM = 100, 7
+
+_WORD_HASH_MULT = np.uint64(1099511628211)
+_WORD_HASH_SEED = np.uint64(1469598103934665603)
+
+
+def _word_gram_hashes(texts: pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(gram_hash uint64, row_id int64) of every word n-gram of every row.
+
+    Words are '\\S+' runs (split + drop-empty == regexp extraction, same as
+    repetition_sql). Each word gets a variable-length FNV hash (vectorized
+    across all words, loop over char position only), then n consecutive word
+    hashes chain into one gram hash. Collision-free in practice (64-bit over
+    vocabulary-sized sets); the SQL oracle joins the literal gram strings, so
+    the driver gate would surface any collision as a mismatch."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    lst = pc.split_pattern_regex(texts, r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    off = np.asarray(lst.offsets, dtype=np.int64)
+    values = lst.values
+    rid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+    keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+    values = values.filter(pa.array(keep))
+    rid = rid[keep]
+    nw = len(rid)
+    if nw < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+
+    data, woff, _ = string_view(values)
+    starts = woff[:-1]
+    lens = woff[1:] - starts
+    h = np.full(nw, _WORD_HASH_SEED, dtype=np.uint64)
+    for j in range(int(lens.max(initial=0))):
+        m = lens > j
+        hm = h[m] * _WORD_HASH_MULT
+        np.add(hm, data[starts[m] + j], out=hm, casting="unsafe")
+        h[m] = hm
+
+    size = nw - n + 1
+    g = np.full(size, _WORD_HASH_SEED, dtype=np.uint64)
+    for k in range(n):
+        np.multiply(g, _WORD_HASH_MULT, out=g)
+        np.add(g, h[k : k + size], out=g)
+    ok = rid[n - 1 :] == rid[: size]   # gram must not cross a row boundary
+    return g[ok], rid[:size][ok]
+
+
+def doc_decontaminate(sf_dir: str, n: int = DECONTAM_N):
+    """(doc_id, n_contaminated) for every NON-eval document sharing >= 1 word
+    n-gram with the eval slice; n_contaminated = count of distinct
+    contaminated grams. DuckDB-checkable (decontam_sql)."""
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = did % _EVAL_MOD == _EVAL_REM
+        if not sel.any():
+            return pa.table({"gram": pa.array(np.empty(0, dtype=np.uint64))})
+        g, _ = _word_gram_hashes(batch["text"].combine_chunks().filter(pa.array(sel))
+                                 if isinstance(batch["text"], pa.ChunkedArray)
+                                 else batch["text"].filter(pa.array(sel)), n)
+        return pa.table({"gram": pa.array(np.unique(g))})
+
+    # eval/benchmark side is small by construction -> driver collect + broadcast
+    ev = ds.map_batches(eval_grams, batch_format="pyarrow").to_pandas()["gram"]
+    eval_ref = ray.put(np.unique(ev.to_numpy(dtype=np.uint64)))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ev_sorted = ray.get(eval_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = did % _EVAL_MOD != _EVAL_REM
+        did = did[sel]
+        texts = (batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray)
+                 else batch["text"]).filter(pa.array(sel))
+        g, rid = _word_gram_hashes(texts, n)
+        if len(g) == 0 or len(ev_sorted) == 0:
+            return pa.table({"doc_id": pa.array(np.empty(0, dtype=did.dtype)),
+                             "n_contaminated": pa.array(np.empty(0, dtype=np.int64))})
+        order = np.lexsort((g, rid))
+        rs, gs = rid[order], g[order]
+        first = np.ones(len(rs), dtype=bool)
+        first[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+        rs, gs = rs[first], gs[first]           # distinct (row, gram)
+        hit = np.searchsorted(ev_sorted, gs)
+        hit = (hit < len(ev_sorted)) & (ev_sorted[np.minimum(hit, len(ev_sorted) - 1)] == gs)
+        cnt = np.bincount(rs[hit], minlength=len(did))
+        m = cnt > 0
+        return pa.table({"doc_id": pa.array(did[m]),
+                         "n_contaminated": pa.array(cnt[m].astype(np.int64))})
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
+def decontam_sql(n: int = DECONTAM_N) -> str:
+    """DuckDB oracle for doc_decontaminate: literal gram-string join."""
+    hi = n - 1
+    return (
+        r"WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        f"g AS (SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+{hi} AS BIGINT)], ' ') AS gram "
+        f"FROM words, unnest(range(1, len(w) - {hi - 1})) AS t(i)), "
+        f"eval AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}), "
+        "hits AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated "
+        f"FROM g JOIN eval USING (gram) WHERE g.doc_id % {_EVAL_MOD} <> {_EVAL_REM} GROUP BY g.doc_id) "
+        "SELECT doc_id, n_contaminated FROM hits"
+    )
