@@ -19,7 +19,7 @@ from titan_ray.config import QCConfig
 from titan_ray.corpus import corpus_path_for_sf
 from titan_ray.functions.features import _TOKEN_PATTERN
 from titan_ray.functions.scrub import SCRUB_RULES
-from titan_ray.pipelines import docqc, events, qc_battery
+from titan_ray.pipelines import docqc, events, qc_battery, relational
 from titan_ray.pipelines.qc import build_qc_pipeline
 from titan_ray.stages import ann, multimodal, neardup
 
@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_words": docqc.doc_top_words,
         "doc_length_quantiles": docqc.doc_length_quantiles,
         "doc_decontaminate": docqc.doc_decontaminate,
+        # --- relational/analytical queries over the TPC-H-ish tables
+        # (exact-integer money math; big x big via stages.joins.hash_join) ---
+        "tpch_pricing": relational.tpch_pricing,
+        "tpch_revenue_by_nation": relational.tpch_revenue_by_nation,
         "dedup_exact_docs": docqc.dedup_exact_docs,
         # --- ordered-stream analogs over events (SQL-checked, exact ints) ---
         "events_hourly": events.events_hourly,
@@ -242,6 +246,8 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(length(text), 0.99) AS p99 FROM documents"
         ),
         "doc_decontaminate": docqc.decontam_sql(),
+        "tpch_pricing": relational.pricing_sql(),
+        "tpch_revenue_by_nation": relational.revenue_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "

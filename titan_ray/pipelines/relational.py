@@ -1,0 +1,183 @@
+"""Relational/analytical queries over the TPC-H-ish tables — the general
+query surface of the engine (big-table aggregate, big x big equi-join, small
+-side broadcast), expressed Ray-Data-first with EXACT integer money math.
+
+Money is carried as integers (cents, and cents x discount-percent = 1e-4
+dollar units) so distributed partial sums are associative and match DuckDB
+bit-for-bit regardless of summation order (same float-determinism strategy
+as pipelines/events.py; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.reader import read_parquet_clean
+from ..stages.ann import round_half_away
+
+PRICING_CUTOFF = "2000-12-01"      # l_shipdate <= cutoff (TPC-H Q1 shape)
+REVENUE_YEAR = 1997                # o_orderdate year filter (Q5 shape)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Exact integer cents from a double price column: round-half-away of
+    x*100 — the same double op DuckDB's round(x*100) performs."""
+    x = arr.to_numpy(zero_copy_only=False)
+    return round_half_away(x * 100.0, 0).astype(np.int64)
+
+
+def _disc_1e4(batch: pa.Table) -> np.ndarray:
+    """Discounted price in 1e-4 dollar units: cents * (100 - disc_pct),
+    integer all the way (disc_pct = round(l_discount*100))."""
+    cents = _cents(batch["l_extendedprice"])
+    pct = round_half_away(
+        batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+    ).astype(np.int64)
+    return cents * (100 - pct)
+
+
+def tpch_pricing(sf_dir: str):
+    """Pricing summary (TPC-H Q1 analog): per (returnflag, linestatus) exact
+    integer sums over the filtered lineitem. The canonical big-aggregate
+    shape: per-batch pandas partials (a handful of groups) -> a tiny groupby
+    shuffle of group-count x batch-count rows, never the data."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64(PRICING_CUTOFF, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = batch["l_shipdate"].to_numpy(zero_copy_only=False) <= cutoff
+        batch = batch.filter(pa.array(keep))
+        qty = round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty": qty,
+                "sum_base_cents": _cents(batch["l_extendedprice"]),
+                "sum_disc_1e4": _disc_1e4(batch),
+                "n_rows": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        out = g.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_1e4", alias_name="sum_disc_1e4"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return agg
+
+
+def pricing_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) "
+        "    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_1e4, "
+        "count(*) AS n_rows "
+        f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def tpch_revenue_by_nation(sf_dir: str, year: int = REVENUE_YEAR):
+    """Revenue per nation (TPC-H Q5 shape): lineitem JOIN orders is the one
+    genuinely big x big exchange -> stages.joins.hash_join (each side crosses
+    the wire once); customer+nation are the small star dimensions -> joined
+    driver-side once and broadcast as a sorted-key lookup, NOT shuffled."""
+    import ray
+
+    from ..stages.joins import hash_join
+
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": batch["l_orderkey"], "disc_1e4": pa.array(_disc_1e4(batch))}
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(yr == year))
+        return pa.table({"okey": batch["o_orderkey"], "o_custkey": batch["o_custkey"]})
+
+    joined = hash_join(
+        line.map_batches(line_prep, batch_format="pyarrow"),
+        orders.map_batches(orders_prep, batch_format="pyarrow"),
+        on="okey",
+        right_cols=("o_custkey",),
+    )
+
+    # small star dimensions: read once on the driver, broadcast the
+    # custkey -> nation-name lookup (sorted-key searchsorted, no shuffle)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim.sort_values("c_custkey")
+    lookup_ref = ray.put(
+        (dim["c_custkey"].to_numpy(), dim["n_name"].to_numpy())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        ck = batch["r_o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ck)
+        n_name = names[idx]  # custkey is a dense FK — every value resolves
+        g = pd.DataFrame(
+            {"n_name": n_name, "revenue_1e4": batch["disc_1e4"].to_numpy(zero_copy_only=False)}
+        ).groupby("n_name", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_1e4", alias_name="revenue_1e4"))
+    )
+    return agg
+
+
+def revenue_sql(year: int = REVENUE_YEAR) -> str:
+    return (
+        "SELECT n_name, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) "
+        "    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_1e4 "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        f"WHERE year(o_orderdate) = {year} "
+        "GROUP BY n_name"
+    )

@@ -144,3 +144,72 @@ def range_join(left, right, by: str, on: str, lo, hi, right_cols: tuple[str, ...
 
     ds = _bucketed_union(left, right, by, num_buckets)
     return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: int = 64):
+    """Generic INNER equi-join for two LARGE datasets: both sides are tagged,
+    null-padded to one unified schema, bucketed by hash(on) and unioned, so a
+    single narrow co-partitioning shuffle feeds a per-bucket vectorized
+    pandas hash merge. Right columns come back as r_<col>.
+
+    Scale notes: each side moves across the wire exactly once (the one
+    groupby shuffle); the per-bucket merge is C-vectorized. Skewed join keys
+    concentrate in one bucket — salt upstream or pre-aggregate if a single
+    key's rows exceed a bucket's memory. For a SMALL right side do NOT use
+    this: broadcast it (ray.put + lookup inside map_batches) and skip the
+    shuffle entirely.
+
+    Schema discovery calls .schema() on both inputs, which may execute one
+    upstream block per side (bounded, build-time only)."""
+    lsch = left.schema()
+    rsch = right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    if on not in ltypes or on not in rtypes:
+        raise ValueError(f"join key {on!r} must exist on both sides")
+    left_cols = list(lsch.names)
+    out_rcols = [f"r_{c}" for c in right_cols]
+    all_cols = left_cols + out_rcols
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrs = []
+            for c in left_cols:
+                if side == 0:
+                    arrs.append(batch[c])
+                else:
+                    arrs.append(batch[on] if c == on else pa.nulls(n, type=ltypes[c]))
+            for rc, oc in zip(out_rcols, right_cols):
+                arrs.append(batch[oc] if side == 1 else pa.nulls(n, type=rtypes[oc]))
+            key = batch[on].to_numpy(zero_copy_only=False)
+            b = (pd.util.hash_array(np.ascontiguousarray(key)) % num_buckets).astype(np.int32)
+            arrs.append(pa.array(np.full(n, side, dtype=np.int8)))
+            arrs.append(pa.array(b))
+            return pa.table(dict(zip(all_cols + ["_side", "_b"], arrs)))
+
+        return fn
+
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_cols]
+        + [(rc, rtypes[oc]) for rc, oc in zip(out_rcols, right_cols)]
+    )
+
+    # Arrow in/out: filtering each side BEFORE pandas conversion keeps its own
+    # columns null-free, so int64 never degrades to float64 (which would both
+    # change the output schema and corrupt keys above 2^53).
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        l = t.filter(pa.array(side == 0)).select(left_cols)
+        r = t.filter(pa.array(side == 1)).select([on] + out_rcols)
+        if l.num_rows == 0 or r.num_rows == 0:
+            return out_schema.empty_table()
+        merged = l.to_pandas().merge(r.to_pandas(), on=on, how="inner")
+        return pa.Table.from_pandas(
+            merged, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    ds = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return ds.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
