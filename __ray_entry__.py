@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_words": docqc.doc_top_words,
         "doc_length_quantiles": docqc.doc_length_quantiles,
         "doc_decontaminate": docqc.doc_decontaminate,
+        "doc_top_tfidf": docqc.doc_top_tfidf,
         # --- relational/analytical queries over the TPC-H-ish tables
         # (exact-integer money math; big x big via stages.joins.hash_join) ---
         "tpch_pricing": relational.tpch_pricing,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(length(text), 0.99) AS p99 FROM documents"
         ),
         "doc_decontaminate": docqc.decontam_sql(),
+        "doc_top_tfidf": docqc.tfidf_sql(),
         "tpch_pricing": relational.pricing_sql(),
         "tpch_revenue_by_nation": relational.revenue_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),

@@ -153,3 +153,15 @@ def test_doc_decontaminate_edge_cases(ray_session, tmp_path):
     assert eng.loc[100, "n_contaminated"] == 1
     assert eng.loc[102, "n_contaminated"] == 2
     assert eng.loc[103, "n_contaminated"] == 1
+
+
+def test_doc_top_tfidf_edge_cases(ray_session, edge_docs):
+    """Linear-idf argmax with word tie-break; empty doc excluded. Expected
+    values derived by hand: N=7, df('a')=2, df of doc-5 words = 1 each."""
+    from titan_ray.pipelines.docqc import doc_top_tfidf, tfidf_sql
+
+    eng = _compare(edge_docs, doc_top_tfidf, tfidf_sql()).set_index("doc_id")
+    assert 2 not in eng.index                      # empty doc has no words
+    assert eng.loc[0, "top_word"] == "a" and eng.loc[0, "score"] == 14.0  # 4*7/2
+    assert eng.loc[5, "top_word"] == "all" and eng.loc[5, "score"] == 7.0  # tie -> word asc
+    assert eng.loc[6, "top_word"] == "b" and eng.loc[6, "score"] == 14.0  # 2*7/1 beats 3*7/2

@@ -633,3 +633,106 @@ def decontam_sql(n: int = DECONTAM_N) -> str:
         f"FROM g JOIN eval USING (gram) WHERE g.doc_id % {_EVAL_MOD} <> {_EVAL_REM} GROUP BY g.doc_id) "
         "SELECT doc_id, n_contaminated FROM hits"
     )
+
+
+def doc_top_tfidf(sf_dir: str):
+    """(doc_id, top_word, score): each document's highest-TF-IDF word.
+
+    Two-pass shape: pass 1 computes document frequency per word with
+    per-batch partials (vocabulary-sized groupby, not token-sized — the
+    doc_top_words combiner pattern) and broadcasts the df table via ray.put;
+    pass 2 streams documents, computes per-doc term frequencies and takes
+    the argmax of tf * N / df with ties broken by word ascending. For a
+    vocabulary beyond broadcast size swap the broadcast for
+    stages.joins.hash_join on word — the big (doc, word, tf) side then
+    shuffles once; semantics unchanged.
+
+    The idf here is the RAW inverse document frequency N/df, not ln(N/df):
+    +,*,/ are exactly specified by IEEE-754, so engine and DuckDB produce
+    bit-identical doubles and the driver's value hash is stable; DuckDB's
+    ln() differs from numpy's by 1 ulp on these inputs (measured), which
+    would make a log-damped score unverifiable bit-for-bit."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+
+    def _doc_word_counts(batch: pa.Table):
+        """(doc_idx, word pa.Array, tf) distinct-per-doc word runs."""
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        n_rows = len(texts)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        values = lst.values
+        rid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        enc = pc.dictionary_encode(values.filter(pa.array(keep)))
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        rid = rid[keep]
+        if len(rid) == 0:
+            return np.empty(0, np.int64), enc.dictionary, np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.lexsort((codes, rid))
+        r_s, c_s = rid[order], codes[order]
+        first = np.ones(len(r_s), dtype=bool)
+        first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(r_s))).astype(np.int64)
+        return r_s[starts], enc.dictionary, c_s[starts], tf
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, dictionary, codes, _ = _doc_word_counts(batch)
+        if len(codes) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        m = cnt > 0
+        return pa.table({"word": dictionary.filter(pa.array(m)),
+                         "df": pa.array(cnt[m].astype(np.int64))})
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word").sum("df")
+        .to_pandas()  # vocabulary-sized, the documented broadcast bound
+        .rename(columns={"sum(df)": "df"})
+    )
+    df_ref = ray.put(df_tbl)
+
+    def top(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rows, dictionary, codes, tf = _doc_word_counts(batch)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(rows) == 0:
+            return pa.table({"doc_id": pa.array(np.empty(0, did.dtype)),
+                             "top_word": pa.array([], type=pa.string()),
+                             "score": pa.array(np.empty(0, np.float64))})
+        g = pd.DataFrame({"doc_id": did[rows], "word": dictionary.take(pa.array(codes)).to_pandas(), "tf": tf})
+        g = g.merge(ray.get(df_ref), on="word", how="left")  # every word exists in df
+        g["score"] = (g["tf"].to_numpy() * float(n_docs)) / g["df"].to_numpy()
+        g = g.sort_values(["doc_id", "score", "word"], ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates("doc_id", keep="first")
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy()),
+                         "top_word": pa.array(g["word"].tolist(), type=pa.string()),
+                         "score": pa.array(round_half_away(g["score"].to_numpy(), 6))})
+
+    return ds.map_batches(top, batch_format="pyarrow")
+
+
+def tfidf_sql() -> str:
+    """DuckDB oracle for doc_top_tfidf (IEEE-exact linear-idf score)."""
+    return (
+        r"WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word), "
+        "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.word, CAST(tf.tf * n.n AS DOUBLE) / df.df AS score "
+        "FROM tf JOIN df USING (word), n), "
+        "r AS (SELECT doc_id, word, score, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM s) "
+        "SELECT doc_id, word AS top_word, round(score, 6) AS score FROM r WHERE rn = 1"
+    )
