@@ -55,19 +55,19 @@ def test_media_decode_stage_direct():
     assert len(out["features"][0].as_py()) == 4
 
 
-def test_media_decode_real_codec_is_stubbed_for_pixels():
-    """Image/video stay behind the stub seam; audio decodes for real, so
-    fake=False only raises when a pixel row is present."""
+def test_media_decode_real_codec_is_stubbed_for_video_only():
+    """Video stays behind the stub seam; audio (WAV) and image (PPM) decode
+    for real, so fake=False only raises when a video row is present."""
     import pytest
 
     t = synth_media_table(32)
-    pix = t.filter(pa.compute.not_equal(t["kind"], "audio"))
-    assert pix.num_rows > 0
+    vid = t.filter(pa.compute.equal(t["kind"], "video"))
+    assert vid.num_rows > 0
     stage = MediaDecodeStage(fake=False)
     with pytest.raises(NotImplementedError):
-        stage(pix)
-    aud = t.filter(pa.compute.equal(t["kind"], "audio"))
-    assert stage(aud).num_rows == aud.num_rows  # audio decodes without the stub
+        stage(vid)
+    real = t.filter(pa.compute.not_equal(t["kind"], "video"))
+    assert stage(real).num_rows == real.num_rows  # audio+image decode without the stub
 
 
 def test_wav_codec_roundtrip_and_features():
@@ -270,3 +270,75 @@ def test_dedup_clusters_transitive(ray_session, tmp_path, monkeypatch):
     assert set(out.index) >= {3, 20, 21}
     assert out.loc[20, "cluster_id"] == 3 and out.loc[21, "cluster_id"] == 3
     assert out.loc[3, "cluster_size"] == 3
+
+
+def test_ppm_codec_roundtrip_and_features():
+    """The pure-numpy PPM codec: encode -> parse roundtrips bit-exactly
+    (including comment/whitespace header variants) and image features are
+    the documented pixel statistics."""
+    from titan_ray.stages.multimodal import image_features, parse_ppm, ppm_bytes
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    payload = ppm_bytes(px)
+    assert (parse_ppm(payload) == px).all()
+    # header with comment + extra whitespace
+    alt = b"P6\n# a comment\n  7  5\n255\n" + px.tobytes()
+    assert (parse_ppm(alt) == px).all()
+    f = image_features(payload, 8)
+    assert f[0] == 7.0 and f[1] == 5.0
+    assert f[2] == float(px[..., 0].astype(np.float64).mean())
+    assert f[5] == float(px.astype(np.float64).std())
+
+
+def test_resize_nearest_kernel():
+    from titan_ray.stages.multimodal import resize_nearest
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(px, 3, 2)
+    assert out.shape == (2, 3, 3)
+    # nearest-neighbour index map: rows [0,2], cols [0,2,4]
+    assert (out == px[np.ix_([0, 2], [0, 2, 4])]).all()
+
+
+def test_media_resize_really_resamples_images(ray_session):
+    """Image rows above the target box come back with a REAL resampled PPM
+    payload whose pixels equal the nearest-neighbour kernel output."""
+    from titan_ray.stages.multimodal import (
+        MediaResizeStage,
+        parse_ppm,
+        resize_nearest,
+        synth_media_table,
+    )
+
+    t = synth_media_table(32, seed=11)
+    stage = MediaResizeStage(max_w=20, max_h=20)
+    out = stage(t)
+    kinds = t["kind"].to_pylist()
+    for i, k in enumerate(kinds):
+        if k != "image":
+            continue
+        w, h = t["width"][i].as_py(), t["height"][i].as_py()
+        nw, nh = out["width"][i].as_py(), out["height"][i].as_py()
+        scale = min(1.0, 20 / max(w, 1), 20 / max(h, 1))
+        assert nw == max(int(w * scale), 1) and nh == max(int(h * scale), 1)
+        src = parse_ppm(t["payload"][i].as_py())
+        got = parse_ppm(out["payload"][i].as_py())
+        if (nw, nh) != (w, h):
+            assert (got == resize_nearest(src, nw, nh)).all()
+        else:
+            assert (got == src).all()
+
+
+def test_media_image_features_are_pixel_stats(ray_session):
+    """Image rows in the media pipeline decode their PPM payloads: the first
+    two features are the true pixel dimensions from the payload header."""
+    t = synth_media_table(24)
+    out = media_features(t, batch_size=8).to_pandas()
+    img = out[out["kind"] == "image"]
+    assert len(img) > 0
+    w = {m: t["width"][i].as_py() for i, m in enumerate(t["media_id"].to_pylist())}
+    h = {m: t["height"][i].as_py() for i, m in enumerate(t["media_id"].to_pylist())}
+    for mid, f in zip(img["media_id"], img["features"]):
+        assert f[0] == float(w[mid]) and f[1] == float(h[mid])
+        assert 0.0 <= f[2] <= 255.0  # mean R in range
