@@ -33,6 +33,30 @@ def _sf() -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _wait_for_quiet_box(max_wait_s: int = 180, load_ok: float = 2.0) -> None:
+    """Wait (bounded) for residual system load to decay before timing.
+
+    This VM shows ±25–30% run-to-run noise when a bench starts while the
+    1-min load average is still high from a previous job (pytest, the
+    oracle gate, a prior Ray session tearing down). The round-2 run of
+    record landed in exactly that regime. Cheap insurance: poll
+    /proc/loadavg and start only once 1-min load < ``load_ok`` or after
+    ``max_wait_s``, whichever comes first. Disable with GRAFT_NO_COOLDOWN=1.
+    """
+    if os.environ.get("GRAFT_NO_COOLDOWN"):
+        return
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+        except (OSError, ValueError):
+            return
+        if load1 < load_ok:
+            return
+        time.sleep(10)
+
+
 def _quiet_init(num_cpus: int) -> None:
     """ray.init with a clean log tail: no worker-log forwarding (the
     'Failed to hash the schemas' lines are upstream log-dedup noise emitted
@@ -61,6 +85,7 @@ def run_bench() -> dict:
         raise SystemExit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
     import ray
 
+    _wait_for_quiet_box()
     _quiet_init(NUM_CPUS)
 
     from titan_ray.config import QCConfig
