@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": docqc.doc_length_quantiles,
         "doc_decontaminate": docqc.doc_decontaminate,
         "doc_top_tfidf": docqc.doc_top_tfidf,
+        "doc_quality_classifier": docqc.doc_quality_classifier,
         # --- relational/analytical queries over the TPC-H-ish tables
         # (exact-integer money math; big x big via stages.joins.hash_join) ---
         "tpch_pricing": relational.tpch_pricing,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stopword_ratio": docqc.stopword_sql(),
         "doc_langid": docqc.langid_sql(),
         "doc_repetition": docqc.repetition_sql(),
+        "doc_quality_classifier": docqc.classifier_sql(),
         "doc_sample_rebalance": docqc.sample_sql(),
         "doc_top_words": (
             r"WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word "

@@ -165,3 +165,31 @@ def test_doc_top_tfidf_edge_cases(ray_session, edge_docs):
     assert eng.loc[0, "top_word"] == "a" and eng.loc[0, "score"] == 14.0  # 4*7/2
     assert eng.loc[5, "top_word"] == "all" and eng.loc[5, "score"] == 7.0  # tie -> word asc
     assert eng.loc[6, "top_word"] == "b" and eng.loc[6, "score"] == 14.0  # 2*7/1 beats 3*7/2
+
+
+def test_quality_classifier_parity_and_separation(ray_session, edge_docs):
+    from titan_ray.functions import classifier
+    from titan_ray.pipelines.docqc import classifier_sql, doc_quality_classifier
+
+    _compare(edge_docs, doc_quality_classifier, classifier_sql())
+
+    # the learned band: clean English positive, junk shapes negative
+    clean = pa.array([
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "Data pipelines filter and score documents before model training.",
+    ])
+    junk = pa.array([
+        "000###//1234!!%%==5678==%%!!4321//###000",
+        "wordswithoutanyspacesatallrunningtogetherforever" * 3,
+        " ".join("atomizedcharactershavetinytokens"),
+    ])
+    assert (classifier.logits(clean) > 0).all()
+    assert (classifier.logits(junk) < 0).all()
+
+
+def test_classifier_training_deterministic():
+    from titan_ray.functions.classifier import train_weights
+
+    w1, w2 = train_weights(), train_weights()
+    assert (w1 == w2).all()
+    assert len(w1) == 8

@@ -736,3 +736,44 @@ def tfidf_sql() -> str:
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM s) "
         "SELECT doc_id, word AS top_word, round(score, 6) AS score FROM r WHERE rn = 1"
     )
+
+
+def doc_quality_classifier(sf_dir: str):
+    """Model-based quality filter (graft brief: DCLM/fastText-classifier
+    analog; reference: climatological_check.r learns a band, here a learned
+    separating hyperplane): per-doc logistic-regression logit over byte-class
+    + token features, keep = logit > 0. Weights are trained deterministically
+    at import from embedded seed text (functions/classifier.py) and baked
+    into the SQL oracle as literals — the logit is IEEE-exact on both sides.
+
+    Scale shape: stateless map_batches (the model is a 6-float vector,
+    closure-captured — nothing to broadcast); one pass, no shuffle."""
+    from ..functions import classifier
+    from ..stages.ann import round_half_away
+
+    w = classifier.weights()
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        lg = classifier.logits(texts, w)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "logit": pa.array(round_half_away(lg, 6)),
+                "keep": pa.array((lg > 0.0).astype(np.int32)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def classifier_sql() -> str:
+    """DuckDB oracle for doc_quality_classifier (bit-exact logit replay)."""
+    from ..functions import classifier
+
+    return (
+        f"WITH l AS ({classifier.logit_sql()}) "
+        "SELECT doc_id, round(logit, 6) AS logit, "
+        "CAST(logit > 0.0 AS INTEGER) AS keep FROM l"
+    )
