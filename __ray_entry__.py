@@ -21,7 +21,7 @@ from titan_ray.functions.features import _TOKEN_PATTERN
 from titan_ray.functions.scrub import SCRUB_RULES
 from titan_ray.pipelines import docqc, events, qc_battery, relational
 from titan_ray.pipelines.qc import build_qc_pipeline
-from titan_ray.stages import ann, multimodal, neardup
+from titan_ray.stages import ann, cluster, multimodal, neardup
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_topk_ivf_full": ann.ann_topk_ivf_full,
         "embedding_neardup": ann.embedding_neardup_pairs,
+        "embedding_kmeans": cluster.embedding_kmeans,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # --- near-dup suite over documents: LSH candidates (rows-only,
         # sketch-based) feed exact-Jaccard verify + dedup, both SQL-checked
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
 
         ensure_candidates(GATE_SF_DIR)
         ensure_table_parquet()
+        cluster.ensure_centroids(GATE_SF_DIR)
     except Exception:
         # queries() creates them; worst case the gate reports the error —
         # but log it so a provisioning failure is visible, not swallowed
@@ -333,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT e.vec_id, round({cos}, 4) AS sim "
             "FROM embeddings e, q ORDER BY sim DESC, e.vec_id LIMIT 10"
         ),
+        "embedding_kmeans": cluster.kmeans_sql(GATE_SF_DIR),
         "embedding_neardup": (
             "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

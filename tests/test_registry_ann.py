@@ -106,3 +106,48 @@ def test_ivf_full_probe_equals_bruteforce(ray_session):
     full = ann.ann_topk_ivf_full(sf).to_pandas().reset_index(drop=True)
     assert full["vec_id"].tolist() == exact["vec_id"].tolist()
     assert full["sim"].tolist() == exact["sim"].tolist()
+
+
+def test_embedding_kmeans_sql_parity(ray_session):
+    import duckdb
+    import numpy as np
+
+    from titan_ray.stages.cluster import embedding_kmeans, kmeans_sql
+
+    sf = "/root/testdata/sf0.001"
+    res = embedding_kmeans(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(kmeans_sql(sf)).df().sort_values("vec_id").reset_index(drop=True)
+    assert (res["cluster"].to_numpy() == ora["cluster"].to_numpy()).all()
+    assert (res["dist"].to_numpy() == ora["dist"].to_numpy()).all()
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from titan_ray.stages.cluster import kmeans_fit, quantize, _assign
+
+    rng = np.random.default_rng(7)
+    k, d, per = 4, 16, 100
+    centers = rng.normal(size=(k, d)) * 2.0
+    X = np.concatenate([c + 0.05 * rng.normal(size=(per, d)) for c in centers])
+    truth = np.repeat(np.arange(k), per)
+    order = rng.permutation(len(X))
+    X, truth = X[order], truth[order]
+    tbl = pa.table({"vec_id": pa.array(np.arange(len(X))),
+                    "embedding": pa.array(list(X.astype(np.float32)), type=pa.list_(pa.float32()))})
+    pq.write_table(tbl, tmp_path / "emb.parquet")
+    ds = rd.read_parquet(str(tmp_path / "emb.parquet"))
+    cent = kmeans_fit(ds, k=k, iters=8)
+    cid, _ = _assign(quantize(X), cent)
+    purity = pd.crosstab(cid, truth).max(axis=1).sum() / len(X)
+    assert purity > 0.95
+
+    # determinism: same data -> bit-identical centroids
+    cent2 = kmeans_fit(rd.read_parquet(str(tmp_path / "emb.parquet")), k=k, iters=8)
+    assert (cent == cent2).all()

@@ -1,0 +1,176 @@
+"""Distributed k-means over the embedding column — the semantic-clustering
+stage of a curation pipeline (SemDeDup-style: cluster, then prune/balance
+within clusters).
+
+Recast of the reference's station-grouping ideas (reference:
+functions/checks/isolation.r groups stations by spatial proximity; here
+proximity is embedding distance) as iterative Lloyd over Ray Data:
+
+- Embeddings are QUANTIZED to integers (round(x * 2**15)) and centroids are
+  re-rounded to integers every iteration, so every distance is an exact
+  int64 sum — deterministic regardless of batch order / parallelism, and
+  bit-replayable in SQL (list_zip + list_sum over BIGINTs).
+- Each Lloyd iteration is one streaming pass: map_batches computes, per
+  batch, the k x (d+1) partial sums/counts (int64 — order-free exact), the
+  driver combines the tiny partials and re-derives centroids. Nothing wide
+  ever shuffles; the centroid matrix (k x d ints) rides into tasks by
+  closure capture.
+- At 10^12-row scale the per-iteration re-read streams from storage; T is
+  fixed and small. Init = the first k rows in storage order
+  (deterministic; limit() pushes down, no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.reader import read_parquet_clean
+from .ann import round_half_away
+
+QUANT_SCALE = 32768.0  # 2**15: |x| <= 1 embeddings stay well inside int32
+
+
+def quantize(emb: np.ndarray) -> np.ndarray:
+    """float32/64 (n, d) -> int64: round_half_away(CAST(x AS DOUBLE)*2^15),
+    the exact op DuckDB's round(CAST(x AS DOUBLE)*32768.0) performs."""
+    return round_half_away(emb.astype(np.float64) * QUANT_SCALE, 0).astype(np.int64)
+
+
+def _batch_embeddings(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1)
+
+
+def _assign(q: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster_id, dist2) per row; exact int64 math, first-min tie-break."""
+    # dist2[i,j] = |q_i|^2 - 2 q_i.c_j + |c_j|^2, all int64 (|q|,|c| <= 2^15
+    # per coord, d=64 => |dot| <= 64 * 2^30 = 2^36 — no overflow)
+    qq = np.einsum("ij,ij->i", q, q)
+    cc = np.einsum("ij,ij->i", cent, cent)
+    d2 = qq[:, None] - 2 * (q @ cent.T) + cc[None, :]
+    cid = np.argmin(d2, axis=1)  # first (lowest cid) wins ties, as the SQL does
+    return cid.astype(np.int32), d2[np.arange(len(q)), cid]
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 4) -> np.ndarray:
+    """Lloyd iterations over a Dataset with an ``embedding`` column; returns
+    the (k, d) int64 centroid matrix."""
+    # init: first k rows in storage order (files sorted lexicographically,
+    # rows in file order — deterministic, and limit() pushes down to the
+    # first block: no shuffle, no full read)
+    init = ds.limit(k).to_pandas()["embedding"]
+    cent = quantize(np.stack(init.to_numpy()))
+
+    for _ in range(iters):
+        c = cent  # bind for closure capture (k x d ints — no ray.put needed)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            q = quantize(_batch_embeddings(batch))
+            cid, _ = _assign(q, c)
+            sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, cid, q)
+            counts = np.bincount(cid, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(c), dtype=np.int32)),
+                    "count": pa.array(counts),
+                    "sum": pa.array(list(sums), type=pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        counts = parts.groupby("cid")["count"].sum()
+        sums = np.zeros_like(cent)
+        for cid_val, grp in parts.groupby("cid"):
+            sums[cid_val] = np.sum(np.stack(grp["sum"].to_numpy()), axis=0)
+        new = cent.copy()  # empty clusters keep their old centroid
+        for j in range(len(cent)):
+            n = int(counts.get(j, 0))
+            if n > 0:
+                # integer centroid: round_half_away(sum/n) — exact int sums,
+                # one exact double division, the same rounding SQL applies
+                new[j] = round_half_away(sums[j] / float(n), 0).astype(np.int64)
+        cent = new
+    return cent
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4):
+    """Queries() entry: fit on the embeddings table, persist centroids for
+    the SQL oracle, return (vec_id, cluster, dist) — dist the exact int64
+    squared distance in quantized space."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=k, iters=iters)
+    _persist_centroids(sf_dir, cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        q = quantize(_batch_embeddings(batch))
+        cid, dist = _assign(q, cent)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(cid),
+                "dist": pa.array(dist),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def centroids_path(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/titan_ray_kmeans/{tag}/centroids.parquet"
+
+
+def _persist_centroids(sf_dir: str, cent: np.ndarray) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = centroids_path(sf_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {
+            "cid": pa.array(np.arange(len(cent), dtype=np.int32)),
+            "qc": pa.array(list(cent), type=pa.list_(pa.int64())),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def kmeans_sql(sf_dir: str) -> str:
+    """DuckDB replay of the ASSIGNMENT against the engine-persisted
+    centroids: same quantization, exact int64 distances, same (dist, cid)
+    tie-break. (The Lloyd fit itself is iterative/model-internal — what the
+    oracle certifies is that the published cluster assignment is exactly
+    argmin over the published centroids.)"""
+    path = centroids_path(sf_dir)
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE!r}) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        f"c AS (SELECT cid, qc FROM '{path}'), "
+        # CAST: list_sum over BIGINTs yields HUGEINT, which pandas converts
+        # to float64 and breaks exact integer comparison downstream
+        "d AS (SELECT vec_id, cid, CAST(list_sum(list_transform(list_zip(qe, qc), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist FROM q CROSS JOIN c), "
+        "r AS (SELECT vec_id, cid, dist, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+        "SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist FROM r WHERE rn = 1"
+    )
+
+
+def ensure_centroids(sf_dir: str) -> str:
+    """Provision the SQL-oracle sidecar (fit + persist) if missing; needs
+    Ray initialised. The fit is deterministic, so re-running is idempotent."""
+    import os
+
+    path = centroids_path(sf_dir)
+    if not os.path.exists(path):
+        embedding_kmeans(sf_dir)  # fit is eager; persists centroids
+    return path
