@@ -72,11 +72,15 @@ def _qc_metrics(sf_dir: str):
         )
 
     from titan_ray.functions.scalars import metrics_from_cells
+    from titan_ray.stages.ann import round_half_away
 
     agg = _qc_dataset(sf_dir).map_batches(cells, batch_format="pyarrow")
     tot = agg.sum(["a", "b", "c", "d"])  # one pass, one aggregate
     m = metrics_from_cells(*(float(tot[f"sum({k})"]) for k in ("a", "b", "c", "d")))
-    return pd.DataFrame([{"metric": k, "value": round(v, 6)} for k, v in sorted(m.items())])
+    # DuckDB round() is half-away-from-zero; Python round() is half-to-even
+    return pd.DataFrame(
+        [{"metric": k, "value": float(round_half_away(np.float64(v), 6))} for k, v in sorted(m.items())]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -134,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_full": ann.ann_topk_ivf_full,
         "embedding_neardup": ann.embedding_neardup_pairs,
         "embedding_kmeans": cluster.embedding_kmeans,
+        "semantic_dedup": cluster.semantic_dedup,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # --- near-dup suite over documents: LSH candidates (rows-only,
         # sketch-based) feed exact-Jaccard verify + dedup, both SQL-checked
@@ -336,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q ORDER BY sim DESC, e.vec_id LIMIT 10"
         ),
         "embedding_kmeans": cluster.kmeans_sql(GATE_SF_DIR),
+        "semantic_dedup": cluster.semantic_dedup_sql(GATE_SF_DIR),
         "embedding_neardup": (
             "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

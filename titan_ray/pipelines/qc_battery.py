@@ -49,11 +49,17 @@ from ..schema import (
 )
 
 SCORES_ROOT = "/tmp/titan_ray_scores"
-SCORES_VERSION = "v3"  # bump when scorer/dedup/corpus semantics change (v3: langid stride 4 + int16 table)
+SCORES_VERSION = "v4"  # bump when scorer/dedup/corpus semantics change (v4: carry ge_* truth labels for the metrics oracle)
+
+# planted ground-truth labels the conformance scorecard (qc_metrics) judges
+# against — carried through the sidecar so the DuckDB oracle can replay the
+# contingency aggregation over the same rows the engine scores
+GE_COLS = ["ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black"]
 
 SCORE_COLS = [
     "conv_id", "turn_idx", "role", "text", "tool", "ts",
     "is_keeplist", "lang", "lang_conf", "ppl", "qscore",
+    *GE_COLS,
 ]
 
 OUT_COLS = ["conv_id", "turn_idx", "role", "dqcflag", "keep"]
@@ -488,6 +494,7 @@ def battery_sql(sf: float = 0.01) -> dict[str, str]:
     )
     out["qc_full_cascade"] = cascade_sql(sf)
     out["qc_sct_scores"] = sct_scores_sql(sf)
+    out["qc_metrics"] = metrics_sql(sf)
     return out
 
 
@@ -495,7 +502,7 @@ def battery_sql(sf: float = 0.01) -> dict[str, str]:
 # cascade-mode oracle: the iterative reference semantics unrolled pass-by-pass
 # ---------------------------------------------------------------------------
 
-_STATE_COLS = "conv_id, turn_idx, role, qscore, w, f0"
+_STATE_COLS = "conv_id, turn_idx, role, qscore, w, f0, gt, kl"
 
 
 def _robust_pass(name: str, prev: str, r: int, min_cnt: int, cond: str,
@@ -563,7 +570,8 @@ def cascade_sql(sf: float = 0.01, cfg: QCConfig | None = None) -> str:
         # post-rowwise state + the salting window id (engine: max(turn,0)//W)
         f"fr AS MATERIALIZED (SELECT conv_id, turn_idx, role, lang, qscore, "
         f"greatest(coalesce(turn_idx, 0), 0) // {W} AS w, "
-        f"{_rowwise_case(cfg)} AS f0 FROM s)",
+        f"{_rowwise_case(cfg)} AS f0, "
+        f"({' OR '.join(GE_COLS)}) AS gt, is_keeplist AS kl FROM s)",
     ]
     # ---- dual (one two-phase pass over the post-rowwise state) ----
     ctes.append(
@@ -614,7 +622,7 @@ def cascade_sql(sf: float = 0.01, cfg: QCConfig | None = None) -> str:
         f"WHERE t.fc = 0 GROUP BY t.conv_id, t.turn_idx HAVING count(u.conv_id) < {cfg.n_iso})"
     )
     ctes.append(
-        f"res AS MATERIALIZED (SELECT p.conv_id, p.turn_idx, p.role, "
+        f"res AS MATERIALIZED (SELECT p.conv_id, p.turn_idx, p.role, p.gt, p.kl, "
         f"CASE WHEN p.fc = 0 AND h.turn_idx IS NOT NULL THEN {CODE_ISOLATION} ELSE p.fc END AS dqcflag "
         f"FROM {prev} p LEFT JOIN i_h h ON h.conv_id = p.conv_id AND h.turn_idx = p.turn_idx)"
     )
@@ -623,6 +631,44 @@ def cascade_sql(sf: float = 0.01, cfg: QCConfig | None = None) -> str:
         " SELECT conv_id, turn_idx, role, dqcflag, "
         "(dqcflag = 0 OR dqcflag = 990) AS keep FROM res"
     )
+
+
+def metrics_sql(sf: float = 0.01, cfg: QCConfig | None = None) -> str:
+    """DuckDB oracle for qc_metrics: the cascade-mode per-row flags (the
+    same chain cascade_sql emits — gt/kl truth bits ride the state CTEs so
+    re-ingestion rows that share (conv_id, turn_idx) keep their own labels)
+    aggregated into contingency cells, then the reference's scorecard
+    formulas (test_titan_ta_sct.r:10-18) with the exact operation order of
+    functions/scalars.metrics_from_cells so every double is bit-identical."""
+    full = cascade_sql(sf, cfg)
+    body = full[: full.rindex(" SELECT conv_id")]  # "WITH <all ctes>"
+    cells = (
+        "cells AS (SELECT "
+        "CAST(sum(CASE WHEN NOT keep AND gt THEN 1 ELSE 0 END) AS DOUBLE) AS a, "
+        "CAST(sum(CASE WHEN NOT keep AND NOT gt THEN 1 ELSE 0 END) AS DOUBLE) AS b, "
+        "CAST(sum(CASE WHEN keep AND gt THEN 1 ELSE 0 END) AS DOUBLE) AS c, "
+        "CAST(sum(CASE WHEN keep AND NOT gt THEN 1 ELSE 0 END) AS DOUBLE) AS d "
+        "FROM (SELECT (dqcflag = 0 OR dqcflag = 990) AS keep, gt FROM res WHERE NOT kl))"
+    )
+    # op order mirrors metrics_from_cells exactly: n = a+b+c+d (left-assoc),
+    # ar = (a+b)*(a+c)/n, denom_ets = a+b+c-ar; zero denominators -> 0.0
+    m = (
+        "m AS (SELECT *, a + b + c + d AS n FROM cells), "
+        "m2 AS (SELECT *, CASE WHEN n <> 0 THEN (a + b) * (a + c) / n ELSE 0.0 END AS ar FROM m)"
+    )
+    metric = {
+        "acc": "CASE WHEN n <> 0 THEN (a + d) / n ELSE 0.0 END",
+        "ets": "CASE WHEN a + b + c - ar <> 0 THEN (a - ar) / (a + b + c - ar) ELSE 0.0 END",
+        "f1": "CASE WHEN 2 * a + b + c <> 0 THEN 2 * a / (2 * a + b + c) ELSE 0.0 END",
+        "pod": "CASE WHEN a + c <> 0 THEN a / (a + c) ELSE 0.0 END",
+        "pofa": "CASE WHEN a + b <> 0 THEN b / (a + b) ELSE 0.0 END",
+        "precision": "CASE WHEN a + b <> 0 THEN a / (a + b) ELSE 0.0 END",
+        "recall": "CASE WHEN a + c <> 0 THEN a / (a + c) ELSE 0.0 END",
+    }
+    rows = " UNION ALL ".join(
+        f"SELECT '{k}' AS metric, round({v}, 6) AS value FROM m2" for k, v in metric.items()
+    )
+    return f"{body}, {cells}, {m} {rows}"
 
 
 def sct_scores_sql(sf: float = 0.01) -> str:
