@@ -151,3 +151,28 @@ def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
     # determinism: same data -> bit-identical centroids
     cent2 = kmeans_fit(rd.read_parquet(str(tmp_path / "emb.parquet")), k=k, iters=8)
     assert (cent == cent2).all()
+
+
+def test_semantic_dedup_sql_parity_and_drops(ray_session):
+    import duckdb
+
+    from titan_ray.stages.cluster import semantic_dedup, semantic_dedup_sql
+
+    sf = "/root/testdata/sf0.001"
+    res = semantic_dedup(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(semantic_dedup_sql(sf)).df().sort_values("vec_id").reset_index(drop=True)
+    assert res["vec_id"].tolist() == ora["vec_id"].tolist()
+    assert res["cluster"].tolist() == ora["cluster"].tolist()
+    n_total = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert len(res) < n_total  # the planted near-dups actually got pruned
+
+    # every same-cluster cosine-near pair has exactly one survivor
+    from titan_ray.stages.ann import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(sf).to_pandas()
+    cl = dict(zip(res["vec_id"], res["cluster"]))  # kept rows only
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        if a in cl and b in cl:  # both survived -> must straddle clusters
+            assert cl[a] != cl[b]

@@ -165,6 +165,86 @@ def kmeans_sql(sf_dir: str) -> str:
     )
 
 
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45):
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    then prune near-duplicates WITHIN each cluster — the pairwise comparison
+    is confined to cluster members, so the all-pairs cost is O(k·(n/k)²)
+    instead of O(n²) and each cluster is one independent group task.
+
+    Drop rule (deterministic, SQL-replayable): a vector is dropped when ANY
+    lower-vec_id member of its cluster has cosine similarity (rounded half
+    away to 4 decimals, the same contract embedding_neardup uses) strictly
+    above ``threshold`` — the greedy keep-lowest-id rule, applied against
+    all lower ids rather than only kept ones (no chaining), which keeps the
+    oracle a single anti-join instead of a recursion.
+
+    Scale shape: one narrow (vec_id, cluster, embedding) shuffle groups each
+    cluster onto one task; at 100 TB ``k`` grows with n (SemDeDup uses
+    k ≈ sqrt(n)) so per-group matrices stay bounded. A cross-cluster near-dup
+    pair is missed by design — that is SemDeDup's documented approximation.
+
+    Returns kept rows as (vec_id, cluster).
+    """
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=k, iters=iters)
+    _persist_centroids(sf_dir, cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        q = quantize(_batch_embeddings(batch))
+        cid, _ = _assign(q, cent)
+        return batch.append_column("cluster", pa.array(cid))
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # typed empty => no schema-mismatch RefBundle warnings
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "cluster": pd.Series(dtype=np.int32)})
+        g = g.sort_values("vec_id")
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        n = m / np.maximum(norm, 1e-300)[:, None]
+        s = round_half_away(n @ n.T, 4)
+        # drop j when any i<j has sim > threshold: strict lower triangle
+        tri = np.tril(s > threshold, k=-1)
+        keep = ~tri.any(axis=1)
+        return pd.DataFrame({"vec_id": g["vec_id"].to_numpy()[keep],
+                             "cluster": g["cluster"].to_numpy()[keep]})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
+def semantic_dedup_sql(sf_dir: str, threshold: float = 0.45) -> str:
+    """DuckDB replay: assignment against the persisted centroids (exact int
+    argmin, as kmeans_sql) + the greedy lower-id cosine drop rule as an
+    anti-join over same-cluster pairs."""
+    path = centroids_path(sf_dir)
+    cos = (
+        "round(list_dot_product(n1.e, n2.e) / "
+        "(sqrt(list_dot_product(n1.e, n1.e)) * sqrt(list_dot_product(n2.e, n2.e))), 4)"
+    )
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE!r}) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        f"c AS (SELECT cid, qc FROM '{path}'), "
+        "d AS (SELECT vec_id, cid, CAST(list_sum(list_transform(list_zip(qe, qc), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist FROM q CROSS JOIN c), "
+        "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), "
+        "a AS (SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM r WHERE rn = 1), "
+        "n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "p AS (SELECT a2.vec_id AS v FROM a a1 JOIN a a2 "
+        "ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id "
+        "JOIN n n1 ON n1.vec_id = a1.vec_id JOIN n n2 ON n2.vec_id = a2.vec_id "
+        f"WHERE {cos} > {threshold!r}) "
+        "SELECT a.vec_id, a.cluster FROM a WHERE a.vec_id NOT IN (SELECT v FROM p)"
+    )
+
+
 def ensure_centroids(sf_dir: str) -> str:
     """Provision the SQL-oracle sidecar (fit + persist) if missing; needs
     Ray initialised. The fit is deterministic, so re-running is idempotent."""
