@@ -193,3 +193,29 @@ def test_classifier_training_deterministic():
     w1, w2 = train_weights(), train_weights()
     assert (w1 == w2).all()
     assert len(w1) == 8
+
+
+def test_doc_token_shards_scan(ray_session):
+    from titan_ray.pipelines.docqc import doc_token_shards, token_shards_sql
+
+    sf = "/root/testdata/sf0.001"
+    eng = _compare(sf, doc_token_shards, token_shards_sql()).sort_values("doc_id")
+    # the scan invariants: shards are monotone in doc order, and every
+    # shard boundary is exactly where the exclusive prefix crosses a
+    # multiple of the budget
+    t = eng["token_count"].to_numpy()
+    import numpy as np
+
+    prev = np.concatenate([[0], np.cumsum(t)[:-1]])
+    assert (eng["shard"].to_numpy() == prev // 4096).all()
+    assert (np.diff(eng["shard"].to_numpy()) >= 0).all()
+
+    # a different bucket_range must give the identical assignment (the
+    # partitioning is an implementation detail, not a semantic)
+    alt = (
+        doc_token_shards(sf, bucket_range=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (alt["shard"].to_numpy() == eng["shard"].reset_index(drop=True).to_numpy()).all()

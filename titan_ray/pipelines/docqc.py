@@ -777,3 +777,81 @@ def classifier_sql() -> str:
         "SELECT doc_id, round(logit, 6) AS logit, "
         "CAST(logit > 0.0 AS INTEGER) AS keep FROM l"
     )
+
+
+TOKEN_SHARD_BUDGET = 4096   # tokens per output shard (a training-seq pack)
+TOKEN_SHARD_RANGE = 128     # doc_ids per order-preserving scan bucket
+
+
+def doc_token_shards(sf_dir: str, budget: int = TOKEN_SHARD_BUDGET,
+                     bucket_range: int = TOKEN_SHARD_RANGE):
+    """Token-budget shard assignment for a training export (the sequence-
+    packing sharding step): documents in doc_id order fill shards of
+    ``budget`` tokens; a doc's shard is floor(exclusive-prefix-tokens /
+    budget). This is a DISTRIBUTED PREFIX SUM (scan), done in two streaming
+    passes with only O(n_buckets) driver state:
+
+    1. pass 1 sums token counts per order-preserving range bucket
+       (doc_id // bucket_range) — per-batch partials, driver combines the
+       tiny per-bucket totals and takes their exclusive prefix;
+    2. pass 2 groups each bucket, sorts by doc_id, and adds the bucket's
+       broadcast offset to the in-bucket exclusive cumsum.
+
+    Scale note: pick ``bucket_range`` so n_docs / bucket_range stays in the
+    1e5–1e6 range — the offsets array is the only driver-side state. The
+    narrow (doc_id, token_count, bucket) intermediate is materialized once
+    so the two passes don't re-tokenize the text (it is ~1000x smaller than
+    the input text column).
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = token_count(batch["text"].combine_chunks()).astype(np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(did), "token_count": pa.array(t),
+                         "_b": pa.array(did // bucket_range)})
+
+    counted = ds.map_batches(tok, batch_format="pyarrow").materialize()
+
+    def btot(batch: pa.Table) -> pa.Table:
+        b = batch["_b"].to_numpy(zero_copy_only=False)
+        t = batch["token_count"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, t)
+        return pa.table({"_b": pa.array(ub), "tok": pa.array(s)})
+
+    parts = counted.map_batches(btot, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("_b")["tok"].sum().sort_index()
+    offs = tot.cumsum().shift(fill_value=0)  # exclusive prefix per bucket
+    off = offs.to_dict()  # bucket -> tokens before this bucket (tiny)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # typed empty => no schema-mismatch RefBundle warnings
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "token_count": pd.Series(dtype=np.int64),
+                                 "shard": pd.Series(dtype=np.int64)})
+        g = g.sort_values("doc_id")
+        t = g["token_count"].to_numpy()
+        cum = int(off[int(g["_b"].iloc[0])]) + np.concatenate(
+            [[0], np.cumsum(t)[:-1]]
+        ).astype(np.int64)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "token_count": t, "shard": cum // budget})
+
+    return counted.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def token_shards_sql(budget: int = TOKEN_SHARD_BUDGET) -> str:
+    """DuckDB replay: the same exclusive running token total over doc_id
+    order, integer-divided by the budget."""
+    return (
+        f"WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS BIGINT) "
+        "AS token_count FROM documents), "
+        # CAST: a windowed sum over BIGINT yields HUGEINT -> float in pandas
+        "c AS (SELECT doc_id, token_count, CAST(coalesce(sum(token_count) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM t) "
+        f"SELECT doc_id, token_count, prev // {budget} AS shard FROM c"
+    )
