@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": docqc.doc_length_stats,
         "doc_token_counts": docqc.doc_token_counts,
         "doc_token_shards": docqc.doc_token_shards,
+        "doc_quantile_filter": docqc.doc_quantile_filter,
         "doc_char_classes": docqc.doc_char_classes,
         "doc_quality_scores": docqc.doc_quality_scores,
         "doc_stopword_ratio": docqc.doc_stopword_ratio,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_token_shards": docqc.token_shards_sql(),
+        "doc_quantile_filter": docqc.quantile_filter_sql(),
         "doc_char_classes": (
             "SELECT doc_id, "
             "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, "

@@ -219,3 +219,24 @@ def test_doc_token_shards_scan(ray_session):
         .reset_index(drop=True)
     )
     assert (alt["shard"].to_numpy() == eng["shard"].reset_index(drop=True).to_numpy()).all()
+
+
+def test_doc_quantile_filter(ray_session):
+    import numpy as np
+
+    from titan_ray.pipelines.docqc import doc_quantile_filter, quantile_filter_sql
+
+    sf = "/root/testdata/sf0.001"
+    eng = _compare(sf, doc_quantile_filter, quantile_filter_sql())
+    # every language lost at most a quarter of its docs (quantile_disc at
+    # q=0.25 keeps >= 75%, ties can only keep more)
+    import duckdb
+
+    con = duckdb.connect()
+    tot = con.sql(
+        f"SELECT lang, count(*) n FROM '{sf}/documents.parquet' GROUP BY lang"
+    ).df().set_index("lang")["n"]
+    kept = eng.groupby("lang").size()
+    for lang, n in tot.items():
+        assert kept.get(lang, 0) >= int(np.ceil(0.75 * n)) - 1
+        assert kept.get(lang, 0) < n or n == 1

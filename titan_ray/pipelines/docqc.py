@@ -779,6 +779,70 @@ def classifier_sql() -> str:
     )
 
 
+def doc_quantile_filter(sf_dir: str, q: float = 0.25):
+    """Per-language quantile quality cut: drop every document whose char
+    count is BELOW its language's q-th exact quantile (quantile_disc:
+    sorted[ceil(q*n) - 1]) — the 'trim the bottom quartile within each
+    stratum' curation step.
+
+    Distributed shape: the quantile is computed from a per-(lang, len)
+    VALUE HISTOGRAM (per-batch partial counts -> one tiny groupby — the
+    reduction is to n_langs x distinct-lengths rows, never data rows), the
+    driver walks each language's cumulative histogram to the threshold, and
+    the thresholds (a dict of n_langs ints) ride into a stateless filter
+    pass by closure. Two streaming passes, no wide shuffle.
+    """
+    import math
+
+    ds = _read(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nc = _chars(batch)
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "len": nc})
+        g = df.groupby(["lang", "len"], sort=False).size().reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"]), "len": pa.array(g["len"].to_numpy()),
+                         "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "len"]).sum("cnt")
+        .to_pandas()  # <= n_langs x distinct-lengths rows
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    thr = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("len")
+        n = int(g["cnt"].sum())
+        pos = max(math.ceil(q * n), 1)
+        thr[lang] = int(g["len"].to_numpy()[np.searchsorted(g["cnt"].cumsum().to_numpy(), pos)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nc = _chars(batch)
+        t = pd.Series(batch["lang"].to_pandas()).map(thr).to_numpy()
+        mask = nc >= t
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(mask)),
+                         "lang": batch["lang"].filter(pa.array(mask)),
+                         "n_chars": pa.array(nc[mask])})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quantile_filter_sql(q: float = 0.25) -> str:
+    """DuckDB replay: per-language quantile_disc threshold + the >= filter
+    (quantile_disc is exactly sorted[ceil(q*n) - 1], the rule the engine's
+    histogram walk implements)."""
+    return (
+        "WITH t AS (SELECT doc_id, lang, length(text) AS n_chars FROM documents), "
+        f"thr AS (SELECT lang, quantile_disc(n_chars, {q!r}) AS p FROM t GROUP BY lang) "
+        "SELECT t.doc_id, t.lang, CAST(t.n_chars AS BIGINT) AS n_chars "
+        "FROM t JOIN thr ON thr.lang = t.lang WHERE t.n_chars >= thr.p"
+    )
+
+
 TOKEN_SHARD_BUDGET = 4096   # tokens per output shard (a training-seq pack)
 TOKEN_SHARD_RANGE = 128     # doc_ids per order-preserving scan bucket
 
