@@ -108,10 +108,12 @@ def run_bench() -> dict:
 
     cfg = QCConfig(dedup=True, scorer_concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
     runs = []
-    # 3 runs by default: run 1 is cold (actor pools, imports), the best of
+    # 4 runs by default: run 1 is cold (actor pools, imports), the best of
     # the rest is the steady state; this box's ±25% noise makes min-of-2
-    # land on a bad regime too often (the round-2 record did exactly that)
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+    # land on a bad regime too often (the round-2 record did exactly that),
+    # and a fully cold session (first bench after boot) was still decaying
+    # at run 3 (36.5/27.2/23.4 s) — all runs stay in the reported array
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "4"))
     for attempt in range(n_runs):  # 2nd run = steady state (actors warm, store warm)
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
