@@ -379,7 +379,9 @@ def winnow_sql() -> str:
 
 def simhash_docs(sf_dir: str):
     """64-bit SimHash per document (fingerprint column for downstream
-    Hamming-bucket dedup)."""
+    Hamming-bucket dedup). Deterministic bit math over the same shingle
+    hash stream the winnowing oracle already replays, so simhash_sql()
+    hash-matches in DuckDB (round-3 verdict item 6)."""
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
@@ -387,6 +389,36 @@ def simhash_docs(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(s.astype(np.int64))})
 
     return _read_docs(sf_dir).map_batches(sig, batch_format="pyarrow")
+
+
+def simhash_sql() -> str:
+    """DuckDB replay of simhash_docs: the SHINGLE-byte FNV rolling hash
+    chained in HUGEINT mod-2^64 (same chain as winnow_sql; ASCII docs =>
+    substring == bytes), then a per-bit majority vote — bit i of the
+    signature is set iff strictly more than half the windows have bit i
+    set (engine: sum(±1 votes) > 0  <=>  2*S_i > n_windows). Docs shorter
+    than SHINGLE bytes carry signature 0, as in simhash_signatures."""
+    T = 1 << 64
+    M = 1099511628211
+    expr = "CAST(1469598103934665603 AS HUGEINT)"
+    for i in range(SHINGLE):
+        expr = f"((({expr}) * {M} + ascii(substring(text, p + {i + 1}, 1))) % {T})"
+    bit_rows = ", ".join(f"({i}, CAST({1 << i} AS HUGEINT))" for i in range(64))
+    return (
+        "WITH pos AS (SELECT doc_id, text, "
+        f"unnest(generate_series(0, strlen(text) - {SHINGLE})) AS p "
+        f"FROM documents WHERE strlen(text) >= {SHINGLE}), "
+        f"h AS (SELECT doc_id, {expr} AS hv FROM pos), "
+        f"bt AS (SELECT * FROM (VALUES {bit_rows}) t(bit, dv)), "
+        "s AS (SELECT h.doc_id, bt.bit, bt.dv, "
+        "sum(CAST((h.hv // bt.dv) % 2 AS BIGINT)) AS si, count(*) AS nw "
+        "FROM h CROSS JOIN bt GROUP BY h.doc_id, bt.bit, bt.dv), "
+        "sig AS (SELECT doc_id, COALESCE(sum(dv) FILTER (WHERE 2 * si > nw), 0) AS u "
+        "FROM s GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(CASE WHEN COALESCE(sig.u, 0) >= 9223372036854775808 "
+        "THEN sig.u - 18446744073709551616 ELSE COALESCE(sig.u, 0) END AS BIGINT) AS simhash "
+        "FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id"
+    )
 
 
 def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0.2,
@@ -657,6 +689,7 @@ def neardup_sql(sf: float = 0.01) -> dict[str, str]:
     )
     thr = repr(JACCARD_THRESHOLD)
     return {
+        "simhash_docs": simhash_sql(),
         "ngram_jaccard_pairs": (
             f"WITH {base} SELECT doc_a, doc_b, round(j, 4) AS jaccard "
             f"FROM jac WHERE j > {thr}"
