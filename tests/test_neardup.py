@@ -272,6 +272,27 @@ def test_dedup_clusters_transitive(ray_session, tmp_path, monkeypatch):
     assert out.loc[3, "cluster_size"] == 3
 
 
+def test_clusters_labelprop_matches_unionfind(ray_session):
+    """The distributed min-label-propagation fallback (taken above
+    MAX_CLUSTER_PAIRS) produces clusters identical to the union-find fast
+    path: a planted 12-node chain (diameter 11 — multiple propagation
+    rounds), a 3-clique, an isolated pair, all interleaved with noise ids."""
+    import pandas as pd
+    from titan_ray.stages import neardup
+
+    chain = [(i * 10 + 5, (i + 1) * 10 + 5) for i in range(11)]  # 5-15-...-115
+    clique = [(2, 7), (2, 9), (7, 9)]
+    pair = [(200, 300)]
+    edges = pd.DataFrame(chain + clique + pair, columns=["doc_a", "doc_b"])
+    fast = neardup.clusters_from_pairs(edges).to_pandas()
+    slow = neardup.clusters_from_pairs(edges, max_pairs=3).to_pandas()
+    pd.testing.assert_frame_equal(fast, slow)
+    got = fast.set_index("doc_id")
+    assert got.loc[115, "cluster_id"] == 5 and got.loc[115, "cluster_size"] == 12
+    assert got.loc[9, "cluster_id"] == 2 and got.loc[9, "cluster_size"] == 3
+    assert got.loc[300, "cluster_id"] == 200 and got.loc[300, "cluster_size"] == 2
+
+
 def test_ppm_codec_roundtrip_and_features():
     """The pure-numpy PPM codec: encode -> parse roundtrips bit-exactly
     (including comment/whitespace header variants) and image features are

@@ -99,10 +99,14 @@ def pricing_sql() -> str:
 
 
 def tpch_revenue_by_nation(sf_dir: str, year: int = REVENUE_YEAR):
-    """Revenue per nation (TPC-H Q5 shape): lineitem JOIN orders is the one
-    genuinely big x big exchange -> stages.joins.hash_join (each side crosses
-    the wire once); customer+nation are the small star dimensions -> joined
-    driver-side once and broadcast as a sorted-key lookup, NOT shuffled."""
+    """Revenue per nation (TPC-H Q5 shape): lineitem JOIN orders AND the
+    customer join are both big x big exchanges -> stages.joins.hash_join
+    (each side crosses the wire once). Customer is NOT a broadcastable star
+    dimension — it grows linearly with the fact tables (round-3 verdict
+    item 2) — so only the 25-row nation table is read driver-side and
+    broadcast. The custkey side of the second join is pre-aggregated
+    per batch (custkey partial revenue sums), so the second shuffle moves
+    at most one row per (batch, distinct custkey), not one per lineitem."""
     import ray
 
     from ..stages.joins import hash_join
@@ -133,36 +137,56 @@ def tpch_revenue_by_nation(sf_dir: str, year: int = REVENUE_YEAR):
         right_cols=("o_custkey",),
     )
 
-    # small star dimensions: read once on the driver, broadcast the
-    # custkey -> nation-name lookup (sorted-key searchsorted, no shuffle)
+    # per-batch partial revenue per custkey: shrinks the second join's
+    # left side to (ckey, partial sum) rows before it crosses the wire
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "ckey": batch["r_o_custkey"].to_numpy(zero_copy_only=False),
+                "revenue_1e4": batch["disc_1e4"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby("ckey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    rev_by_cust = joined.map_batches(per_cust_partial, batch_format="pyarrow")
+
+    # ONLY nation (25 rows, constant cardinality) is read driver-side and
+    # folded into the streaming customer read as a nationkey -> name LUT
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    dim = dim.sort_values("c_custkey")
-    lookup_ref = ray.put(
-        (dim["c_custkey"].to_numpy(), dim["n_name"].to_numpy())
+    ).to_pandas().sort_values("n_nationkey")
+    nation_ref = ray.put((nation["n_nationkey"].to_numpy(), nation["n_name"].to_numpy()))
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys, names = ray.get(lookup_ref)
-        ck = batch["r_o_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(keys, ck)
-        n_name = names[idx]  # custkey is a dense FK — every value resolves
-        g = pd.DataFrame(
-            {"n_name": n_name, "revenue_1e4": batch["disc_1e4"].to_numpy(zero_copy_only=False)}
-        ).groupby("n_name", sort=False, as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        nkeys, nnames = ray.get(nation_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ckey": batch["c_custkey"],
+                "n_name": pa.array(nnames[np.searchsorted(nkeys, nk)]),
+            }
+        )
+
+    with_nation = hash_join(
+        rev_by_cust,
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        on="ckey",
+        right_cols=("n_name",),
+    )
 
     from ray.data.aggregate import Sum
 
     agg = (
-        joined.map_batches(partial, batch_format="pyarrow")
+        with_nation.map_batches(
+            lambda b: pa.table({"n_name": b["r_n_name"], "revenue_1e4": b["revenue_1e4"]}),
+            batch_format="pyarrow",
+        )
         .groupby("n_name")
         .aggregate(Sum("revenue_1e4", alias_name="revenue_1e4"))
     )

@@ -614,29 +614,13 @@ def minhash_dedup_docs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
 
 
 # pairs are the SMALL side (LSH bucket caps bound them); beyond this the
-# driver-side union-find is refused rather than silently ballooning.
+# driver-side union-find hands off to distributed min-label propagation.
 MAX_CLUSTER_PAIRS = 5_000_000
 
 
-def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
-    """Duplicate CLUSTERS via connected components over the verified
-    near-dup pairs: transitive closure (a~b, b~c => one cluster even when
-    a!~c — pairwise dedup under-merges chains). Emits (doc_id, cluster_id =
-    min doc_id in the component, cluster_size) for every clustered doc.
-
-    Scale shape: candidate generation + exact verification are the
-    distributed stages (verified_pairs); the surviving edge list is the
-    small side — union-find over it is O(E α(E)) driver-side, guarded by
-    MAX_CLUSTER_PAIRS. (The unbounded-edges alternative is iterative
-    min-label propagation — repeat groupby(node).min(label) joins until
-    fixpoint — at log(diameter) extra shuffles; not needed while the edge
-    list fits, which the LSH bucket caps guarantee.)"""
-    v = verified_pairs(sf_dir, threshold)
-    if len(v) > MAX_CLUSTER_PAIRS:
-        raise ValueError(
-            f"dedup_clusters: {len(v)} verified pairs exceeds MAX_CLUSTER_PAIRS="
-            f"{MAX_CLUSTER_PAIRS}; run exact dedup first or raise the bound"
-        )
+def _clusters_unionfind(v: pd.DataFrame) -> pa.Table:
+    """Driver-side union-find over the verified edge list — O(E α(E)),
+    the fast path while the edges fit under MAX_CLUSTER_PAIRS."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -663,6 +647,131 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
             "cluster_size": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def _clusters_labelprop(v: pd.DataFrame, num_blocks: int = 32) -> pa.Table:
+    """Distributed iterative min-label propagation (the path above
+    MAX_CLUSTER_PAIRS — round-3 verdict item 3): each node starts labelled
+    with its own id; every round each node takes the min label across its
+    incident edges (hash_join label->edge + groupby(node).min), then a
+    pointer-doubling shortcut (label(n) <- label(label(n)), one more
+    hash_join of labels with itself) halves remaining path lengths, so
+    convergence is O(log component-diameter) rounds, not O(diameter).
+    Labels only decrease, so the total label sum is a monotone potential —
+    fixpoint (= converged components) exactly when the sum stops changing.
+    Per round nothing wider than (node, label) crosses the wire; labels are
+    repartitioned back to `blocks` each round so block counts (and task
+    scheduling overhead) stay flat across rounds."""
+    import logging
+
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    logging.getLogger("titan_ray.neardup").warning(
+        "dedup_clusters: %d verified pairs exceeds MAX_CLUSTER_PAIRS=%d; "
+        "switching to distributed min-label propagation", len(v), MAX_CLUSTER_PAIRS
+    )
+    a = v["doc_a"].to_numpy().astype(np.int64)
+    b = v["doc_b"].to_numpy().astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    blocks = max(1, min(num_blocks, len(src) // 65536 + 1))
+    buckets = max(8, blocks)
+    edges = (
+        rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        .repartition(blocks)
+        .materialize()  # reused every round — pay the read once
+    )
+    labels = rd.from_arrow(pa.table({"node": nodes, "label": nodes})).repartition(blocks).materialize()
+    prev_sum = int(nodes.sum())
+    for _round in range(100):  # 2^100 diameter — unreachable; loop guard only
+        prop = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"src": t["node"], "label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            on="src",
+            right_cols=("label",),
+            num_buckets=buckets,
+        )
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["r_label"]}),
+            batch_format="pyarrow",
+        )
+        stepped = (
+            cand.union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
+                batch_format="pyarrow",
+            )
+        )
+        # pointer doubling: every label is itself a node id, so joining the
+        # label table with itself rewrites label(n) -> label(label(n))
+        doubled = hash_join(
+            stepped.map_batches(
+                lambda t: pa.table({"node": t["node"], "key": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            stepped.map_batches(
+                lambda t: pa.table({"key": t["node"], "plabel": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            on="key",
+            right_cols=("plabel",),
+            num_buckets=buckets,
+        )
+        labels = (
+            doubled.map_batches(
+                lambda t: pa.table({"node": t["node"], "label": t["r_plabel"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(blocks)
+            .materialize()
+        )
+        cur_sum = int(labels.sum("label"))
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("dedup_clusters label propagation did not converge")
+    lab = labels.to_pandas()  # one row per clustered doc == the query result
+    sizes = lab["label"].map(lab["label"].value_counts())
+    lab = lab.sort_values("node")
+    return pa.table(
+        {
+            "doc_id": pa.array(lab["node"].to_numpy(), type=pa.int64()),
+            "cluster_id": pa.array(lab["label"].to_numpy(), type=pa.int64()),
+            "cluster_size": pa.array(sizes[lab.index].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def clusters_from_pairs(v: pd.DataFrame, max_pairs: int = MAX_CLUSTER_PAIRS) -> pa.Table:
+    """Connected components over a verified near-dup edge list: union-find
+    while the edges fit driver-side, distributed min-label propagation
+    beyond. Both paths emit identical (doc_id, cluster_id = min doc_id in
+    component, cluster_size) rows sorted by doc_id."""
+    if len(v) > max_pairs:
+        return _clusters_labelprop(v)
+    return _clusters_unionfind(v)
+
+
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
+    """Duplicate CLUSTERS via connected components over the verified
+    near-dup pairs: transitive closure (a~b, b~c => one cluster even when
+    a!~c — pairwise dedup under-merges chains). Emits (doc_id, cluster_id =
+    min doc_id in the component, cluster_size) for every clustered doc.
+
+    Scale shape: candidate generation + exact verification are the
+    distributed stages (verified_pairs); the surviving edge list is the
+    small side — union-find over it while it fits (MAX_CLUSTER_PAIRS),
+    else iterative distributed min-label propagation (clusters_from_pairs)."""
+    return clusters_from_pairs(verified_pairs(sf_dir, threshold))
 
 
 def neardup_sql(sf: float = 0.01) -> dict[str, str]:
