@@ -55,19 +55,88 @@ def test_media_decode_stage_direct():
     assert len(out["features"][0].as_py()) == 4
 
 
-def test_media_decode_real_codec_is_stubbed_for_video_only():
-    """Video stays behind the stub seam; audio (WAV) and image (PPM) decode
-    for real, so fake=False only raises when a video row is present."""
+def test_media_decode_all_kinds_real():
+    """All three kinds decode for real (WAV / PPM / Y4M): fake=False
+    processes the full synthetic table, and only a foreign container
+    raises ValueError on the real path."""
     import pytest
 
     t = synth_media_table(32)
-    vid = t.filter(pa.compute.equal(t["kind"], "video"))
-    assert vid.num_rows > 0
     stage = MediaDecodeStage(fake=False)
-    with pytest.raises(NotImplementedError):
-        stage(vid)
-    real = t.filter(pa.compute.not_equal(t["kind"], "video"))
-    assert stage(real).num_rows == real.num_rows  # audio+image decode without the stub
+    assert stage(t).num_rows == t.num_rows
+    foreign = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([b"\x00\x01\x02 not a container"], type=pa.binary()),
+        }
+    )
+    with pytest.raises(ValueError):
+        stage(foreign)
+    assert MediaDecodeStage(fake=True)(foreign).num_rows == 1  # digest fallback
+
+
+def test_y4m_codec_roundtrip_features_resize():
+    """The pure-numpy Y4M codec: encode -> parse roundtrips bit-exactly
+    (C420 and mono), video features are the documented frame statistics,
+    and y4m_resize snaps to the chroma grid with nearest-gather planes."""
+    from titan_ray.stages.multimodal import (
+        parse_y4m, resize_planes, video_features, y4m_bytes, y4m_resize,
+    )
+
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (3, 8, 12), dtype=np.uint8)
+    u = rng.integers(0, 256, (3, 4, 6), dtype=np.uint8)
+    v = rng.integers(0, 256, (3, 4, 6), dtype=np.uint8)
+    payload = y4m_bytes(y, u, v, fps=(30, 1))
+    y2, u2, v2, fps = parse_y4m(payload)
+    assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all() and fps == (30, 1)
+    mono = y4m_bytes(y, fps=(25, 1))
+    ym, um, vm, _ = parse_y4m(mono)
+    assert (ym == y).all() and um is None and vm is None
+    f = video_features(payload, 8)
+    yf = y.astype(np.float64)
+    assert f[0] == 3.0 and f[1] == 12.0 and f[2] == 8.0 and f[3] == 30.0
+    assert f[4] == yf.mean() and f[5] == yf.std()
+    assert f[6] == np.abs(np.diff(yf, axis=0)).mean()
+    assert f[7] == u.astype(np.float64).mean()
+    small, nw, nh = y4m_resize(payload, 6, 6)
+    assert (nw, nh) == (6, 4)  # aspect fit 12x8 -> 6x4, even for C420
+    ys, us, vs, _ = parse_y4m(small)
+    assert (ys == resize_planes(y, 6, 4)).all()
+    assert (us == resize_planes(u, 3, 2)).all() and (vs == resize_planes(v, 3, 2)).all()
+    unchanged, w0, h0 = y4m_resize(payload, 64, 64)
+    assert unchanged == payload and (w0, h0) == (12, 8)
+
+
+def test_y4m_frame_sampler_extracts_decodable_frames():
+    """FrameSampleStage emits standalone single-frame Y4M payloads with
+    frame-rate timestamps; each decodes via video_features."""
+    from titan_ray.stages.multimodal import FrameSampleStage, parse_y4m, y4m_bytes
+
+    rng = np.random.default_rng(4)
+    nf = 7
+    y = rng.integers(0, 256, (nf, 4, 6), dtype=np.uint8)
+    u = rng.integers(0, 256, (nf, 2, 3), dtype=np.uint8)
+    v = rng.integers(0, 256, (nf, 2, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([y4m_bytes(y, u, v, fps=(25, 1))], type=pa.binary()),
+            "width": pa.array([6], type=pa.int32()),
+            "height": pa.array([4], type=pa.int32()),
+            "duration_ms": pa.array([nf * 40], type=pa.int32()),
+        }
+    )
+    out = FrameSampleStage(n_frames=4)(batch)
+    assert out.num_rows == 4
+    # evenly spaced over 7 frames: source indices 0, 2, 4, 6 at 40 ms each
+    assert out["frame_ts_ms"].to_pylist() == [0, 80, 160, 240]
+    for j, src in enumerate([0, 2, 4, 6]):
+        yj, uj, vj, fps = parse_y4m(out["frame"][j].as_py())
+        assert yj.shape == (1, 4, 6) and fps == (25, 1)
+        assert (yj[0] == y[src]).all() and (uj[0] == u[src]).all()
 
 
 def test_wav_codec_roundtrip_and_features():
