@@ -170,6 +170,32 @@ def _scrub_sql_expr(col: str = "text") -> str:
     return expr
 
 
+def _scrub_count_sql_exprs(col: str = "text") -> tuple[str, str]:
+    """(n_pii expr, n_tox expr): per rule class, the number of matches of
+    each rule against its pre-substitution text state (the same chain
+    positions the engine's scrub_counts_arrow counts at)."""
+    from titan_ray.functions.scrub import rule_class
+
+    expr = col
+    pii_terms: list[str] = []
+    tox_terms: list[str] = []
+    for name, pat, repl in SCRUB_RULES:
+        q = pat.replace("'", "''")
+        cnt = f"length(regexp_extract_all({expr}, '{q}'))"
+        (tox_terms if rule_class(name) == "tox" else pii_terms).append(cnt)
+        expr = f"regexp_replace({expr}, '{q}', '{repl}', 'g')"
+    return " + ".join(pii_terms), " + ".join(tox_terms)
+
+
+def _doc_scrub_sql() -> str:
+    n_pii, n_tox = _scrub_count_sql_exprs()
+    return (
+        f"SELECT doc_id, {_scrub_sql_expr('text')} AS text_scrubbed, "
+        f"CAST({n_pii} AS BIGINT) AS n_scrub_pii, "
+        f"CAST({n_tox} AS BIGINT) AS n_scrub_tox FROM documents"
+    )
+
+
 # the driver's correctness gate runs engine queries AND oracle SQL at this
 # scale factor; battery/neardup SQL read /tmp artifacts keyed by it. If the
 # gate ever moves to another sf, change ONLY this constant (round-2 advice
@@ -276,7 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pattern_flag": (
             "SELECT doc_id FROM documents WHERE regexp_matches(text, 'vector|stream')"
         ),
-        "doc_scrub": f"SELECT doc_id, {_scrub_sql_expr('text')} AS text_scrubbed FROM documents",
+        "doc_scrub": _doc_scrub_sql(),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
             "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

@@ -155,6 +155,26 @@ def test_doc_decontaminate_edge_cases(ray_session, tmp_path):
     assert eng.loc[103, "n_contaminated"] == 1
 
 
+def test_doc_decontaminate_eval_bound_enforced(ray_session, tmp_path, monkeypatch):
+    """The eval-slice broadcast bound is enforced, not assumed: an eval side
+    exceeding MAX_EVAL_GRAMS unique grams raises instead of materializing."""
+    import pytest
+    from titan_ray.pipelines import docqc
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 100], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon", "x alpha beta gamma y"]),
+        }
+    )
+    d = tmp_path / "decon_bound"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    monkeypatch.setattr(docqc, "MAX_EVAL_GRAMS", 2)  # eval doc 7 has 3 grams
+    with pytest.raises(ValueError, match="MAX_EVAL_GRAMS"):
+        docqc.doc_decontaminate(str(d))
+
+
 def test_doc_top_tfidf_edge_cases(ray_session, edge_docs):
     """Linear-idf argmax with word tie-break; empty doc excluded. Expected
     values derived by hand: N=7, df('a')=2, df of doc-5 words = 1 each."""

@@ -51,6 +51,19 @@ def test_scrubbed_text_exact(engine_and_oracle):
     assert eng["text_scrubbed"].fillna("@").tolist() == ora["text_scrubbed"].fillna("@").tolist()
 
 
+def test_scrub_counts_parity(engine_and_oracle):
+    """The vsigma-analog scrub metadata (per-rule-class substitution counts)
+    matches the serial oracle exactly, and is consistent with the text:
+    counts are nonzero iff the scrub changed the row."""
+    eng, ora = engine_and_oracle
+    for col in ("n_scrub_pii", "n_scrub_tox"):
+        assert eng[col].to_numpy().tolist() == ora[col].to_numpy().tolist(), col
+    changed = eng["text_scrubbed"].fillna("@") != eng["text"].fillna("@")
+    total = eng["n_scrub_pii"] + eng["n_scrub_tox"]
+    assert ((total > 0) == changed).all()
+    assert int(total.sum()) > 0
+
+
 def test_sctpog_parity(engine_and_oracle):
     eng, ora = engine_and_oracle
     assert np.allclose(eng["sctpog"].fillna(-9), ora["sctpog"].fillna(-9), atol=1e-12)

@@ -43,6 +43,53 @@ SCRUB_RULES = SCRUB_RULES + (("toxicity", _TOX_PATTERN, "[TOX]"),)
 BLACKLIST_TERMS: tuple[str, ...] = ("BLOCKLISTED_TOKEN", "DO_NOT_TRAIN")
 
 
+# rule name -> class for the per-row substitution-count metadata (the
+# reference's vsigma analog: rr_windcorr.r:199-208 keeps a per-row
+# correction uncertainty next to the corrected value; here each row carries
+# how many PII and how many toxicity substitutions produced text_scrubbed)
+def rule_class(name: str) -> str:
+    return "tox" if name == "toxicity" else "pii"
+
+
+def scrub_counts_arrow(text_col):
+    """Vectorized scrub WITH per-rule-class substitution counts:
+    (scrubbed StringArray, n_pii int32, n_tox int32). Counting costs one
+    extra regex pass per rule, so it runs ONLY on rows the replace chain
+    actually changed (typically a few percent): the full column gets the
+    replace passes, then the changed subset is re-walked with
+    count_substring_regex on each rule's pre-substitution text state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = text_col
+    for _name, pat, repl in SCRUB_RULES:
+        out = pc.replace_substring_regex(out, pat, repl)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    n = len(out)
+    n_pii = np.zeros(n, dtype=np.int32)
+    n_tox = np.zeros(n, dtype=np.int32)
+    changed = pc.fill_null(pc.not_equal(out, text_col), False).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(changed)
+    if len(idx):
+        cur = (text_col.combine_chunks() if isinstance(text_col, pa.ChunkedArray) else text_col).take(
+            pa.array(idx)
+        )
+        pii_sub = np.zeros(len(idx), dtype=np.int64)
+        tox_sub = np.zeros(len(idx), dtype=np.int64)
+        for name, pat, repl in SCRUB_RULES:
+            cnt = pc.count_substring_regex(cur, pat).to_numpy(zero_copy_only=False)
+            if rule_class(name) == "tox":
+                tox_sub += cnt
+            else:
+                pii_sub += cnt
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        n_pii[idx] = pii_sub.astype(np.int32)
+        n_tox[idx] = tox_sub.astype(np.int32)
+    return out, n_pii, n_tox
+
+
 class Scrubber:
     """Compile once (per actor), apply vectorized per batch."""
 
@@ -55,6 +102,20 @@ class Scrubber:
         for _, pat, repl in self.rules:
             text = pat.sub(repl, text)
         return text
+
+    def scrub_one_with_counts(self, text: str | None) -> tuple[str | None, int, int]:
+        """(scrubbed, n_pii, n_tox) — the serial-oracle mirror of
+        scrub_counts_arrow (Python re and re2 agree on these patterns)."""
+        if text is None:
+            return None, 0, 0
+        n_pii = n_tox = 0
+        for name, pat, repl in self.rules:
+            text, k = pat.subn(repl, text)
+            if rule_class(name) == "tox":
+                n_tox += k
+            else:
+                n_pii += k
+        return text, n_pii, n_tox
 
     def scrub_pandas(self, series):
         """Apply all rules over a pandas string Series (C-looped re engine)."""

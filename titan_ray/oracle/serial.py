@@ -238,7 +238,10 @@ def oracle_qc(table: pa.Table, cfg: QCConfig | None = None) -> pd.DataFrame:
     df["keep"] = keep
     df["sctpog"] = sctpog
     df["corep"] = corep_arr
-    df["text_scrubbed"] = [scr.scrub_one(t) if isinstance(t, str) else None for t in df["text"]]
+    scrubbed = [scr.scrub_one_with_counts(t if isinstance(t, str) else None) for t in df["text"]]
+    df["text_scrubbed"] = [s[0] for s in scrubbed]
+    df["n_scrub_pii"] = np.asarray([s[1] for s in scrubbed], dtype=np.int32)
+    df["n_scrub_tox"] = np.asarray([s[2] for s in scrubbed], dtype=np.int32)
     return df
 
 

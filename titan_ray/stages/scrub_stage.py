@@ -11,21 +11,24 @@ backrefs so re2 and re agree).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ..functions.scrub import SCRUB_RULES
+from ..functions.scrub import scrub_counts_arrow
 
 
 class ScrubStage:
-    def __init__(self, rules=SCRUB_RULES):
-        self.rules = [(pat, repl) for _name, pat, repl in rules]
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = batch["text"]
-        for pat, repl in self.rules:
-            out = pc.replace_substring_regex(out, pat, repl)
-        if isinstance(out, pa.ChunkedArray):
-            out = out.combine_chunks()
-        if "text_scrubbed" in batch.column_names:
-            return batch.set_column(batch.column_names.index("text_scrubbed"), "text_scrubbed", [out])
-        return batch.append_column("text_scrubbed", [out])
+        out, n_pii, n_tox = scrub_counts_arrow(batch["text"])
+        # n_scrub_pii / n_scrub_tox are the vsigma analog (per-row scrub
+        # metadata next to the corrected value, rr_windcorr.r:199-208);
+        # counting only re-walks the changed rows, so the hot path stays
+        # one replace pass per rule for clean text.
+        for name, col in (
+            ("text_scrubbed", out),
+            ("n_scrub_pii", pa.array(n_pii)),
+            ("n_scrub_tox", pa.array(n_tox)),
+        ):
+            if name in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(name), name, [col])
+            else:
+                batch = batch.append_column(name, [col])
+        return batch
