@@ -37,6 +37,37 @@ def _drop_helpers(batch: pa.Table) -> pa.Table:
     return batch.select(keep)
 
 
+class ScoreChain:
+    """Scorer + post-score rowwise checks + conv-bucket salting as ONE
+    actor-pool operator. Ray Data fuses task-pool maps that PRECEDE an
+    actor-pool operator into it, but maps placed AFTER one form their own
+    TaskPoolMapOperator — so affine/plausibility/climatological/salt as
+    separate map_batches cost a full extra pass of the corpus through the
+    object store between the scorer pool and the conv shuffle (round-3
+    verdict item 5). Folding them into the actor's __call__ leaves exactly
+    one plasma hop: scorer-pool output -> Sort."""
+
+    def __init__(self, cfg: QCConfig, num_buckets: int):
+        self.scorer = Scorer()  # models once per actor
+        self.cfg = cfg
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        b = self.scorer(batch)
+        if cfg.role_affine:
+            b = affine_rescale_qscore(b, role_affine=cfg.role_affine)
+        # ccrrt (301) runs BEFORE check_z_against_dem (902), matching the
+        # reference order (titan.r:150-154 before titan.r:187)
+        if cfg.enable_ccrrt:
+            b = ccrrt_check(b, cfg=cfg)
+        if cfg.enable_zdem:
+            b = zdem_check(b, cfg=cfg)
+        b = plausibility_check(b, cfg=cfg)
+        b = climatological_check(b, cfg=cfg)
+        return salt_batch(b, cfg=cfg, num_buckets=self.num_buckets)
+
+
 def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
     """ds: Dataset with the transcript input schema (extra columns pass
     through untouched — the reference's dataopt passthrough,
@@ -64,31 +95,16 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
         )
     ds = ds.map_batches(partial(seed_lists, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(partial(metadata_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    # ONE actor-pool operator: score -> affine -> (ccrrt/zdem) ->
+    # plausibility -> climatological -> salt (see ScoreChain) feeding
+    # straight into the ONE conversation-local shuffle (dual, fgt, buddy,
+    # sct, isolation)
     ds = ds.map_batches(
-        Scorer,
+        ScoreChain,
+        fn_constructor_kwargs={"cfg": cfg, "num_buckets": num_buckets},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.scorer_concurrency,
-    )
-    if cfg.role_affine:
-        ds = ds.map_batches(
-            partial(affine_rescale_qscore, role_affine=cfg.role_affine),
-            batch_format="pyarrow", batch_size=cfg.batch_size,
-        )
-    # ccrrt (301) runs BEFORE check_z_against_dem (902), matching the
-    # reference order (titan.r:150-154 before titan.r:187)
-    if cfg.enable_ccrrt:
-        ds = ds.map_batches(partial(ccrrt_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-    if cfg.enable_zdem:
-        ds = ds.map_batches(partial(zdem_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(partial(plausibility_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(partial(climatological_check, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-
-    # the ONE conversation-local shuffle (dual, fgt, buddy, sct, isolation)
-    ds = ds.map_batches(
-        partial(salt_batch, cfg=cfg, num_buckets=num_buckets),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
     )
     ds = ds.groupby("bucket").map_groups(partial(run_conv_checks_arrow, cfg=cfg), batch_format="pyarrow")
     ds = ds.map_batches(_drop_helpers, batch_format="pyarrow", batch_size=cfg.batch_size)
