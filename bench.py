@@ -229,18 +229,18 @@ def run_stage(stage: str) -> dict:
 
     from titan_ray.config import QCConfig
     from titan_ray.corpus import corpus_path_for_sf
-    from titan_ray.stages.conv import run_conv_checks_arrow, salt_batch
+    from titan_ray.pipelines.qc import ScoreChain
+    from titan_ray.stages.conv import run_conv_checks_arrow
     from titan_ray.stages.dedup import dedup_exact
-    from titan_ray.stages.rowwise import (
-        climatological_check, metadata_check, plausibility_check, seed_lists,
-    )
+    from titan_ray.stages.rowwise import metadata_check, seed_lists
     from titan_ray.stages.scorer import Scorer
     from titan_ray.stages.scrub_stage import ScrubStage
 
     sf = _sf()
     corpus = corpus_path_for_sf(sf)
     rd.read_parquet(corpus).count()  # warm page cache
-    cfg = QCConfig(dedup=True, scorer_concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
+    cfg = QCConfig(dedup=True, scorer_concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS),
+                   batch_size=int(os.environ.get("GRAFT_BATCH", QCConfig.batch_size)))
 
     def build(ds):
         if stage == "read":
@@ -252,17 +252,22 @@ def run_stage(stage: str) -> dict:
                                   batch_size=cfg.batch_size, concurrency=cfg.scorer_concurrency)
         if stage == "write":
             return ds
-        # scorer and beyond
-        ds = ds.map_batches(Scorer, batch_format="pyarrow", batch_size=cfg.batch_size,
-                            concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
         if stage == "scorer":
-            return ds
-        for fn in (seed_lists, metadata_check, plausibility_check, climatological_check):
+            # the scorer kernel alone (attribution row; production runs it
+            # inside the fused ScoreChain actor below)
+            return ds.map_batches(Scorer, batch_format="pyarrow", batch_size=cfg.batch_size,
+                                  concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
+        # production operator shape: seed/meta task maps fuse INTO the
+        # ScoreChain actor pool (scorer + affine + plaus + clim + salt in
+        # one __call__ — round-4 fold)
+        for fn in (seed_lists, metadata_check):
             ds = ds.map_batches(partial(fn, cfg=cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = ds.map_batches(ScoreChain,
+                            fn_constructor_kwargs={"cfg": cfg, "num_buckets": max(64, NUM_CPUS * 4)},
+                            batch_format="pyarrow", batch_size=cfg.batch_size,
+                            concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
         if stage == "rowwise":
             return ds
-        ds = ds.map_batches(partial(salt_batch, cfg=cfg, num_buckets=max(64, NUM_CPUS * 4)),
-                            batch_format="pyarrow", batch_size=cfg.batch_size)
         ds = ds.groupby("bucket").map_groups(partial(run_conv_checks_arrow, cfg=cfg),
                                              batch_format="pyarrow")
         return ds  # stage == "conv"
