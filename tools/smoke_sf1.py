@@ -1,0 +1,115 @@
+"""sf1.0 smoke for the round-3 operators (round-3 verdict item 9).
+
+Runs embedding_kmeans / semantic_dedup / doc_top_tfidf / doc_token_shards
+once at 10x the bench corpus scale and records wall time + driver peak RSS,
+confirming the driver-side-small-state claims hold (k x d centroid ints,
+vocabulary-sized df table, O(n_buckets) shard offsets): driver memory must
+stay flat while data grows 10x.
+
+Input: a deterministic 10x blow-up of the sf0.1 documents/embeddings tables
+(doc/vec ids offset per copy; texts get a per-copy tag word so the corpus
+isn't a degenerate 10x duplicate; embeddings get seeded unit-scale noise).
+Cached under /tmp/titan_ray_smoke/sf1.0.
+
+Usage (exclusive box): python tools/smoke_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SMOKE_DIR = "/tmp/titan_ray_smoke/sf1.0"
+SRC_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+SMOKE_VERSION = "v1"
+
+
+def ensure_tables() -> str:
+    marker = os.path.join(SMOKE_DIR, "_SUCCESS")
+    if os.path.exists(marker) and open(marker).read().strip() == SMOKE_VERSION:
+        return SMOKE_DIR
+    os.makedirs(SMOKE_DIR, exist_ok=True)
+    docs = pq.read_table(f"{SRC_DIR}/documents.parquet")
+    n = docs.num_rows
+    parts = []
+    for c in range(COPIES):
+        ids = pa.array(docs["doc_id"].to_numpy(zero_copy_only=False) + c * n, type=pa.int64())
+        texts = pa.array([f"{t} copytag{c}" for t in docs["text"].to_pylist()])
+        t = docs.set_column(docs.column_names.index("doc_id"), "doc_id", ids)
+        parts.append(t.set_column(t.column_names.index("text"), "text", texts))
+    pq.write_table(pa.concat_tables(parts), f"{SMOKE_DIR}/documents.parquet")
+
+    emb = pq.read_table(f"{SRC_DIR}/embeddings.parquet")
+    m = emb.num_rows
+    col = emb["embedding"].combine_chunks() if isinstance(emb["embedding"], pa.ChunkedArray) else emb["embedding"]
+    mat = col.flatten().to_numpy(zero_copy_only=False).reshape(m, -1)
+    rng = np.random.default_rng(42)
+    parts = []
+    for c in range(COPIES):
+        ids = pa.array(emb["vec_id"].to_numpy(zero_copy_only=False) + c * m, type=pa.int64())
+        pert = mat + (rng.normal(0, 0.02, mat.shape) if c else 0.0)
+        t = emb.set_column(emb.column_names.index("vec_id"), "vec_id", ids)
+        t = t.set_column(
+            t.column_names.index("embedding"), "embedding",
+            pa.array(list(pert.astype(mat.dtype)), type=col.type),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{SMOKE_DIR}/embeddings.parquet")
+    with open(marker, "w") as f:
+        f.write(SMOKE_VERSION + "\n")
+    return SMOKE_DIR
+
+
+def _consume(res) -> int:
+    import pandas as pd
+
+    if hasattr(res, "count") and not isinstance(res, (pa.Table, pd.DataFrame)):
+        return res.count()
+    return len(res)
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf_dir = ensure_tables()
+
+    from titan_ray.pipelines import docqc
+    from titan_ray.stages import cluster
+
+    ops = {
+        "embedding_kmeans": cluster.embedding_kmeans,
+        "semantic_dedup": cluster.semantic_dedup,
+        "doc_top_tfidf": docqc.doc_top_tfidf,
+        "doc_token_shards": docqc.doc_token_shards,
+    }
+    out = {}
+    for name, fn in ops.items():
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024  # MiB
+        t0 = time.perf_counter()
+        rows = _consume(fn(sf_dir))
+        sec = time.perf_counter() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        out[name] = {"rows": int(rows), "sec": round(sec, 2),
+                     "driver_rss_mib_before": int(rss0), "driver_rss_mib_after": int(rss1)}
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"metric": "sf1_smoke", "sf_dir": sf_dir, "ops": out}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
