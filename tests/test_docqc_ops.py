@@ -260,3 +260,15 @@ def test_doc_quantile_filter(ray_session):
     for lang, n in tot.items():
         assert kept.get(lang, 0) >= int(np.ceil(0.75 * n)) - 1
         assert kept.get(lang, 0) < n or n == 1
+
+
+def test_doc_length_stats_oracle(ray_session, edge_docs):
+    """Retired from the driver roster (50-entry window) but still
+    oracle-parity-checked here."""
+    from titan_ray.pipelines.docqc import doc_length_stats
+
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql().get("doc_length_stats")
+    assert sql, "doc_length_stats SQL should stay registered for this test"
+    _compare(edge_docs, doc_length_stats, sql)

@@ -432,3 +432,61 @@ def test_media_image_features_are_pixel_stats(ray_session):
     for mid, f in zip(img["media_id"], img["features"]):
         assert f[0] == float(w[mid]) and f[1] == float(h[mid])
         assert 0.0 <= f[2] <= 255.0  # mean R in range
+
+
+def _docs_dir(tmp_path, texts):
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) if t else 0 for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _lsh_compare(sf_dir):
+    import duckdb
+
+    from titan_ray.stages.neardup import minhash_lsh_candidates, minhash_lsh_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    eng = to_pandas(minhash_lsh_candidates(sf_dir))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(minhash_lsh_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+    return eng
+
+
+def test_minhash_lsh_sql_oracle_edge_docs(ray_session, tmp_path):
+    """SQL replay matches the engine on short/NULL docs (all-max signature
+    constant-bucket branch) plus ordinary near/far docs."""
+    sf_dir = _docs_dir(
+        tmp_path, [NEAR_A, NEAR_B, FAR, "ab", "", None, "xy", NEAR_A + " extra tail words"]
+    )
+    eng = _lsh_compare(sf_dir)
+    pairs = set(map(tuple, eng[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in pairs                      # near pair bucketed together
+    assert not {(0, 2), (1, 2)} & pairs         # far doc not a candidate
+    # all four short/NULL docs share the all-max signature bucket
+    assert {(3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6)} <= pairs
+
+
+def test_minhash_lsh_sql_oracle_star_cap(ray_session, tmp_path):
+    """A band bucket larger than MAX_BAND_BUCKET degrades to star pairs
+    against the minimum doc_id — in the engine AND the SQL replay."""
+    from titan_ray.stages.neardup import MAX_BAND_BUCKET
+
+    n = MAX_BAND_BUCKET + 20
+    sf_dir = _docs_dir(tmp_path, [NEAR_A] * n + [FAR])
+    eng = _lsh_compare(sf_dir)
+    pairs = set(map(tuple, eng[["doc_a", "doc_b"]].to_numpy()))
+    # star, not clique: every identical doc pairs with anchor 0 only
+    assert {(0, i) for i in range(1, n)} == pairs

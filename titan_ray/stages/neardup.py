@@ -421,6 +421,81 @@ def simhash_sql() -> str:
     )
 
 
+def minhash_lsh_sql() -> str:
+    """DuckDB replay of minhash_lsh_candidates, end to end.
+
+    The sketch is deterministic integer math, so the whole candidate
+    generation replays exactly in SQL (round-4: flips the last flippable
+    ``no_oracle`` row):
+
+    1. the SHINGLE-byte FNV rolling hash per position (same HUGEINT
+       mod-2^64 chain winnow_sql/simhash_sql already use; ASCII docs =>
+       substring == bytes),
+    2. the 64 universal-ish permutations ``((hv*a + b) mod 2^64) mod 2^61``
+       with the engine's rng(42) (a, b) constants inlined as VALUES rows,
+       min-reduced per (doc, perm),
+    3. the per-band FNV fold over 4 signature rows — linearized: because
+       everything is mod 2^64, ``h = B*M^4 + s0*M^3 + s1*M^2 + s2*M + s3``
+       (each term reduced mod 2^64 BEFORE the sum so no HUGEINT overflow:
+       s < 2^61, M^k mod 2^64 < 2^64 => term < 2^125 < 2^127),
+    4. docs shorter than SHINGLE bytes (or NULL) carry the all-max
+       signature => one precomputed constant band hash,
+    5. `_bucket_pairs` semantics: per (band, band_hash) bucket, all pairs
+       doc_a < doc_b when the bucket holds <= MAX_BAND_BUCKET docs, else
+       star pairs against the minimum doc_id; DISTINCT across bands.
+    """
+    T = 1 << 64
+    E = 1 << 61  # _MERSENNE + 1: x & (2^61-1) == x % 2^61
+    M = 1099511628211
+    fnv_seed = 1469598103934665603  # strings._HASH_SEED
+    band_basis = 14695981039346656037  # band_hashes FNV offset basis
+    a, b = _perm_params()
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(a[p])} AS HUGEINT), CAST({int(b[p])} AS HUGEINT))"
+        for p in range(NUM_PERM)
+    )
+    # position hash: same chain as winnow_sql (p is 0-based)
+    expr = f"CAST({fnv_seed} AS HUGEINT)"
+    for i in range(SHINGLE):
+        expr = f"((({expr}) * {M} + ascii(substring(text, p + {i + 1}, 1))) % {T})"
+    # linearized band fold weights
+    rows_per_band = NUM_PERM // BANDS
+    weights = [pow(M, rows_per_band - 1 - c, T) for c in range(rows_per_band)]
+    w_case = "CASE CAST(p % 4 AS INTEGER) " + " ".join(
+        f"WHEN {c} THEN CAST({weights[c]} AS HUGEINT)" for c in range(rows_per_band)
+    ) + " END"
+    c0 = band_basis * pow(M, rows_per_band, T) % T
+    # all-max signature => constant band hash (short/NULL docs)
+    smax = T - 1
+    const_bh = (c0 + sum(smax * w % T for w in weights)) % T
+    return (
+        "WITH pos AS (SELECT doc_id, "
+        f"{expr} AS hv FROM (SELECT doc_id, text, "
+        f"unnest(generate_series(0, strlen(text) - {SHINGLE})) AS p "
+        f"FROM documents WHERE strlen(text) >= {SHINGLE})), "
+        f"perm AS (SELECT * FROM (VALUES {perm_rows}) t(p, a, b)), "
+        "sig AS (SELECT pos.doc_id, perm.p, "
+        f"min(((hv * a % {T} + b) % {T}) % {E}) AS s "
+        "FROM pos CROSS JOIN perm GROUP BY pos.doc_id, perm.p), "
+        "bh AS (SELECT doc_id, CAST(p // 4 AS INTEGER) AS band, "
+        f"(CAST({c0} AS HUGEINT) + sum(s * ({w_case}) % {T})) % {T} AS band_hash "
+        "FROM sig GROUP BY doc_id, p // 4 "
+        "UNION ALL "
+        f"SELECT doc_id, unnest(generate_series(0, {BANDS - 1})) AS band, "
+        f"CAST({const_bh} AS HUGEINT) AS band_hash FROM documents "
+        f"WHERE text IS NULL OR strlen(text) < {SHINGLE}), "
+        "sz AS (SELECT band, band_hash, count(*) AS n, min(doc_id) AS anchor "
+        "FROM bh GROUP BY band, band_hash), "
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash "
+        "AND x.doc_id < y.doc_id "
+        "JOIN sz ON sz.band = x.band AND sz.band_hash = x.band_hash "
+        f"WHERE sz.n <= {MAX_BAND_BUCKET} OR x.doc_id = sz.anchor) "
+        "SELECT DISTINCT CAST(doc_a AS BIGINT) AS doc_a, "
+        "CAST(doc_b AS BIGINT) AS doc_b FROM pairs"
+    )
+
+
 def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0.2,
                            num_buckets: int = 64) -> pd.DataFrame:
     """Exact Jaccard over CANDIDATE pairs only (the LSH scale path).
@@ -799,6 +874,7 @@ def neardup_sql(sf: float = 0.01) -> dict[str, str]:
     thr = repr(JACCARD_THRESHOLD)
     return {
         "simhash_docs": simhash_sql(),
+        "minhash_lsh_candidates": minhash_lsh_sql(),
         "ngram_jaccard_pairs": (
             f"WITH {base} SELECT doc_a, doc_b, round(j, 4) AS jaccard "
             f"FROM jac WHERE j > {thr}"
