@@ -77,3 +77,54 @@ def test_asof_and_range_join_kernels(ray_session):
     pairs = pairs.sort_values(["k", "t", "r_rv"]).reset_index(drop=True)
     # (1,10): right t in [10,16] -> 15; (1,20): none; (2,5): t in [5,11] -> 9
     assert pairs[["k", "t", "r_rv"]].values.tolist() == [[1, 10, 150], [2, 5, 90]]
+
+
+def test_read_providers_heterogeneous_union(ray_session, tmp_path):
+    """parquet + csv + jsonl providers union into one canonical-schema
+    Dataset with identical values (multi-format analog of the reference's
+    provider rbind)."""
+    import json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from titan_ray.schema import INPUT_SCHEMA
+    from titan_ray.sources.reader import read_providers
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello there",
+         "tool": "", "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hi",
+         "tool": "", "ts": "2026-01-01T00:00:05"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "bye now",
+         "tool": "search", "ts": "2026-01-02T10:00:00"},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    tbl = pa.Table.from_pandas(df, preserve_index=False).cast(INPUT_SCHEMA)
+
+    pq.write_table(tbl, tmp_path / "prov_a.parquet")
+    df.to_csv(tmp_path / "prov_b.csv", index=False)
+    with open(tmp_path / "prov_c.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = read_providers([
+        str(tmp_path / "prov_a.parquet"),
+        str(tmp_path / "prov_b.csv"),
+        str(tmp_path / "prov_c.jsonl"),
+    ])
+    out = ds.to_pandas()
+    assert len(out) == 9
+    assert list(out.columns) == [f.name for f in INPUT_SCHEMA]
+    # every provider contributed identical values
+    key = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    g = out.groupby(key, dropna=False).size()
+    assert (g == 3).all()
+    assert str(out["ts"].dtype).startswith("datetime64")
+    # column-pruned variant: only the projection leaves the readers
+    pruned = read_providers(
+        [str(tmp_path / "prov_b.csv"), str(tmp_path / "prov_c.jsonl")],
+        columns=["conv_id", "text"],
+    ).to_pandas()
+    assert list(pruned.columns) == ["conv_id", "text"] and len(pruned) == 6

@@ -108,3 +108,74 @@ def project_output(batch: pa.Table) -> pa.Table:
     input_cols = [c for c in known if c in {f.name for f in INPUT_SCHEMA}]
     derived = [c for c in known if c not in input_cols]
     return batch.select(input_cols + extras + derived)
+
+
+# ---------------------------------------------------------------------------
+# Non-parquet providers (reference: read_data_to_check.r dispatches per
+# provider file format before the rbind union; here each format becomes a
+# Ray Datasource and the union stays lazy/streaming)
+# ---------------------------------------------------------------------------
+
+def _cast_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project + cast a provider batch onto the canonical schema. Missing
+    columns become typed nulls; string->timestamp casts accept ISO text
+    (what CSV/JSONL carry for `ts`)."""
+    cols = []
+    for f in schema:
+        if f.name in batch.column_names:
+            col = batch[f.name]
+            if col.type != f.type:
+                col = pc.cast(col, f.type)
+        else:
+            col = pa.nulls(batch.num_rows, type=f.type)
+        cols.append(col)
+    return pa.table(cols, schema=schema)
+
+
+def read_csv_transcripts(paths, schema: pa.Schema | None = None, **kwargs):
+    """CSV provider files as a Dataset with the canonical schema.
+
+    Scale note: CSV blocks are parsed by pyarrow's multithreaded reader
+    inside each read task; the cast is a per-batch map, no shuffle."""
+    import ray.data as rd
+
+    sch = schema or INPUT_SCHEMA
+    ds = rd.read_csv(paths, **kwargs)
+    return ds.map_batches(lambda b: _cast_to_schema(b, sch), batch_format="pyarrow")
+
+
+def read_jsonl_transcripts(paths, schema: pa.Schema | None = None, **kwargs):
+    """Newline-delimited JSON provider files (ray.data.read_json reads
+    JSONL via the pyarrow JSON reader), cast to the canonical schema."""
+    import ray.data as rd
+
+    sch = schema or INPUT_SCHEMA
+    ds = rd.read_json(paths, **kwargs)
+    return ds.map_batches(lambda b: _cast_to_schema(b, sch), batch_format="pyarrow")
+
+
+def read_providers(specs, schema: pa.Schema | None = None, columns: list[str] | None = None):
+    """Heterogeneous provider union: ``specs`` is a list of (path, format)
+    with format in {parquet, csv, jsonl} (or None => by extension).
+    Each provider reads with its own Datasource, every batch is cast onto
+    ONE canonical schema, and `Dataset.union` concatenates lazily — the
+    multi-format analog of read_data_to_check.r:174-206's rbind. Column
+    pruning happens at the read for parquet and at the cast for csv/jsonl."""
+    sch = schema or INPUT_SCHEMA
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns if c in sch.names])
+    parts = []
+    for spec in specs:
+        path, fmt = spec if isinstance(spec, (list, tuple)) else (spec, None)
+        if fmt is None:
+            ext = str(path).rsplit(".", 1)[-1].lower()
+            fmt = {"csv": "csv", "jsonl": "jsonl", "json": "jsonl"}.get(ext, "parquet")
+        if fmt == "csv":
+            parts.append(read_csv_transcripts(path, schema=sch))
+        elif fmt == "jsonl":
+            parts.append(read_jsonl_transcripts(path, schema=sch))
+        else:
+            ds = read_parquet_clean(path, columns=list(sch.names))
+            parts.append(ds.map_batches(lambda b, s=sch: _cast_to_schema(b, s), batch_format="pyarrow"))
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out
