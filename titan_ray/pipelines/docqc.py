@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.features import _TOKEN_PATTERN, token_count
-from ..functions.strings import char_class_counts, string_view
+from ..functions.strings import char_class_counts, multi_arange, string_view
 
 
 def _read(sf_dir: str, columns: list[str]):
@@ -935,4 +935,172 @@ def token_shards_sql(budget: int = TOKEN_SHARD_BUDGET) -> str:
         "c AS (SELECT doc_id, token_count, CAST(coalesce(sum(token_count) OVER "
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM t) "
         f"SELECT doc_id, token_count, prev // {budget} AS shard FROM c"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM fluency (CCNet-style perplexity-filter analog of
+# the flagship's char-LM ppl score — reference: the climatological band in
+# functions/checks/climatological_check.r learns "expected" values from the
+# data; here the expectation is a word-bigram model trained on the corpus
+# itself). Integer-exact so the DuckDB replay hash-matches: each bigram
+# contributes floor(LM_SCALE * c(w1,w2) / c(w1)) — integer division, so the
+# per-doc sum is order-independent (no IEEE addition-order hazard).
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000
+# broadcast bound for the two count tables (vocabulary-sized, like the
+# tfidf df broadcast); beyond this switch to stages.joins.hash_join on the
+# gram hash — semantics unchanged, one extra narrow shuffle.
+MAX_LM_VOCAB = 50_000_000
+
+
+def _sorted_count_lookup(u_sorted: np.ndarray, c: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """counts for hashes ``g`` via searchsorted into the broadcast table
+    (every scored gram exists in the table — trained on the same corpus)."""
+    return c[np.searchsorted(u_sorted, g)]
+
+
+def doc_lm_fluency(sf_dir: str):
+    """(doc_id, fluency_sum, n_bigrams) under a corpus-trained bigram LM.
+
+    Pass 1 counts unigrams and bigrams (64-bit word-gram hashes, per-batch
+    np.unique partials -> one vocabulary-sized groupby -> ray.put broadcast;
+    the SQL oracle joins literal gram strings, so a hash collision would
+    surface as a driver-gate mismatch). Pass 2 streams documents and sums
+    floor(LM_SCALE * c2(w_i, w_{i+1}) / c1(w_i)) over bigram positions —
+    high = made of common continuations, low = rare/gibberish transitions.
+    """
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def _texts(batch: pa.Table) -> pa.Array:
+        t = batch["text"]
+        return t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        g1, _ = _word_gram_hashes(texts, 1)
+        g2, _ = _word_gram_hashes(texts, 2)
+        u1, c1 = np.unique(g1, return_counts=True)
+        u2, c2 = np.unique(g2, return_counts=True)
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate([np.full(len(u1), 1), np.full(len(u2), 2)]).astype(np.int32)),
+                "h": pa.array(np.concatenate([u1, u2]).view(np.int64)),
+                "c": pa.array(np.concatenate([c1, c2]).astype(np.int64)),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby(["kind", "h"]).sum("c")
+        .to_pandas()  # vocabulary-sized — the documented broadcast bound
+        .rename(columns={"sum(c)": "c"})
+    )
+    if len(cnt) > MAX_LM_VOCAB:
+        raise ValueError(
+            f"doc_lm_fluency: {len(cnt)} distinct grams > MAX_LM_VOCAB="
+            f"{MAX_LM_VOCAB}; swap the broadcast for a hash_join on h"
+        )
+    tables = {}
+    for kind in (1, 2):
+        part = cnt[cnt["kind"] == kind]
+        h = part["h"].to_numpy(dtype=np.int64)
+        c = part["c"].to_numpy(dtype=np.int64)
+        order = np.argsort(h, kind="stable")
+        tables[kind] = (h[order], c[order])
+    assert tables[2][1].max(initial=0) * LM_SCALE < 2**63, "LM_SCALE overflow"
+    ref = ray.put(tables)
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni, big = (t := ray.get(ref))[1], t[2]
+        texts = _texts(batch)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_rows = len(did)
+        g1, r1 = _word_gram_hashes(texts, 1)
+        g2, r2 = _word_gram_hashes(texts, 2)
+        fluency = np.zeros(n_rows, dtype=np.int64)
+        n_big = np.bincount(r2, minlength=n_rows).astype(np.int64)
+        if len(g2):
+            counts1 = np.bincount(r1, minlength=n_rows)
+            starts1 = np.cumsum(counts1) - counts1
+            # bigram j of a row pairs with unigram j (both row-major)
+            idx = multi_arange(starts1.astype(np.int64), n_big)
+            terms = (LM_SCALE * _sorted_count_lookup(big[0], big[1], g2.view(np.int64))) \
+                // _sorted_count_lookup(uni[0], uni[1], g1.view(np.int64)[idx])
+            nz = n_big > 0
+            red = (np.cumsum(n_big) - n_big)[nz]
+            fluency[nz] = np.add.reduceat(terms, red)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "fluency_sum": pa.array(fluency),
+                "n_bigrams": pa.array(n_big),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_fluency_sql() -> str:
+    """DuckDB oracle for doc_lm_fluency: literal-word count tables, same
+    integer division (// on BIGINT), LEFT JOIN keeps 0-bigram docs."""
+    return (
+        r"WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        "tok AS (SELECT doc_id, w[CAST(i AS BIGINT)] AS w1, w[CAST(i + 1 AS BIGINT)] AS w2 "
+        "FROM words, unnest(range(1, len(w) + 1)) t(i)), "
+        "uni AS (SELECT w1 AS wd, count(*) AS c FROM tok GROUP BY 1), "
+        "big AS (SELECT w1, w2, count(*) AS c FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+        f"sc AS (SELECT tok.doc_id, sum(({LM_SCALE} * big.c) // uni.c) AS s, count(*) AS nb "
+        "FROM tok JOIN uni ON uni.wd = tok.w1 "
+        "JOIN big ON big.w1 = tok.w1 AND big.w2 = tok.w2 "
+        "WHERE tok.w2 IS NOT NULL GROUP BY tok.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(sc.s, 0) AS BIGINT) AS fluency_sum, "
+        "coalesce(sc.nb, 0) AS n_bigrams FROM documents d LEFT JOIN sc USING (doc_id)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test hash split (standard training-data prep:
+# membership must be a pure function of the id so re-runs, resumes and
+# incremental ingests agree; Fibonacci hashing spreads sequential ids)
+# ---------------------------------------------------------------------------
+
+SPLIT_MULT = 11400714819323198485  # floor(2^64 / golden ratio), odd
+SPLIT_BUCKETS = 100
+SPLIT_TEST_LT = 1   # bucket 0         -> test  (1%)
+SPLIT_VAL_LT = 6    # buckets 1..5     -> val   (5%)
+
+
+def doc_hash_split(sf_dir: str):
+    """(doc_id, bucket, split): bucket = (doc_id * SPLIT_MULT mod 2^64)
+    mod 100; stateless map_batches, no shuffle, no driver state — the
+    assignment is reproducible row-local at any scale."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = ((did.astype(np.uint64) * np.uint64(SPLIT_MULT)) % np.uint64(SPLIT_BUCKETS)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TEST_LT, "test",
+                         np.where(bucket < SPLIT_VAL_LT, "val", "train"))
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "bucket": pa.array(bucket),
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    return _read(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+
+
+def hash_split_sql() -> str:
+    """DuckDB replay of doc_hash_split in HUGEINT mod-2^64 arithmetic."""
+    T = 1 << 64
+    return (
+        f"WITH h AS (SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT}) "
+        f"% {T} % {SPLIT_BUCKETS} AS BIGINT) AS bucket FROM documents) "
+        f"SELECT doc_id, bucket, CASE WHEN bucket < {SPLIT_TEST_LT} THEN 'test' "
+        f"WHEN bucket < {SPLIT_VAL_LT} THEN 'val' ELSE 'train' END AS split FROM h"
     )
