@@ -490,3 +490,48 @@ def test_minhash_lsh_sql_oracle_star_cap(ray_session, tmp_path):
     pairs = set(map(tuple, eng[["doc_a", "doc_b"]].to_numpy()))
     # star, not clique: every identical doc pairs with anchor 0 only
     assert {(0, i) for i in range(1, n)} == pairs
+
+
+def test_doc_dup_spans_planted(ray_session, tmp_path):
+    """Two docs share one 30-char substring -> max_run = 30 - K + 1 for
+    both; an unrelated doc is absent; engine == DuckDB replay."""
+    import duckdb
+
+    from titan_ray.stages.neardup import DUP_SPAN_K, doc_dup_spans, dup_spans_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    shared = "S" * 10 + "HARED-SEGMENT-0123456789"  # 34 chars
+    assert len(shared) == 34
+    # distinct flanking chars so the duplicated region is exactly `shared`
+    sf_dir = _docs_dir(
+        tmp_path,
+        [
+            "prefix_one." + shared + "!suffix_alpha",
+            "other-lead:" + shared + "?tail/omega",
+            "completely unrelated text with no overlap at all",
+        ],
+    )
+    eng = to_pandas(doc_dup_spans(sf_dir)).set_index("doc_id").sort_index()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(dup_spans_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng.reset_index()) == value_hash(ora)
+    assert set(eng.index) == {0, 1}
+    assert (eng["max_run"] == len(shared) - DUP_SPAN_K + 1).all()
+    assert (eng["n_dup_grams"] == len(shared) - DUP_SPAN_K + 1).all()
+
+
+def test_doc_dup_spans_sf0001(ray_session):
+    import duckdb
+
+    from titan_ray.stages.neardup import doc_dup_spans, dup_spans_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_dup_spans(sf_dir))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(dup_spans_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

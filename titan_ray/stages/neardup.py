@@ -897,3 +897,131 @@ def neardup_sql(sf: float = 0.01) -> dict[str, str]:
             "count(DISTINCT b) AS cluster_size FROM node GROUP BY a"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact substring duplication (Lee et al. 2021-style signal:
+# positions whose K-char gram occurs in >= 2 distinct documents). Published
+# method per the brief; this is the per-position exact companion of the
+# winnowing fingerprints above.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 20  # gram width: a max_run of r means a shared substring of K+r-1 chars
+
+
+def doc_dup_spans(sf_dir: str, k: int = DUP_SPAN_K):
+    """(doc_id, n_dup_grams, max_run) for every doc with >= 1 position whose
+    K-gram also appears in another document; max_run = longest consecutive
+    duplicated-position run (=> a shared substring of K + max_run - 1 chars).
+
+    Scale shape: position stream -> distinct (hv, doc) per batch (a doc
+    lives in one batch, so per-batch distinct IS global distinct) ->
+    groupby(hv) doc-count -> hash_join back onto the position stream (both
+    sides large: one narrow co-partitioning shuffle each, no broadcast) ->
+    doc-bucket groupby with a vectorized run-length kernel. The gram space
+    is position-sized, NOT vocabulary-sized, so nothing is ever collected
+    driver-side."""
+    from .joins import hash_join
+
+    ds = _read_docs(sf_dir)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        data, offsets, _ = string_view(texts)
+        h = rolling_ngram_hash(data, k)
+        starts, _ends, counts = window_segments(offsets, k)
+        idx = multi_arange(starts, counts)
+        did = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), counts)
+        p = (idx - np.repeat(starts, counts)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "p": pa.array(p),
+                "hv": pa.array((h[idx] if len(idx) else h[:0]).view(np.int64)),
+            }
+        )
+
+    pos = ds.map_batches(positions, batch_format="pyarrow")
+
+    def distinct_hd(batch: pa.Table) -> pa.Table:
+        hv = batch["hv"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hv, did))
+        hs, ds_ = hv[order], did[order]
+        first = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table({"hv": pa.array(hs[first]), "doc_id": pa.array(ds_[first])})
+
+    import pyarrow.compute as pc
+
+    dup = (
+        pos.map_batches(distinct_hd, batch_format="pyarrow")
+        .groupby("hv").count()
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["count()"], 2)).select(["hv"]),
+            batch_format="pyarrow",
+        )
+    )
+    marked = hash_join(pos, dup, on="hv", right_cols=())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("_b", pa.array((did % 64).astype(np.int32)))
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        p = df["p"].to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        new_run = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new_run[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
+        run_starts = np.flatnonzero(new_run)
+        rl = np.diff(np.append(run_starts, len(d))).astype(np.int64)
+        run_doc = d[run_starts]
+        new_doc = np.ones(len(run_doc), dtype=bool)
+        if len(run_doc) > 1:
+            new_doc[1:] = run_doc[1:] != run_doc[:-1]
+        fr = np.flatnonzero(new_doc)
+        if len(fr) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_dup_grams": pd.Series([], dtype=np.int64),
+                                 "max_run": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "doc_id": run_doc[fr].astype(np.int64),
+                "n_dup_grams": np.add.reduceat(rl, fr),
+                "max_run": np.maximum.reduceat(rl, fr),
+            }
+        )
+
+    return (
+        marked.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda df: runs(df.drop(columns=["_b"])), batch_format="pandas")
+    )
+
+
+def dup_spans_sql(k: int = DUP_SPAN_K) -> str:
+    """DuckDB replay of doc_dup_spans: same FNV position-hash chain, dup
+    grams via HAVING count(DISTINCT doc_id) >= 2, run lengths via
+    gaps-and-islands (p - row_number())."""
+    T = 1 << 64
+    M = 1099511628211
+    expr = "CAST(1469598103934665603 AS HUGEINT)"
+    for i in range(k):
+        expr = f"((({expr}) * {M} + ascii(substring(text, p + {i + 1}, 1))) % {T})"
+    return (
+        "WITH pos AS (SELECT doc_id, p, "
+        f"{expr} AS hv FROM (SELECT doc_id, text, "
+        f"unnest(generate_series(0, strlen(text) - {k})) AS p "
+        f"FROM documents WHERE strlen(text) >= {k})), "
+        "dup AS (SELECT hv FROM pos GROUP BY hv HAVING count(DISTINCT doc_id) >= 2), "
+        "m AS (SELECT doc_id, p FROM pos JOIN dup USING (hv)), "
+        "r AS (SELECT doc_id, p, p - row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY p) AS grp FROM m), "
+        "runs AS (SELECT doc_id, count(*) AS rl FROM r GROUP BY doc_id, grp) "
+        "SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_grams, "
+        "CAST(max(rl) AS BIGINT) AS max_run FROM runs GROUP BY doc_id"
+    )
