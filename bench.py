@@ -33,7 +33,7 @@ def _sf() -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def _wait_for_quiet_box(max_wait_s: int = 180, load_ok: float = 2.0) -> None:
+def _wait_for_quiet_box(max_wait_s: int = 480, load_ok: float = 2.0) -> None:
     """Wait (bounded) for residual system load to decay before timing.
 
     This VM shows ±25–30% run-to-run noise when a bench starts while the
