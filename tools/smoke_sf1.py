@@ -1,6 +1,7 @@
-"""sf1.0 smoke for the round-3 operators (round-3 verdict item 9).
+"""sf1.0 smoke for the round-3/4 operators (round-3 verdict item 9).
 
 Runs embedding_kmeans / semantic_dedup / doc_top_tfidf / doc_token_shards
+plus the round-4 ops (doc_dup_spans / doc_lm_fluency / doc_hash_split)
 once at 10x the bench corpus scale and records wall time + driver peak RSS,
 confirming the driver-side-small-state claims hold (k x d centroid ints,
 vocabulary-sized df table, O(n_buckets) shard offsets): driver memory must
@@ -88,13 +89,18 @@ def main() -> None:
     sf_dir = ensure_tables()
 
     from titan_ray.pipelines import docqc
-    from titan_ray.stages import cluster
+    from titan_ray.stages import cluster, neardup
 
     ops = {
         "embedding_kmeans": cluster.embedding_kmeans,
         "semantic_dedup": cluster.semantic_dedup,
         "doc_top_tfidf": docqc.doc_top_tfidf,
         "doc_token_shards": docqc.doc_token_shards,
+        # round-4 session ops: two-shuffle substring-dup signal, bigram-LM
+        # broadcast bound, stateless hash split
+        "doc_dup_spans": neardup.doc_dup_spans,
+        "doc_lm_fluency": docqc.doc_lm_fluency,
+        "doc_hash_split": docqc.doc_hash_split,
     }
     out = {}
     for name, fn in ops.items():
