@@ -25,20 +25,40 @@ def _vm(batch: pa.Table) -> np.ndarray:
     return np.floor(np.abs(v) * 1000.0 + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
 
 
-def events_hourly(sf_dir: str):
-    """Tumbling-window aggregate: per (user_id, hour) count + exact milli-sum."""
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+def events_hourly(sf_dir: str, num_buckets: int = 64):
+    """Tumbling-window aggregate: per (user_id, hour) count + exact milli-sum.
 
+    Scale shape: per-batch Arrow group_by collapses the event stream to
+    (user, hour) partials BEFORE the exchange (each user's events are
+    clustered in time, so partials are ~events/hours_per_batch smaller),
+    then one bucket-keyed groupby (user_id % B co-locates every partial of
+    a user; B distinct keys keep Ray's sort-shuffle a cheap B-way exchange
+    instead of a full sort over the raw composite key) merges them with an
+    exact int64 sum."""
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.table({"user_id": batch["user_id"], "hour": hour, "vm": pa.array(_vm(batch))})
+        t = pa.table({"user_id": batch["user_id"], "hour": hour, "vm": pa.array(_vm(batch))})
+        g = t.group_by(["user_id", "hour"]).aggregate([("vm", "count"), ("vm", "sum")])
+        b = pc.cast(pc.bit_wise_and(g["user_id"], num_buckets - 1), pa.int32())
+        return g.append_column("_b", b)
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby(["user_id", "hour"]).aggregate(
-        Count(alias_name="n_events"), Sum("vm", alias_name="sum_vm")
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "hour"]).aggregate([("vm_count", "sum"), ("vm_sum", "sum")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "hour": g["hour"],
+                "n_events": g["vm_count_sum"],
+                "sum_vm": g["vm_sum_sum"],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
     )
 
 
@@ -96,11 +116,26 @@ def events_isolation(sf_dir: str):
     (reference: isolation.r:25-28). Small-side aggregate broadcast back as a
     filter — no second shuffle of the big table."""
     import ray
-    import ray.data as rd
-    from ray.data.aggregate import Count
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
-    counts = ds.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
+
+    # Per-batch partial counts shrink the exchange to (users x batches)
+    # rows; the bucket-keyed merge avoids a full sort over raw user_id.
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([("user_id", "count")])
+        b = pc.cast(pc.bit_wise_and(g["user_id"], 63), pa.int32())
+        return g.append_column("_b", b)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id_count", "sum")])
+        return pa.table({"user_id": g["user_id"], "n": g["user_id_count_sum"]})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()
+    )
     lonely = set(counts.loc[counts["n"] < ISO_MIN, "user_id"].tolist())
     lonely_ref = ray.put(lonely)
 
