@@ -126,26 +126,32 @@ def doc_scrub(sf_dir: str):
 
 def dedup_exact_docs(sf_dir: str, num_buckets: int = 64):
     """Exact dedup keep-first (min doc_id) per normalized text + copy count
-    (reference: read_data_to_check.r:121-143 earlier-provider-wins)."""
+    (reference: read_data_to_check.r:121-143 earlier-provider-wins).
+
+    Scale shape: duplicate identity is the 128-bit siphash pair of the
+    normalized text (same identity as the flagship dedup_broadcast,
+    stages/dedup.py:125), so only (doc_id, h1, h2) crosses the exchange —
+    the document text never leaves the map stage. At corpus scale that
+    shrinks the shuffle from the full corpus bytes to ~24 B/doc."""
     import pandas as pd
+
+    from ..stages.dedup import _hash2, _normalize_arrow
 
     ds = _read(sf_dir, ["doc_id", "text"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        norm = (
-            batch["text"].to_pandas().astype("string").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
-        ).fillna("")
-        hv = pd.util.hash_array(norm.to_numpy(dtype=object))
+        h1, h2 = _hash2(_normalize_arrow(batch["text"].combine_chunks()))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "_norm": pa.Array.from_pandas(norm, type=pa.string()),
-                "_b": pa.array((hv % num_buckets).astype(np.int32)),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "_b": pa.array((h1 % num_buckets).astype(np.int32)),
             }
         )
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("_norm", sort=False)["doc_id"].agg(["min", "count"]).reset_index()
+        g = df.groupby(["h1", "h2"], sort=False)["doc_id"].agg(["min", "count"]).reset_index()
         return pd.DataFrame({"doc_id": g["min"].astype(np.int64), "n_copies": g["count"].astype(np.int64)})
 
     ds = ds.map_batches(bucketize, batch_format="pyarrow")
@@ -971,6 +977,7 @@ def doc_lm_fluency(sf_dir: str):
     floor(LM_SCALE * c2(w_i, w_{i+1}) / c1(w_i)) over bigram positions —
     high = made of common continuations, low = rare/gibberish transitions.
     """
+    import pandas as pd
     import ray
 
     ds = _read(sf_dir, ["doc_id", "text"])
@@ -985,19 +992,29 @@ def doc_lm_fluency(sf_dir: str):
         g2, _ = _word_gram_hashes(texts, 2)
         u1, c1 = np.unique(g1, return_counts=True)
         u2, c2 = np.unique(g2, return_counts=True)
+        h = np.concatenate([u1, u2]).view(np.int64)
         return pa.table(
             {
                 "kind": pa.array(np.concatenate([np.full(len(u1), 1), np.full(len(u2), 2)]).astype(np.int32)),
-                "h": pa.array(np.concatenate([u1, u2]).view(np.int64)),
+                "h": pa.array(h),
                 "c": pa.array(np.concatenate([c1, c2]).astype(np.int64)),
+                "_b": pa.array((h % 64).astype(np.int32)),
             }
         )
 
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # every partial of an h lands in its bucket, so a per-bucket sum IS
+        # the global sum; 64 distinct shuffle keys keep Ray's sort-shuffle a
+        # cheap exchange instead of a full sort over the raw gram space
+        # (same restructure as doc_dup_spans, measured 11x there)
+        g = df.groupby(["kind", "h"], sort=False)["c"].sum().reset_index()
+        return g
+
     cnt = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
-        .groupby(["kind", "h"]).sum("c")
+        .groupby("_b")
+        .map_groups(lambda df: merge_counts(df.drop(columns=["_b"])), batch_format="pandas")
         .to_pandas()  # vocabulary-sized — the documented broadcast bound
-        .rename(columns={"sum(c)": "c"})
     )
     if len(cnt) > MAX_LM_VOCAB:
         raise ValueError(
