@@ -708,20 +708,31 @@ def doc_top_tfidf(sf_dir: str):
         return r_s[starts], enc.dictionary, c_s[starts], tf
 
     def df_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         _, dictionary, codes, _ = _doc_word_counts(batch)
         if len(codes) == 0:
             return pa.table({"word": pa.array([], type=pa.string()),
-                             "df": pa.array([], type=pa.int64())})
+                             "df": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
         cnt = np.bincount(codes, minlength=len(dictionary))
         m = cnt > 0
-        return pa.table({"word": dictionary.filter(pa.array(m)),
-                         "df": pa.array(cnt[m].astype(np.int64))})
+        words = dictionary.filter(pa.array(m))
+        hb = pd.util.hash_array(words.to_numpy(zero_copy_only=False)) % 64
+        return pa.table({"word": words,
+                         "df": pa.array(cnt[m].astype(np.int64)),
+                         "_b": pa.array(hb.astype(np.int32))})
+
+    def df_merge(df):
+        # word-hash bucketing co-locates every partial of a word; a 64-key
+        # shuffle beats a full sort over the string vocabulary
+        return df.groupby("word", sort=False, as_index=False)["df"].sum()
 
     df_tbl = (
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("word").sum("df")
+        .groupby("_b")
+        .map_groups(lambda df: df_merge(df.drop(columns=["_b"])), batch_format="pandas")
         .to_pandas()  # vocabulary-sized, the documented broadcast bound
-        .rename(columns={"sum(df)": "df"})
     )
     df_ref = ray.put(df_tbl)
 
