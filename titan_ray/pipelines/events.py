@@ -127,22 +127,26 @@ def events_isolation(sf_dir: str):
         return g.append_column("_b", b)
 
     def merge(t: pa.Table) -> pa.Table:
+        # emit ONLY the lonely users (n < ISO_MIN) — the driver collect is
+        # the isolated-user set, not the full per-user count table, so the
+        # broadcast stays small even when the user population scales
         g = t.group_by("user_id").aggregate([("user_id_count", "sum")])
-        return pa.table({"user_id": g["user_id"], "n": g["user_id_count_sum"]})
+        keep = pc.less(g["user_id_count_sum"], ISO_MIN)
+        return pa.table({"user_id": g.filter(keep)["user_id"]})
 
-    counts = (
+    lonely_arr = np.sort(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()["user_id"]
+        .to_numpy(dtype=np.int64)
     )
-    lonely = set(counts.loc[counts["n"] < ISO_MIN, "user_id"].tolist())
-    lonely_ref = ray.put(lonely)
+    lonely_ref = ray.put(lonely_arr)
 
     def filt(batch: pa.Table) -> pa.Table:
         lone = ray.get(lonely_ref)
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        mask = pa.array(np.isin(uid, np.fromiter(lone, dtype=np.int64, count=len(lone))) if lone else np.zeros(len(uid), bool))
+        mask = pa.array(np.isin(uid, lone) if len(lone) else np.zeros(len(uid), bool))
         return pa.table({"event_id": batch["event_id"].combine_chunks().filter(mask)})
 
     return ds.map_batches(filt, batch_format="pyarrow")
