@@ -286,6 +286,20 @@ def test_doc_lm_fluency_oracle(ray_session, edge_docs):
     assert 0 < row0["fluency_sum"] <= 3 * LM_SCALE
 
 
+def test_doc_lm_fluency_join_fallback_identical(ray_session, edge_docs):
+    """Above max_vocab the hash_join path must be bit-identical to the
+    broadcast path (round-4 verdict item 2; mirrors the dedup_clusters
+    both-paths unit)."""
+    from titan_ray.pipelines.docqc import doc_lm_fluency, lm_fluency_sql
+
+    joined = _compare(edge_docs, lambda d: doc_lm_fluency(d, max_vocab=2), lm_fluency_sql())
+    broadcast = doc_lm_fluency(edge_docs).to_pandas()
+    key = ["doc_id"]
+    assert joined.sort_values(key).reset_index(drop=True).equals(
+        broadcast.sort_values(key)[joined.columns].reset_index(drop=True)
+    )
+
+
 def test_doc_lm_fluency_sf0001(ray_session):
     from titan_ray.pipelines.docqc import doc_lm_fluency, lm_fluency_sql
 

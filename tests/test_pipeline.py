@@ -122,7 +122,8 @@ def test_passthrough_columns_preserved(engine_and_oracle):
     for col in ("tool", "ts", "role"):
         assert col in eng.columns
     assert set(c for c in eng.columns if c.startswith("ge_")) == {
-        "ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black", "ge_pii", "ge_dup"
+        "ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black",
+        "ge_pii", "ge_dup", "ge_zdem",
     }
 
 

@@ -35,7 +35,16 @@ _TAIL = [
     "over the simple case", "with careful measurement", "during the day",
 ]
 
-GE_COLUMNS = ("ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black", "ge_pii", "ge_dup")
+GE_COLUMNS = (
+    "ge_meta", "ge_range", "ge_buddy", "ge_dual", "ge_iso", "ge_black",
+    "ge_pii", "ge_dup", "ge_zdem",
+)
+
+# generator version, embedded in the corpus _SUCCESS marker: bumping it
+# invalidates every cached corpus AND (via corpus_fingerprint) the scored
+# parquet + LSH candidate caches derived from it.
+# v2: ge_zdem plants (role/tool metadata mismatches for check 902).
+CORPUS_GEN = "v2"
 
 MEGA_CONV_ID = "c_mega0000"
 
@@ -208,6 +217,20 @@ def generate_corpus(n_turns: int, seed: int = 42, mega: bool = True) -> pa.Table
     for r in keep_rows:
         text[r] = f"{pool[int(rng.integers(0, len(pool)))]} {_noise(rng, 40)}"
 
+    # ge_zdem (902): stated-vs-derived metadata mismatch — role says 'tool'
+    # with no tool name, or a tool name on a non-tool row (the transcript
+    # analog of stated elevation vs DEM, check_z_against_dem.r:20-24).
+    # Planted LAST so every earlier plant keeps its v1 position/draws.
+    zdem_rows = take(0.005)
+    labels["ge_zdem"][zdem_rows] = True
+    for j, r in enumerate(zdem_rows):
+        if j % 2 == 0:
+            role[r] = "tool"
+            tool[r] = ""
+        else:
+            role[r] = "assistant"
+            tool[r] = "search_tool"
+
     text_arr = pa.array(list(text), type=pa.string(), mask=null_text)
     conv_arr = pa.array(list(conv_id), type=pa.string(), mask=null_conv)
     table = pa.table(
@@ -262,8 +285,16 @@ def corpus_path_for_sf(sf: float, root: str = "/tmp/titan_ray_corpus", seed: int
     n_turns = max(600, int(6_000_000 * sf))
     out = os.path.join(root, f"sf{sf:g}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        write_corpus(out, n_turns, seed=seed)
-        with open(marker, "w") as f:
-            f.write(f"n_turns={n_turns} seed={seed}\n")
+    stamp = f"n_turns={n_turns} seed={seed} gen={CORPUS_GEN}"
+    try:
+        if open(marker).read().strip() == stamp:
+            return out
+    except OSError:
+        pass
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_corpus(out, n_turns, seed=seed)
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
     return out

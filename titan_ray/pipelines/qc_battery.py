@@ -42,10 +42,12 @@ from ..config import QCConfig
 from ..corpus import corpus_path_for_sf
 from ..schema import (
     CODE_BUDDY,
+    CODE_DUAL_FG,
     CODE_FGT,
     CODE_ISOLATION,
     CODE_SCT,
     CODE_SCT_DUAL,
+    CODE_SCT_FG,
 )
 
 SCORES_ROOT = "/tmp/titan_ray_scores"
@@ -229,6 +231,28 @@ def qc_full_cascade(sf_dir: str):
     return _battery_result(sf_dir, cascade_config())
 
 
+def optional_config() -> QCConfig:
+    """The four opt-in checks ON, the five default conv checks OFF — so the
+    driver row's flags are attributable to exactly the optional machinery:
+    ccrrt (301, titan.r:150-154), check_z_against_dem (902, titan.r:186-187),
+    sct_fg_dual (4, titan.r:232-238), sct_fg (2, titan.r:209-215)."""
+    cfg = battery_config()
+    for c in ("dual", "fgt", "buddy", "sct", "isolation"):
+        setattr(cfg, f"enable_{c}", False)
+    cfg.enable_ccrrt = True
+    cfg.enable_zdem = True
+    cfg.enable_sct_fg = True
+    cfg.enable_dual_fg = True
+    return cfg
+
+
+def qc_optional_checks(sf_dir: str):
+    """Per-turn flags/keep with ONLY the opt-in checks enabled — the last
+    SURVEY §2 operators without a driver-hash-checked path (round-4 verdict
+    item 4). Parallel conv mode; oracled by optional_sql()."""
+    return _battery_result(sf_dir, optional_config())
+
+
 # per-role eps2 for the SCT-scores driver row — exercises the per-role
 # error-ratio path (reference --eps2.sct is per-provider, titan.r:115-122)
 SCT_SCORES_EPS2 = {"tool": 0.8, "system": 0.3}
@@ -332,12 +356,38 @@ def _rowwise_case(cfg: QCConfig) -> str:
     keep_arm = "is_keeplist"
     if cfg.positional_keeplist:
         keep_arm += f" OR {_pos_in(cfg.positional_keeplist)}"
+    meta_arm = (
+        "text IS NULL OR conv_id IS NULL OR turn_idx IS NULL OR turn_idx < 0 "
+        f"OR strlen(text) < {cfg.min_chars} OR strlen(text) > {cfg.max_chars}"
+    )
+    plaus_arm = f"lang_conf < {cfg.conf_min!r} OR ppl > {cfg.ppl_hard_max!r}"
+    if cfg.enable_ccrrt or cfg.enable_zdem:
+        # optional row-wise checks run AFTER metadata, BEFORE plausibility
+        # (ScoreChain order, pipelines/qc.py) and — unlike metadata/
+        # plausibility — cannot flag keep-listed rows (testable_mask), so
+        # the keep arm must close the row before they are considered while
+        # plausibility still gets its flags_keeplisted look first.
+        opt = ""
+        if cfg.enable_ccrrt:
+            opt += f"WHEN coalesce(role, '') = 'tool' AND qscore > {cfg.ccrrt_tmax!r} THEN 301 "
+        if cfg.enable_zdem:
+            opt += "WHEN (coalesce(role, '') = 'tool') <> (coalesce(tool, '') <> '') THEN 902 "
+        return (
+            "CASE "
+            f"WHEN {black_arm} THEN 999 "
+            f"WHEN {meta_arm} THEN 901 "
+            f"WHEN ({keep_arm}) AND ({plaus_arm}) THEN 501 "
+            f"WHEN {keep_arm} THEN 990 "
+            f"{opt}"
+            f"WHEN {plaus_arm} THEN 501 "
+            f"WHEN {_clim_case(cfg)} THEN 502 "
+            "ELSE 0 END"
+        )
     return (
         "CASE "
         f"WHEN {black_arm} THEN 999 "
-        "WHEN text IS NULL OR conv_id IS NULL OR turn_idx IS NULL OR turn_idx < 0 "
-        f"OR strlen(text) < {cfg.min_chars} OR strlen(text) > {cfg.max_chars} THEN 901 "
-        f"WHEN lang_conf < {cfg.conf_min!r} OR ppl > {cfg.ppl_hard_max!r} THEN 501 "
+        f"WHEN {meta_arm} THEN 901 "
+        f"WHEN {plaus_arm} THEN 501 "
         f"WHEN {keep_arm} THEN 990 "
         f"WHEN {_clim_case(cfg)} THEN 502 "
         "ELSE 0 END"
@@ -440,6 +490,76 @@ def _iso_cte(cfg: QCConfig) -> str:
     )
 
 
+def _dual_fg_cte(cfg: QCConfig) -> str:
+    """Dichotomous check vs an external prior (code 4; reference
+    sct_fg_dual_r.r:33-39): own event state disagrees with the broadcast
+    prior AND the neighbourhood sides with the prior."""
+    prior_event = "TRUE" if cfg.dual_fg_prior > 0.5 else "FALSE"
+    return (
+        "chk_dfg_p AS (SELECT t.conv_id, t.turn_idx, "
+        "(t.lang IS NULL OR t.lang <> 'en') AS ev, "
+        "CAST(u.lang IS NULL OR u.lang <> 'en' AS INT) AS nev "
+        "FROM tgt t JOIN u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {cfg.r_dual}), "
+        "chk_dfg AS (SELECT conv_id, turn_idx FROM chk_dfg_p "
+        f"GROUP BY conv_id, turn_idx, ev HAVING count(*) >= {cfg.dual_min} "
+        f"AND ev <> {prior_event} "
+        f"AND abs(avg(nev) - {cfg.dual_fg_prior!r}) < {1.0 - cfg.dual_thr!r})"
+    )
+
+
+def _sct_fg_cte(cfg: QCConfig) -> str:
+    """SCT vs external first-guess centre (code 2; reference
+    sct_fg_resistant.r:136-163): deviation of qscore from the broadcast
+    per-role expectation, normalized by the LOCAL robust spread (MAD of the
+    usable neighbours within r_sct)."""
+    mu, _ = _fgt_mu_sd(cfg)
+    mu = mu.replace("coalesce(role", "coalesce(m.role")
+    pairs = (
+        "chk_sfg_p AS (SELECT t.conv_id, t.turn_idx, t.role, t.qscore AS q, u.qscore AS nq "
+        "FROM tgt t JOIN u ON u.conv_id = t.conv_id "
+        f"AND u.turn_idx <> t.turn_idx AND abs(u.turn_idx - t.turn_idx) <= {cfg.r_sct})"
+    )
+    med = (
+        "chk_sfg_m AS (SELECT conv_id, turn_idx, role, q, median(nq) AS med, count(*) AS cnt "
+        "FROM chk_sfg_p GROUP BY conv_id, turn_idx, role, q)"
+    )
+    mad = (
+        "chk_sfg_d AS (SELECT p.conv_id, p.turn_idx, median(abs(p.nq - m.med)) AS mad "
+        "FROM chk_sfg_p p JOIN chk_sfg_m m ON m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx "
+        "GROUP BY p.conv_id, p.turn_idx)"
+    )
+    fin = (
+        "chk_sfg AS (SELECT m.conv_id, m.turn_idx FROM chk_sfg_m m "
+        "JOIN chk_sfg_d d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx "
+        f"WHERE m.cnt >= {cfg.sct_min} AND "
+        f"abs((m.q - ({mu})) / greatest(1.4826 * d.mad, {cfg.sigma_min!r})) > {cfg.sct_fg_t!r})"
+    )
+    return ", ".join([pairs, med, mad, fin])
+
+
+def optional_sql(sf: float = 0.01) -> str:
+    """DuckDB oracle for qc_optional_checks: the extended rowwise case
+    (999/901/501-keep/990/301/902/501/502) plus the two optional conv
+    checks applied first-flag-wins in engine order (dual_fg=4 before
+    sct_fg=2, conv.py kernel order)."""
+    cfg = optional_config()
+    rel = f"read_parquet('{scores_dir(sf)}/*.parquet')"
+    base = _base_ctes(cfg, rel)
+    return (
+        f"WITH {base}, {_dual_fg_cte(cfg)}, {_sct_fg_cte(cfg)}, res AS ("
+        "SELECT f.conv_id, f.turn_idx, f.role, "
+        "CASE WHEN f.dqcflag <> 0 THEN f.dqcflag "
+        f"WHEN cdf.turn_idx IS NOT NULL THEN {CODE_DUAL_FG} "
+        f"WHEN csf.turn_idx IS NOT NULL THEN {CODE_SCT_FG} "
+        "ELSE 0 END AS dqcflag FROM f "
+        "LEFT JOIN chk_dfg cdf ON cdf.conv_id = f.conv_id AND cdf.turn_idx = f.turn_idx "
+        "LEFT JOIN chk_sfg csf ON csf.conv_id = f.conv_id AND csf.turn_idx = f.turn_idx) "
+        "SELECT conv_id, turn_idx, role, dqcflag, "
+        "(dqcflag = 0 OR dqcflag = 990) AS keep FROM res"
+    )
+
+
 def battery_sql(sf: float = 0.01) -> dict[str, str]:
     """DuckDB oracle SQL for every battery query, over the scored-corpus
     parquet (written by ensure_scored before the engine side runs)."""
@@ -493,6 +613,7 @@ def battery_sql(sf: float = 0.01) -> dict[str, str]:
         "WHERE dqcflag = 999 OR dqcflag = 990"
     )
     out["qc_full_cascade"] = cascade_sql(sf)
+    out["qc_optional_checks"] = optional_sql(sf)
     out["qc_sct_scores"] = sct_scores_sql(sf)
     out["qc_metrics"] = metrics_sql(sf)
     return out
