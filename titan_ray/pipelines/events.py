@@ -35,6 +35,11 @@ def events_hourly(sf_dir: str, num_buckets: int = 64):
     a user; B distinct keys keep Ray's sort-shuffle a cheap B-way exchange
     instead of a full sort over the raw composite key) merges them with an
     exact int64 sum."""
+    # the bucket is computed with a bit mask, which equals user_id % B only
+    # for power-of-two B (round-4 advice item 3: a non-power-of-two would
+    # silently yield a sparser bucket set than the knob suggests)
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0, \
+        "events_hourly: num_buckets must be a power of two"
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
