@@ -723,15 +723,17 @@ def doc_top_tfidf(sf_dir: str):
                          "df": pa.array(cnt[m].astype(np.int64)),
                          "_b": pa.array(hb.astype(np.int32))})
 
-    def df_merge(df):
+    def df_merge(t: pa.Table) -> pa.Table:
         # word-hash bucketing co-locates every partial of a word; a 64-key
-        # shuffle beats a full sort over the string vocabulary
-        return df.groupby("word", sort=False, as_index=False)["df"].sum()
+        # shuffle beats a full sort over the string vocabulary. Arrow-native
+        # merge (round-4 verdict item 6).
+        g = t.group_by("word").aggregate([("df", "sum")])
+        return pa.table({"word": g["word"], "df": g["df_sum"]})
 
     df_tbl = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("_b")
-        .map_groups(lambda df: df_merge(df.drop(columns=["_b"])), batch_format="pandas")
+        .map_groups(lambda t: df_merge(t.drop_columns(["_b"])), batch_format="pyarrow")
         .to_pandas()  # vocabulary-sized, the documented broadcast bound
     )
     df_ref = ray.put(df_tbl)
@@ -1057,18 +1059,21 @@ def _lm_fluency_joined(ds, cnt_ds, _texts, num_buckets: int = 64):
             }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby("doc_id", sort=False)[["fluency_sum", "n_bigrams"]]
-            .sum()
-            .reset_index()
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("fluency_sum", "sum"), ("n_bigrams", "sum")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "fluency_sum": g["fluency_sum_sum"],
+                "n_bigrams": g["n_bigrams_sum"],
+            }
         )
 
     return (
         j2.map_batches(partial, batch_format="pyarrow")
         .union(ds.map_batches(base_rows, batch_format="pyarrow"))
         .groupby("_b")
-        .map_groups(lambda df: merge(df.drop(columns=["_b"])), batch_format="pandas")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
     )
 
 
@@ -1107,13 +1112,14 @@ def doc_lm_fluency(sf_dir: str, max_vocab: int = MAX_LM_VOCAB):
             }
         )
 
-    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_counts(t: pa.Table) -> pa.Table:
         # every partial of an h lands in its bucket, so a per-bucket sum IS
         # the global sum; 64 distinct shuffle keys keep Ray's sort-shuffle a
         # cheap exchange instead of a full sort over the raw gram space
-        # (same restructure as doc_dup_spans, measured 11x there)
-        g = df.groupby(["kind", "h"], sort=False)["c"].sum().reset_index()
-        return g
+        # (same restructure as doc_dup_spans, measured 11x there).
+        # Arrow-native merge (round-4 verdict item 6).
+        g = t.group_by(["kind", "h"]).aggregate([("c", "sum")])
+        return pa.table({"kind": g["kind"], "h": g["h"], "c": g["c_sum"]})
 
     # vocabulary-sized count table, materialized ONCE (small relative to the
     # corpus: distinct grams, not gram occurrences) so the path decision
@@ -1121,7 +1127,7 @@ def doc_lm_fluency(sf_dir: str, max_vocab: int = MAX_LM_VOCAB):
     cnt_ds = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("_b")
-        .map_groups(lambda df: merge_counts(df.drop(columns=["_b"])), batch_format="pandas")
+        .map_groups(lambda t: merge_counts(t.drop_columns(["_b"])), batch_format="pyarrow")
         .materialize()
     )
     if cnt_ds.count() > max_vocab:
