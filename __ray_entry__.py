@@ -38,9 +38,26 @@ def _qc_dataset(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship pipeline: transcript corpus at sf0.001 scale through the full
-    QC battery (read → score → flag → conv checks → scrub)."""
-    return _qc_dataset("/root/testdata/sf0.001")
+    """Flagship pipeline: transcript corpus at sf0.001 scale — PLUS small
+    CSV and JSONL provider sidecars unioned through the heterogeneous-
+    format read path (reference read_data_to_check.r:174-206 rbind;
+    round-4 verdict item 10) — through the full QC battery
+    (read → union → score → flag → conv checks → scrub)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from titan_ray.corpus import ensure_provider_sidecars
+    from titan_ray.sources.reader import read_providers
+
+    sf = 0.001
+    path = corpus_path_for_sf(sf)
+    # canonical schema for the union = the parquet corpus's own schema
+    # (sidecars lack the ge_* labels -> typed nulls at the cast)
+    schema = rd.read_parquet(path).schema()
+    schema = pa.schema([pa.field(n, t) for n, t in zip(schema.names, schema.types)])
+    specs = [(path, "parquet")] + ensure_provider_sidecars(sf)
+    ds = read_providers(specs, schema=schema)
+    return build_qc_pipeline(ds, QCConfig(dedup=True))
 
 
 def _qc_metrics(sf_dir: str):

@@ -76,6 +76,30 @@ def test_media_decode_all_kinds_real():
     assert MediaDecodeStage(fake=True)(foreign).num_rows == 1  # digest fallback
 
 
+def test_media_decode_quarantine_path():
+    """quarantine=True: corrupt/foreign rows survive with a non-null
+    quarantine_reason and null features; clean rows decode normally with a
+    null reason (round-4 verdict item 8)."""
+    t = synth_media_table(8)
+    mixed = pa.table(
+        {
+            "media_id": pa.array([100, 101], type=pa.int64()),
+            "kind": pa.array(["video", "image"]),
+            "payload": pa.array(
+                [b"\x00\x01\x02 not a container", b"P6 truncated"], type=pa.binary()
+            ),
+        }
+    )
+    stage = MediaDecodeStage(fake=False, quarantine=True)
+    good = stage(t)
+    assert "quarantine_reason" in good.column_names
+    assert good["quarantine_reason"].null_count == good.num_rows  # all clean
+    bad = stage(mixed)
+    assert bad.num_rows == 2
+    assert bad["quarantine_reason"].null_count == 0
+    assert bad["features"].null_count == 2
+
+
 def test_y4m_codec_roundtrip_features_resize():
     """The pure-numpy Y4M codec: encode -> parse roundtrips bit-exactly
     (C420 and mono), video features are the documented frame statistics,

@@ -128,3 +128,18 @@ def test_read_providers_heterogeneous_union(ray_session, tmp_path):
         columns=["conv_id", "text"],
     ).to_pandas()
     assert list(pruned.columns) == ["conv_id", "text"] and len(pruned) == 6
+
+
+def test_entry_flagship_includes_provider_union(ray_session):
+    """The driver-run flagship exercises the heterogeneous-format union:
+    CSV + JSONL sidecar turns (provider-prefixed conv ids) flow through the
+    full QC battery next to the parquet corpus (round-4 verdict item 10)."""
+    import __ray_entry__ as e
+
+    df = e.entry().to_pandas()
+    pref = df["conv_id"].fillna("@").str.slice(0, 3)
+    for tag in ("pb_", "pc_"):
+        sub = df[pref == tag]
+        assert len(sub) > 50, tag
+        assert sub["ts"].notna().all()          # ISO text -> timestamp cast
+        assert (sub["dqcflag"] == 0).sum() > 0  # scored and mostly clean

@@ -265,6 +265,61 @@ def write_corpus(out_dir: str, n_turns: int, seed: int = 42, shards: int = 8, me
     return out_dir
 
 
+def ensure_provider_sidecars(sf: float, root: str = "/tmp/titan_ray_corpus",
+                             seed: int = 77) -> list[tuple[str, str]]:
+    """Materialize (once) small CSV + JSONL provider files so the flagship
+    exercises the heterogeneous-format union in the driver run, not only in
+    pytest (round-4 verdict item 10) — the analog of the reference's
+    multi-provider rbind (read_data_to_check.r:174-206). Conversation ids
+    are provider-prefixed (the reference prefixes station ids per provider)
+    so sidecar turns never merge into main-corpus conversations; rows are
+    clean (no planted nulls — CSV cannot round-trip them) and `ts` is ISO
+    text, exercising the string->timestamp cast. Returns (path, fmt) specs."""
+    import os
+
+    out = os.path.join(root, f"sf{sf:g}_providers")
+    marker = os.path.join(out, "_SUCCESS")
+    stamp = f"gen={CORPUS_GEN} seed={seed}"
+    csv_path = os.path.join(out, "provider_b.csv")
+    jsonl_path = os.path.join(out, "provider_c.jsonl")
+    specs = [(csv_path, "csv"), (jsonl_path, "jsonl")]
+    try:
+        if open(marker).read().strip() == stamp:
+            return specs
+    except OSError:
+        pass
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t = generate_corpus(240, seed=seed, mega=False)
+    clean = pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["text"]))
+    for c in GE_COLUMNS:
+        clean = pc.and_(clean, pc.invert(t[c]))
+    t = t.filter(clean).select(["conv_id", "turn_idx", "role", "text", "tool", "ts", "is_keeplist"])
+    half = t.num_rows // 2
+    for path, tag, part in ((csv_path, "pb", t.slice(0, half)), (jsonl_path, "pc", t.slice(half))):
+        part = part.set_column(
+            part.column_names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(pa.scalar(f"{tag}_"), part["conv_id"], ""),
+        )
+        part = part.set_column(
+            part.column_names.index("ts"), "ts",
+            # Arrow's %S prints seconds INCLUDING the fractional part
+            pc.strftime(part["ts"], format="%Y-%m-%dT%H:%M:%S"),
+        )
+        if path.endswith(".csv"):
+            pacsv.write_csv(part, path)
+        else:
+            part.to_pandas().to_json(path, orient="records", lines=True)
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
+    return specs
+
+
 def corpus_fingerprint(sf: float, root: str = "/tmp/titan_ray_corpus") -> str:
     """Content of the corpus _SUCCESS marker (n_turns + seed) — dependent
     caches (scored corpus, LSH candidates) embed it so a regenerated corpus

@@ -375,46 +375,58 @@ class MediaDecodeStage:
     batch_size × concurrency bounds worker heap — SURVEY.md §4 memory row).
     """
 
-    def __init__(self, feature_dim: int = 8, fake: bool = True):
+    def __init__(self, feature_dim: int = 8, fake: bool = True, quarantine: bool = False):
         self.feature_dim = feature_dim
         self.fake = fake
+        self.quarantine = quarantine
 
-    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+    def _decode(self, payload: bytes, kind: str) -> tuple[np.ndarray | None, str | None]:
+        """(features, None) on success; on failure the behavior is, in
+        precedence order: quarantine=True -> (None, reason) row;
+        fake=True -> deterministic digest features; fake=False -> raise."""
+        err: str | None = None
         try:
             if kind == "audio" and len(payload) >= 12 and payload[:4] == b"RIFF":
-                return wav_features(payload, self.feature_dim)
+                return wav_features(payload, self.feature_dim), None
             if kind == "image" and payload[:2] == b"P6":
-                return image_features(payload, self.feature_dim)
+                return image_features(payload, self.feature_dim), None
             if kind == "video" and payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
-                return video_features(payload, self.feature_dim)
-        except ValueError:
-            if not self.fake:
-                raise  # corrupt/truncated payload on the real path
-        else:
-            if not self.fake:
-                raise ValueError(
-                    f"unrecognized {kind} container (RIFF/WAVE, PPM P6 and "
-                    "YUV4MPEG2 decode for real; compressed formats need "
-                    "external codec libraries)"
-                )
+                return video_features(payload, self.feature_dim), None
+            err = (
+                f"unrecognized {kind} container (RIFF/WAVE, PPM P6 and "
+                "YUV4MPEG2 decode for real; compressed formats need "
+                "external codec libraries)"
+            )
+        except ValueError as e:  # corrupt/truncated payload
+            err = f"corrupt {kind} payload: {e}"
+        if self.quarantine:
+            return None, err
+        if not self.fake:
+            raise ValueError(err)
         # deterministic digest-as-features: stable across runs/processes
         arr = np.frombuffer(payload, dtype=np.uint8)
         chunks = np.array_split(arr.astype(np.float64), self.feature_dim)
-        return np.asarray([c.mean() if len(c) else 0.0 for c in chunks])
+        return np.asarray([c.mean() if len(c) else 0.0 for c in chunks]), None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
-        feats = np.stack([self._decode(p, k) for p, k in zip(payloads, kinds)])
+        decoded = [self._decode(p, k) for p, k in zip(payloads, kinds)]
+        feats = [None if f is None else list(f) for f, _ in decoded]
         n_bytes = np.asarray([len(p) for p in payloads], dtype=np.int64)
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "kind": batch["kind"],
-                "n_bytes": pa.array(n_bytes),
-                "features": pa.array(list(feats), type=pa.list_(pa.float64())),
-            }
-        )
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "n_bytes": pa.array(n_bytes),
+            "features": pa.array(feats, type=pa.list_(pa.float64())),
+        }
+        if self.quarantine:
+            # production shape: corrupt rows survive with a reason instead
+            # of poisoning the job or silently digesting (round-4 item 8)
+            cols["quarantine_reason"] = pa.array(
+                [r for _, r in decoded], type=pa.string()
+            )
+        return pa.table(cols)
 
 
 def media_features(table: pa.Table | None = None, batch_size: int = 16, concurrency=(1, 4)):
@@ -478,13 +490,17 @@ def media_features_query(sf_dir: str, batch_size: int = 16, concurrency=(1, 4)):
     table): parquet read -> actor-pool decode -> feature rows. Audio (WAV),
     image (PPM) and video (Y4M) rows ALL decode for real via the pure-numpy
     codecs; the Ray plumbing is file read -> small batches for large blobs
-    -> actor pool."""
+    -> actor pool. The payloads here are known-real by construction, so the
+    stage runs with the digest fallback OFF and quarantine ON (round-4
+    verdict item 8): a corrupt row would surface as a non-null
+    quarantine_reason instead of a silently-wrong digest feature vector."""
     import ray.data as rd
 
     path = ensure_media_table(sf_dir)
     ds = rd.read_parquet(path)
     return ds.map_batches(
         MediaDecodeStage,
+        fn_constructor_kwargs={"fake": False, "quarantine": True},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -658,7 +674,7 @@ def media_pipeline(table: pa.Table | None = None, batch_size: int = 16, concurre
 
     def frame_features(batch: pa.Table) -> pa.Table:
         stage = MediaDecodeStage(feature_dim=8)
-        feats = [stage._decode(p, k) for p, k in zip(batch["frame"].to_pylist(), batch["kind"].to_pylist())]
+        feats = [stage._decode(p, k)[0] for p, k in zip(batch["frame"].to_pylist(), batch["kind"].to_pylist())]
         return pa.table(
             {
                 "media_id": batch["media_id"],
