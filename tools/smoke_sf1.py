@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 SMOKE_DIR = "/tmp/titan_ray_smoke/sf1.0"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
-SMOKE_VERSION = "v1"
+SMOKE_VERSION = "v2"  # v2: + events / relational tables (round-4 verdict item 7)
 
 
 def ensure_tables() -> str:
@@ -64,6 +64,31 @@ def ensure_tables() -> str:
         )
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), f"{SMOKE_DIR}/embeddings.parquet")
+
+    # events + relational tables: id-space offset per copy (per-user /
+    # per-order structure preserved, key spaces disjoint across copies)
+    def blow_up(name: str, offsets: dict[str, int]) -> None:
+        src = pq.read_table(f"{SRC_DIR}/{name}.parquet")
+        parts = []
+        for c in range(COPIES):
+            t = src
+            for col, base in offsets.items():
+                vals = t[col].to_numpy(zero_copy_only=False) + c * base
+                t = t.set_column(t.column_names.index(col), col,
+                                 pa.array(vals, type=src[col].type))
+            parts.append(t)
+        pq.write_table(pa.concat_tables(parts), f"{SMOKE_DIR}/{name}.parquet")
+
+    ev = pq.read_table(f"{SRC_DIR}/events.parquet", columns=["event_id", "user_id"])
+    n_ev = int(ev["event_id"].to_numpy(zero_copy_only=False).max()) + 1
+    n_us = int(ev["user_id"].to_numpy(zero_copy_only=False).max()) + 1
+    ok = int(pq.read_table(f"{SRC_DIR}/orders.parquet", columns=["o_orderkey"])["o_orderkey"].to_numpy(zero_copy_only=False).max()) + 1
+    ck = int(pq.read_table(f"{SRC_DIR}/customer.parquet", columns=["c_custkey"])["c_custkey"].to_numpy(zero_copy_only=False).max()) + 1
+    blow_up("events", {"event_id": n_ev, "user_id": n_us})
+    blow_up("lineitem", {"l_orderkey": ok})
+    blow_up("orders", {"o_orderkey": ok, "o_custkey": ck})
+    blow_up("customer", {"c_custkey": ck})
+    pq.write_table(pq.read_table(f"{SRC_DIR}/nation.parquet"), f"{SMOKE_DIR}/nation.parquet")
     with open(marker, "w") as f:
         f.write(SMOKE_VERSION + "\n")
     return SMOKE_DIR
@@ -88,7 +113,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     sf_dir = ensure_tables()
 
-    from titan_ray.pipelines import docqc
+    from titan_ray.pipelines import docqc, events, relational
     from titan_ray.stages import cluster, neardup
 
     ops = {
@@ -101,6 +126,10 @@ def main() -> None:
         "doc_dup_spans": neardup.doc_dup_spans,
         "doc_lm_fluency": docqc.doc_lm_fluency,
         "doc_hash_split": docqc.doc_hash_split,
+        # round-5: the join-fan-out-risk operators (round-4 verdict item 7)
+        "events_asof": events.events_asof,
+        "events_range": events.events_range,
+        "tpch_revenue_by_nation": relational.tpch_revenue_by_nation,
     }
     out = {}
     for name, fn in ops.items():
