@@ -255,7 +255,10 @@ def run_stage(stage: str) -> dict:
         if stage == "scorer":
             # the scorer kernel alone (attribution row; production runs it
             # inside the fused ScoreChain actor below)
+            from titan_ray.stages.scorer import shared_model_refs
+
             return ds.map_batches(Scorer, batch_format="pyarrow", batch_size=cfg.batch_size,
+                                  fn_constructor_kwargs={"model_refs": shared_model_refs()},
                                   concurrency=(max(1, NUM_CPUS // 4), NUM_CPUS))
         # production operator shape: seed/meta task maps fuse INTO the
         # ScoreChain actor pool (scorer + affine + plaus + clim + salt in

@@ -140,3 +140,28 @@ def test_compute_features_schema():
               "punct_ratio", "digit_ratio", "alpha_ratio", "stopword_ratio", "token_count"):
         assert k in f and len(f[k]) == 2
     assert f["n_chars"][1] == 0
+
+
+def test_charlm_from_tables_identical():
+    # reconstructing from tables() must skip training yet score identically
+    # (the shared-plasma path in stages.scorer relies on this)
+    from titan_ray.functions.lm import CharLM
+
+    lm = default_lm()
+    clone = CharLM.from_tables(*lm.tables())
+    arr = pa.array(["The quick brown fox.", "qzx vbnm wkj", "", None])
+    assert clone.perplexity(arr).tolist() == lm.perplexity(arr).tolist()
+
+
+def test_langid_set_table_roundtrip():
+    import numpy as np
+
+    tab = langid.table()
+    ro = tab.copy()
+    ro.setflags(write=False)  # plasma views arrive read-only
+    langid.set_table(ro)
+    try:
+        langs, conf = langid.detect(pa.array(["the cat sat on the mat and spoke english"]))
+        assert langs[0] == "en" and conf[0] > 0
+    finally:
+        langid.set_table(tab)

@@ -276,3 +276,25 @@ def test_dedup_near_engine_oracle_parity(ray_session):
     eng = eng.sort_values(KEY, na_position="last").reset_index(drop=True)
     assert len(eng) == len(ora)
     assert (eng["dqcflag"].to_numpy() == ora["dqcflag"].to_numpy()).all()
+
+
+def test_shared_model_refs_parity(ray_session, small_corpus):
+    """Actors fed the node-shared plasma tables score bit-identically to
+    actors that train private copies (stages/scorer.shared_model_refs)."""
+    import ray.data as rd
+
+    from titan_ray.stages.scorer import Scorer, shared_model_refs
+
+    refs = shared_model_refs()
+    assert refs is not None  # ray is up => the shared path must engage
+    ds = rd.from_arrow(small_corpus)
+    kw = dict(batch_format="pyarrow", batch_size=512, concurrency=(1, 2))
+    shared = (
+        ds.map_batches(Scorer, fn_constructor_kwargs={"model_refs": refs}, **kw)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    private = (
+        ds.map_batches(Scorer, **kw)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(shared, private)

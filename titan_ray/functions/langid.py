@@ -63,6 +63,14 @@ def table() -> np.ndarray:
     return _TABLE
 
 
+def set_table(tab: np.ndarray) -> None:
+    """Install a prebuilt trigram table (e.g. a zero-copy plasma view) as
+    this process's table — detect() only gathers from it, so a read-only
+    node-shared copy is safe and keeps the working set L3-resident."""
+    global _TABLE
+    _TABLE = tab
+
+
 TABLE_PARQUET = "/tmp/titan_ray_scores/langid_table.parquet"
 TABLE_PARQUET_VERSION = "v1"
 

@@ -41,6 +41,18 @@ class CharLM:
         uni = np.bincount(data.astype(np.int64), minlength=256).astype(np.float64)
         self._uni_lp = np.log((uni + 0.01) / (uni.sum() + 0.01 * 256)).astype(np.float32)
 
+    def tables(self):
+        """The model's numpy state, for ray.put sharing across workers."""
+        return (self._tri_lp, self._bi_lp, self._uni_lp)
+
+    @classmethod
+    def from_tables(cls, tri_lp, bi_lp, uni_lp) -> "CharLM":
+        """Reconstruct WITHOUT retraining from tables() output — the arrays
+        may be read-only zero-copy plasma views; scoring only gathers."""
+        obj = cls.__new__(cls)
+        obj._tri_lp, obj._bi_lp, obj._uni_lp = tri_lp, bi_lp, uni_lp
+        return obj
+
     def _cond_table(self, data: np.ndarray, n: int) -> np.ndarray:
         """log(count(ngram)+a) - log(count(prefix)+a*V) in a hashed table.
 
@@ -135,3 +147,11 @@ def default_lm() -> CharLM:
     if _LM is None:
         _LM = CharLM()
     return _LM
+
+
+def set_default_lm(lm: CharLM) -> None:
+    """Install a prebuilt LM (e.g. reconstructed from shared plasma tables)
+    as this process's default — every later default_lm() caller reads the
+    one node-shared physical copy instead of training a private one."""
+    global _LM
+    _LM = lm

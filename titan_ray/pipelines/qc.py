@@ -47,8 +47,10 @@ class ScoreChain:
     verdict item 5). Folding them into the actor's __call__ leaves exactly
     one plasma hop: scorer-pool output -> Sort."""
 
-    def __init__(self, cfg: QCConfig, num_buckets: int):
-        self.scorer = Scorer()  # models once per actor
+    def __init__(self, cfg: QCConfig, num_buckets: int, model_refs=None):
+        # models once per actor; with model_refs, zero-copy views of the ONE
+        # node-shared plasma copy (see stages.scorer.shared_model_refs)
+        self.scorer = Scorer(model_refs=model_refs)
         self.cfg = cfg
         self.num_buckets = num_buckets
 
@@ -99,9 +101,12 @@ def build_qc_pipeline(ds, cfg: QCConfig | None = None, num_buckets: int = 128):
     # plausibility -> climatological -> salt (see ScoreChain) feeding
     # straight into the ONE conversation-local shuffle (dual, fgt, buddy,
     # sct, isolation)
+    from ..stages.scorer import shared_model_refs
+
     ds = ds.map_batches(
         ScoreChain,
-        fn_constructor_kwargs={"cfg": cfg, "num_buckets": num_buckets},
+        fn_constructor_kwargs={"cfg": cfg, "num_buckets": num_buckets,
+                               "model_refs": shared_model_refs()},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.scorer_concurrency,

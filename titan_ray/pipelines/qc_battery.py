@@ -113,8 +113,11 @@ def ensure_scored(sf_dir: str) -> str:
     cfg = battery_config()
     ds = rd.read_parquet(corpus_path_for_sf(sf))
     ds = dedup_exact(ds)
+    from ..stages.scorer import shared_model_refs
+
     ds = ds.map_batches(
         Scorer, batch_format="pyarrow", batch_size=cfg.batch_size,
+        fn_constructor_kwargs={"model_refs": shared_model_refs()},
         concurrency=cfg.scorer_concurrency,
     )
     ds = ds.map_batches(lambda b: b.select(SCORE_COLS), batch_format="pyarrow")
