@@ -257,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_candidates(GATE_SF_DIR)
         ensure_table_parquet()
         cluster.ensure_centroids(GATE_SF_DIR)
+        multimodal.ensure_media_table(GATE_SF_DIR)
     except Exception:
         # queries() creates them; worst case the gate reports the error —
         # but log it so a provisioning failure is visible, not swallowed
@@ -337,6 +338,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": neardup.dup_spans_sql(),
         "doc_lm_fluency": docqc.lm_fluency_sql(),
         "doc_hash_split": docqc.hash_split_sql(),
+        # round-5: the last rows-only row flips to a value-hash check — the
+        # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
+        # bytes, replayed bit-identically from hex(payload) in DuckDB
+        "media_features": multimodal.media_features_sql(
+            f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
+        ),
         "doc_quality_filter": (
             "SELECT doc_id FROM documents "
             "WHERE length(text) BETWEEN 20 AND 2000 "

@@ -121,7 +121,10 @@ def test_y4m_codec_roundtrip_features_resize():
     f = video_features(payload, 8)
     yf = y.astype(np.float64)
     assert f[0] == 3.0 and f[1] == 12.0 and f[2] == 8.0 and f[3] == 30.0
-    assert f[4] == yf.mean() and f[5] == yf.std()
+    assert f[4] == yf.mean()
+    # luma std is the exact-integer-sums form (SQL-replayable); it equals
+    # np.std to float tolerance but is defined as sqrt((s2 - s*s/n)/n)
+    assert abs(f[5] - yf.std()) < 1e-9
     assert f[6] == np.abs(np.diff(yf, axis=0)).mean()
     assert f[7] == u.astype(np.float64).mean()
     small, nw, nh = y4m_resize(payload, 6, 6)
@@ -194,6 +197,42 @@ def test_media_audio_features_are_sample_stats(ray_session):
         assert f[0] == 2048.0   # payload_bytes // 2 samples
         assert f[1] == 8000.0   # sample rate
         assert f[4] <= 32767.0 and f[3] > 0  # peak within int16, rms positive
+
+
+def test_media_features_query_matches_duckdb_replay(ray_session):
+    """Round-5: the driver-facing media_features query is value-hash
+    checkable — every WAV/PPM/Y4M feature is an exact int64 sum over
+    payload bytes + one float expression, and the DuckDB oracle
+    (media_features_sql) replays it BIT-IDENTICALLY from hex(payload)."""
+    import duckdb
+
+    from titan_ray.stages.multimodal import (
+        ensure_media_table,
+        media_features_query,
+        media_features_sql,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = (
+        media_features_query(sf_dir)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    path = ensure_media_table(sf_dir)
+    ora = (
+        duckdb.sql(media_features_sql(path))
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(ora) > 0
+    assert sorted(eng.columns) == sorted(ora.columns)
+    for c in ["media_id", "kind", "n_bytes"] + [f"f{i}" for i in range(8)]:
+        assert (eng[c].to_numpy() == ora[c].to_numpy()).all(), c
+    # all payloads are well-formed by construction: nothing quarantined
+    assert eng["quarantine_reason"].isna().all()
+    assert ora["quarantine_reason"].isna().all()
 
 
 def test_media_features_pipeline(ray_session):
@@ -402,7 +441,8 @@ def test_ppm_codec_roundtrip_and_features():
     f = image_features(payload, 8)
     assert f[0] == 7.0 and f[1] == 5.0
     assert f[2] == float(px[..., 0].astype(np.float64).mean())
-    assert f[5] == float(px.astype(np.float64).std())
+    # pixel std is the exact-integer-sums form (SQL-replayable)
+    assert abs(f[5] - float(px.astype(np.float64).std())) < 1e-9
 
 
 def test_resize_nearest_kernel():
