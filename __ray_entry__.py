@@ -183,10 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": neardup.minhash_lsh_candidates,
         # round-5: cross-document dup spans (Lee-et-al signal), SQL-replayed
         "doc_dup_spans": neardup.doc_dup_spans,
-        # --- multimodal plumbing (rows-only: file-backed binary payloads
-        # through the real read -> actor-pool decode path). The driver
-        # evaluates the FIRST 50 entries: slots 1-49 above are all
-        # oracle-backed, this sole rows-only query is slot 50. ---
+        # --- multimodal: file-backed binary payloads through the real
+        # read -> actor-pool decode path. Round-5: ORACLE-BACKED — the
+        # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
+        # bytes, replayed bit-identically from hex(payload) in DuckDB
+        # (multimodal.media_features_sql), so the driver's full 50-entry
+        # window (slots 1-50) is now value-hash-checked. ---
         "media_features": multimodal.media_features_query,
         # --- past the evaluation window (slots 51+): still part of the
         # public registry (round-4 advice item 1 — the API surface is not

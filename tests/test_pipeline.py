@@ -298,3 +298,32 @@ def test_shared_model_refs_parity(ray_session, small_corpus):
         .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(shared, private)
+
+
+def test_large_string_blocks_flow_through(ray_session):
+    """Blocks with large_string columns (as emitted by Ray's polars-backed
+    sort, DataContext.use_polars_sort) flow through the dedup and conv
+    kernels identically to narrow-string blocks (schema.narrow_strings)."""
+    import pyarrow.compute as pc
+
+    from titan_ray.schema import narrow_strings
+    from titan_ray.stages.dedup import dedup_bucket_arrow
+
+    t = generate_corpus(400, seed=21, mega=False)
+    big = pa.table(
+        {
+            name: (
+                pc.cast(t[name], pa.large_string())
+                if pa.types.is_string(t.schema.field(name).type)
+                else t[name]
+            )
+            for name in t.column_names
+        }
+    )
+    assert pa.types.is_large_string(big.schema.field("text").type)
+    narrowed = narrow_strings(big)
+    assert narrowed.schema == t.schema
+    out_big = dedup_bucket_arrow(big)
+    out_small = dedup_bucket_arrow(t)
+    assert out_big.num_rows == out_small.num_rows
+    assert out_big.cast(out_small.schema).equals(out_small)

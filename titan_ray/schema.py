@@ -84,3 +84,19 @@ CHECK_ORDER = (
 # Checks that MAY flag keep-listed (990) rows (reference: titan.r:191-194 —
 # metadata and plausibility include keep-listed rows in their selection).
 FLAGS_KEEPLISTED = {"metadata", "plausibility"}
+
+
+def narrow_strings(tbl: pa.Table) -> pa.Table:
+    """Cast any large_string columns down to string (32-bit offsets).
+
+    Some block producers — notably Ray's polars-backed sort
+    (DataContext.use_polars_sort) — emit large_string columns; several of
+    our Arrow kernels (binary_join_element_wise rank builds, re2 scrubs)
+    have no mixed (large_string, string) kernels. Per-batch data is far
+    below the 2 GiB offset limit, so the narrow cast is always safe here."""
+    import pyarrow.compute as pc
+
+    for i, field in enumerate(tbl.schema):
+        if pa.types.is_large_string(field.type):
+            tbl = tbl.set_column(i, field.name, pc.cast(tbl.column(i), pa.string()))
+    return tbl

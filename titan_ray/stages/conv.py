@@ -287,6 +287,9 @@ def run_conv_checks_arrow(tbl: pa.Table, cfg: QCConfig) -> pa.Table:
     numpy (turn_idx/ts/qscore/flags/lang[/role]); the wide payload (text,
     passthrough) is reordered once with a single take() — no pandas
     round-trip of the full rows (measured ~2x on the group stage)."""
+    from ..schema import narrow_strings
+
+    tbl = narrow_strings(tbl)  # polars-backed sort emits large_string
     n = tbl.num_rows
     conv_key = tbl["conv_key"].combine_chunks() if isinstance(tbl["conv_key"], pa.ChunkedArray) else tbl["conv_key"]
     enc = pc.dictionary_encode(conv_key)

@@ -26,6 +26,10 @@ def _normalize_arrow(texts) -> pd.Series:
     verified byte-identical to _normalize for these patterns."""
     import pyarrow.compute as pc
 
+    # some producers (e.g. Ray's polars-backed sort) emit large_string;
+    # per-batch data is < 2 GiB so the narrow offsets always fit
+    if pa.types.is_large_string(getattr(texts, "type", pa.string())):
+        texts = pc.cast(texts, pa.string())
     out = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(texts), NORM_RE, " ")
     )
@@ -48,6 +52,9 @@ def dedup_bucket_arrow(tbl: pa.Table) -> pa.Table:
     surviving wide rows (no pandas round-trip of text payloads)."""
     import pyarrow.compute as pc
 
+    from ..schema import narrow_strings
+
+    tbl = narrow_strings(tbl)  # polars-backed sort emits large_string
     norm = _normalize_arrow(tbl["text"]).to_numpy(dtype=object)
     _, rank = _norm_and_rank(tbl)
     order = np.argsort(rank.to_numpy(dtype=object), kind="stable")
@@ -85,6 +92,12 @@ _RANK_SEP = "\x01"  # sorts below every printable byte => prefix-safe
 def _norm_and_rank(batch: pa.Table) -> tuple[pd.Series, pd.Series]:
     import pyarrow.compute as pc
 
+    # normalize offset width: binary_join_element_wise has no mixed
+    # (large_string, string) kernel, and polars-backed sort emits
+    # large_string columns. Batches are < 2 GiB, so narrow offsets fit.
+    from ..schema import narrow_strings
+
+    batch = narrow_strings(batch)
     norm = _normalize_arrow(batch["text"])
     turn = pc.utf8_lpad(
         pc.cast(pc.coalesce(batch["turn_idx"], pa.scalar(-1, pa.int32())), pa.string()),
