@@ -195,19 +195,18 @@ def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: in
         + [(rc, rtypes[oc]) for rc, oc in zip(out_rcols, right_cols)]
     )
 
-    # Arrow in/out: filtering each side BEFORE pandas conversion keeps its own
-    # columns null-free, so int64 never degrades to float64 (which would both
-    # change the output schema and corrupt keys above 2^53).
+    # Arrow end-to-end: the per-bucket merge is pyarrow's Acero hash join —
+    # no pandas round-trip, int64 never degrades to float64, and NULL join
+    # keys do not match (ANSI inner-join semantics, unlike pandas' NaN==NaN
+    # merge; join keys here are non-null by construction anyway).
     def per_bucket(t: pa.Table) -> pa.Table:
         side = t["_side"].to_numpy(zero_copy_only=False)
         l = t.filter(pa.array(side == 0)).select(left_cols)
         r = t.filter(pa.array(side == 1)).select([on] + out_rcols)
         if l.num_rows == 0 or r.num_rows == 0:
             return out_schema.empty_table()
-        merged = l.to_pandas().merge(r.to_pandas(), on=on, how="inner")
-        return pa.Table.from_pandas(
-            merged, schema=out_schema, preserve_index=False
-        ).replace_schema_metadata(None)
+        merged = l.combine_chunks().join(r.combine_chunks(), keys=on, join_type="inner")
+        return merged.select(out_schema.names).cast(out_schema)
 
     ds = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
