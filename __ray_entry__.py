@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_length_stats": docqc.doc_length_stats,
+        # round-5 session addition: per-source quota (domain-cap primitive)
+        "doc_source_quota": docqc.doc_source_quota,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -340,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": neardup.dup_spans_sql(),
         "doc_lm_fluency": docqc.lm_fluency_sql(),
         "doc_hash_split": docqc.hash_split_sql(),
+        "doc_source_quota": docqc.source_quota_sql(),
         # round-5: the last rows-only row flips to a value-hash check — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB

@@ -327,3 +327,44 @@ def test_doc_hash_split_proportions(ray_session):
     again = doc_hash_split("/root/testdata/sf0.01").to_pandas()
     assert again.sort_values("doc_id")["split"].tolist() == \
         eng.sort_values("doc_id")["split"].tolist()
+
+
+def test_doc_source_quota(ray_session, tmp_path):
+    """Per-source quota: SQL row_number parity at sf0.001, the
+    fewer-than-N source keeps everything, and the result is
+    partition-invariant (threshold pass, not per-block top-N)."""
+    from titan_ray.pipelines.docqc import doc_source_quota, source_quota_sql
+
+    eng = _compare("/root/testdata/sf0.001", doc_source_quota, source_quota_sql())
+    # every surviving source has at most N rows
+    assert eng.groupby("source").size().max() <= 10
+
+    # tiny planted table: srcA has 3 docs (< N=2? use per_source=2),
+    # srcB has 5 — exercise the short-source branch and block invariance
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 3, 11, 20, 22, 24, 21, 23], type=pa.int64()),
+            "text": pa.array(["x"] * 8),
+            "lang": pa.array(["en"] * 8),
+            "source": pa.array(["A", "A", "A", "B", "B", "B", "B", "B"]),
+            "n_chars": pa.array([1] * 8, type=pa.int64()),
+        }
+    )
+    d = tmp_path / "quota_docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = {}
+    for parts in (1, 4):
+        import ray.data as rd
+
+        from titan_ray.pipelines import docqc as m
+
+        orig = m._read
+        m._read = lambda sf, cols, _t=tbl: rd.from_arrow(_t.select(cols)).repartition(parts)
+        try:
+            out = doc_source_quota(str(d), per_source=2).to_pandas()
+        finally:
+            m._read = orig
+        got[parts] = set(zip(out["source"], out["doc_id"]))
+    assert got[1] == got[4] == {("A", 3), ("A", 7), ("B", 20), ("B", 21)}

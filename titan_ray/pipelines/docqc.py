@@ -1240,3 +1240,85 @@ def hash_split_sql() -> str:
         f"SELECT doc_id, bucket, CASE WHEN bucket < {SPLIT_TEST_LT} THEN 'test' "
         f"WHEN bucket < {SPLIT_VAL_LT} THEN 'val' ELSE 'train' END AS split FROM h"
     )
+
+
+SOURCE_QUOTA_N = 10   # kept docs per source in the driver query
+
+
+def doc_source_quota(sf_dir: str, per_source: int = SOURCE_QUOTA_N):
+    """Per-source quota — the crawl pipeline's domain-cap primitive (e.g.
+    per-domain document caps before dedup): keep the ``per_source`` docs
+    with the SMALLEST doc_id in each source, drop the rest. Returns the
+    surviving (doc_id, source) rows.
+
+    Distributed shape (the doc_quantile_filter two-pass threshold
+    pattern): pass 1 reduces every batch to at most ``per_source``
+    (source, doc_id) rows per source (vectorized partial top-N — one
+    lexsort per batch, no Python loop); a source-keyed merge reduces each
+    source's partials to ONE threshold row (the Nth-smallest doc_id);
+    the driver collects only n_sources rows and pass 2 is a stateless
+    broadcast filter ``doc_id <= thr[source]``. No wide shuffle; driver
+    state is n_sources ints.
+
+    Partitioning note: per-source merge groups hold at most
+    per_source x n_blocks rows (narrow int64 pairs) — bounded by block
+    count, not data rows; for very hot sources raise the merge's bucket
+    fanout or pre-merge per shard.
+    """
+    ds = _read(sf_dir, ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pandas(), dtype=object)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, src))
+        s_sorted, d_sorted = src[order], did[order]
+        new = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(s_sorted)) - starts[(np.cumsum(new) - 1)]
+        keep = rank < per_source
+        return pa.table(
+            {
+                "source": pa.array(s_sorted[keep], type=pa.string()),
+                "doc_id": pa.array(d_sorted[keep]),
+            }
+        )
+
+    def per_source_thr(t: pa.Table) -> pa.Table:
+        did = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        thr = did[min(per_source, len(did)) - 1]
+        return pa.table(
+            {"source": pa.array([t["source"][0].as_py()], type=pa.string()),
+             "thr": pa.array([thr])}
+        )
+
+    thr_df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(per_source_thr, batch_format="pyarrow")
+        .to_pandas()  # n_sources rows
+    )
+    thr = dict(zip(thr_df["source"], thr_df["thr"]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pd.Series(np.asarray(batch["source"].to_pandas(), dtype=object)).map(thr).to_numpy()
+        mask = pa.array(did <= t)
+        return pa.table(
+            {"doc_id": batch["doc_id"].filter(mask), "source": batch["source"].filter(mask)}
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def source_quota_sql(per_source: int = SOURCE_QUOTA_N) -> str:
+    """DuckDB replay: row_number per source ordered by doc_id — identical
+    to the engine's Nth-smallest-doc_id threshold because doc_id is
+    globally unique."""
+    return (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+        f"WHERE rn <= {per_source}"
+    )
