@@ -199,8 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_length_stats": docqc.doc_length_stats,
-        # round-5 session addition: per-source quota (domain-cap primitive)
+        # round-5 session additions: per-source quota (domain-cap
+        # primitive) + per-type heavy hitters
         "doc_source_quota": docqc.doc_source_quota,
+        "events_topk_users": events.events_topk_users,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -343,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_fluency": docqc.lm_fluency_sql(),
         "doc_hash_split": docqc.hash_split_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
+        "events_topk_users": events.topk_users_sql(),
         # round-5: the last rows-only row flips to a value-hash check — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB

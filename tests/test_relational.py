@@ -122,3 +122,39 @@ def test_hash_join_matches_duckdb_on_lineitem_orders(ray_session):
     ora = ora[key].sort_values(key).reset_index(drop=True)
     ora["ln"] = ora["ln"].astype(eng["ln"].dtype)
     pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_events_topk_users_parity_and_ties(ray_session):
+    """Heavy-hitter top-k: DuckDB row_number parity at sf0.001 and the
+    deterministic (count DESC, user_id ASC) tie rule on a planted table."""
+    from titan_ray.pipelines import events as m
+    from titan_ray.pipelines.events import events_topk_users, topk_users_sql
+
+    eng = events_topk_users(SF).sort_values(
+        ["event_type", "n", "user_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(topk_users_sql()).df()
+    pd.testing.assert_frame_equal(eng, ora.astype(eng.dtypes.to_dict()))
+
+    # planted ties: users 1,2,3 each have 2 'a' events; k=2 must keep 1,2
+    import ray.data as rd
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(8), type=pa.int64()),
+            "ts": pa.array(np.full(8, "2020-01-01", dtype="datetime64[us]")),
+            "user_id": pa.array([3, 3, 1, 1, 2, 2, 9, 9], type=pa.int64()),
+            "event_type": pa.array(["a"] * 6 + ["b"] * 2),
+            "value": pa.array([0.0] * 8),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = events_topk_users(d, k=2)
+    got = set(zip(out["event_type"], out["user_id"], out["n"]))
+    assert got == {("a", 1, 2), ("a", 2, 2), ("b", 9, 2)}

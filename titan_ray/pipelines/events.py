@@ -311,3 +311,73 @@ def events_range(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["event_id", "user_id", "r_event_id"]), batch_format="pyarrow"
     )
+
+
+TOPK_USERS = 5
+
+
+def events_topk_users(sf_dir: str, k: int = TOPK_USERS, num_buckets: int = 64):
+    """Heavy hitters: the top-``k`` users by event count within every
+    event_type (ties broken by smaller user_id — fully deterministic, the
+    same rule the SQL oracle's row_number ORDER BY encodes).
+
+    Distributed shape: per-batch Arrow group_by pre-aggregates
+    (event_type, user_id) partial counts — the only thing that crosses the
+    exchange is the pre-aggregated pair stream, bucketed by
+    hash(user_id) % num_buckets so each bucket merge is bounded; the final
+    per-type top-k reduces bucket winners (≤ k per type per bucket) in one
+    tiny driver-side pass over n_types x num_buckets x k rows.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([("user_id", "count")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "n": g["user_id_count"].cast(pa.int64()),
+                "_b": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        # sum partials per (type, user), then keep each type's local top-k
+        g = t.group_by(["event_type", "user_id"]).aggregate([("n", "sum")])
+        df = pa.table(
+            {"event_type": g["event_type"], "user_id": g["user_id"], "n": g["n_sum"]}
+        )
+        et = np.asarray(df["event_type"].to_pandas(), dtype=object)
+        uid = df["user_id"].to_numpy(zero_copy_only=False)
+        n = df["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -n, et))
+        new = np.r_[True, et[order][1:] != et[order][:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(order)) - starts[np.cumsum(new) - 1]
+        keep = np.sort(order[rank < k])
+        return df.take(pa.array(keep))
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()  # <= n_types x num_buckets x k rows
+    )
+    # each user lives in exactly ONE bucket (keyed by user hash), so bucket
+    # counts are final — the driver pass only selects, never re-sums
+    cand = cand.sort_values(["event_type", "n", "user_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby("event_type", sort=False).head(k).reset_index(drop=True)
+    return out[["event_type", "user_id", "n"]]
+
+
+def topk_users_sql(k: int = TOPK_USERS) -> str:
+    """DuckDB replay: row_number per type over (count DESC, user_id)."""
+    return (
+        "SELECT event_type, user_id, n FROM ("
+        "SELECT event_type, user_id, count(*) AS n, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn "
+        "FROM events GROUP BY event_type, user_id) "
+        f"WHERE rn <= {k} ORDER BY event_type, n DESC, user_id"
+    )
