@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # primitive) + per-type heavy hitters
         "doc_source_quota": docqc.doc_source_quota,
         "events_topk_users": events.events_topk_users,
+        "doc_ppl_buckets": docqc.doc_ppl_buckets,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": docqc.hash_split_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
+        "doc_ppl_buckets": docqc.ppl_buckets_sql(),
         # round-5: the last rows-only row flips to a value-hash check — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB

