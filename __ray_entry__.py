@@ -199,8 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_length_stats": docqc.doc_length_stats,
-        # round-5 session additions: per-source quota (domain-cap
-        # primitive) + per-type heavy hitters
+        # round-5 session additions (all SQL-hash-checked): per-source
+        # quota (domain-cap primitive), per-type heavy hitters, and
+        # CCNet-style per-language perplexity buckets
         "doc_source_quota": docqc.doc_source_quota,
         "events_topk_users": events.events_topk_users,
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
