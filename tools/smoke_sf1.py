@@ -130,6 +130,11 @@ def main() -> None:
         "events_asof": events.events_asof,
         "events_range": events.events_range,
         "tpch_revenue_by_nation": relational.tpch_revenue_by_nation,
+        # round-5 session ops: threshold-broadcast quota, heavy hitters,
+        # perplexity terciles (LM pipeline + hash_join + bounded histogram)
+        "doc_source_quota": docqc.doc_source_quota,
+        "events_topk_users": events.events_topk_users,
+        "doc_ppl_buckets": docqc.doc_ppl_buckets,
     }
     out = {}
     for name, fn in ops.items():
