@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": events.events_topk_users,
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
         "embedding_pq": cluster.embedding_pq,
+        "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_users": events.topk_users_sql(),
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
+        "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),
         # round-5: the last rows-only row flips to a value-hash check — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB

@@ -200,3 +200,32 @@ def test_embedding_pq_parity_and_compression(ray_session):
     assert codes.min() >= 0 and codes.max() < PQ_K
     # learned: more than one code in use per subspace
     assert all(len(np.unique(codes[:, s])) > 1 for s in range(PQ_M))
+
+
+def test_ann_topk_pq_parity_and_recall(ray_session):
+    """ADC top-k: SQL parity, the query vector ranks first (its own
+    reconstruction error is minimal), and PQ recall@10 against EXACT
+    L2 top-10 (ADC approximates L2, not cosine) is non-trivial."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.ann import _matrix
+    from titan_ray.stages.cluster import ann_topk_pq, ann_topk_pq_sql
+
+    sf = "/root/testdata/sf0.001"
+    eng = ann_topk_pq(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(ann_topk_pq_sql(sf)).df()
+    assert eng.sort_values(["dist", "vec_id"]).reset_index(drop=True).equals(
+        ora.astype(eng.dtypes.to_dict())
+    )
+    assert eng["vec_id"].iloc[0] == 0
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    mat = _matrix(t["embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    q = mat[vid == 0][0]
+    d2 = np.einsum("ij,ij->i", mat - q, mat - q)
+    exact = set(vid[np.lexsort((vid, d2))[:10]])
+    assert len(exact & set(eng["vec_id"])) / 10 >= 0.5
