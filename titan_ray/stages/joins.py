@@ -65,34 +65,55 @@ def asof_join(left, right, by: str, on: str, value_cols: tuple[str, ...],
     SQL-checked queries — DuckDB ASOF picks an arbitrary tied row, so parity
     is only defined when there are no ties (round-2 advice item 4)."""
     assert direction in ("backward", "forward")
-    sort_cols = [on] if tiebreak is None else [on, tiebreak]
 
+    # Whole-bucket vectorized kernel (round-5): instead of a Python loop
+    # over `by` groups, ONE composite-key searchsorted resolves every left
+    # row at once. Key = gid * K + rank(on), where gid is the factorized
+    # group id, rank() maps on-values to dense ranks over the bucket's
+    # value union, and K > max rank — so keys of different groups never
+    # interleave and a match landing outside the left row's group is
+    # detected by a single gid comparison.
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_parts = []
-        for _, g in df.groupby(by, sort=False):
-            l = g[g["_side"] == 0]
-            r = g[g["_side"] == 1].sort_values(sort_cols, kind="mergesort")
-            if len(l) == 0 or len(r) == 0:
-                continue
-            ron = r[on].to_numpy()
-            lon = l[on].to_numpy()
-            if direction == "backward":
-                matched = np.searchsorted(ron, lon, side="right") - 1
-            else:
-                pos = np.searchsorted(ron, lon, side="left")
-                matched = np.where(pos < len(ron), pos, -1)
-            hit = matched >= 0
-            if not hit.any():
-                continue
-            part = pd.DataFrame(
-                {c: l[c].to_numpy()[hit] for c in l.columns if c not in ("_side", "_b")}
-            )
-            for c in value_cols:
-                part[f"r_{c}"] = r[c].to_numpy()[matched[hit]]
-            out_parts.append(part)
-        if not out_parts:
+        side = df["_side"].to_numpy()
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
             return _typed_empty(df, value_cols)
-        return pd.concat(out_parts, ignore_index=True)
+        codes, _ = pd.factorize(df[by].to_numpy(), sort=False)
+        gl, gr = codes[lmask].astype(np.int64), codes[~lmask].astype(np.int64)
+        l = df[lmask]
+        r = df[~lmask]
+        lon = l[on].to_numpy()
+        ron_raw = r[on].to_numpy()
+        if tiebreak is not None:
+            tb = r[tiebreak].to_numpy()
+            r_order = np.lexsort((tb, ron_raw, gr))
+        else:
+            r_order = np.lexsort((ron_raw, gr))
+        gr_s = gr[r_order]
+        ron = ron_raw[r_order]
+        uniq = np.unique(np.concatenate([ron_raw, lon]))
+        K = np.int64(len(uniq) + 1)
+        rkey = gr_s * K + np.searchsorted(uniq, ron)
+        lkey = gl * K + np.searchsorted(uniq, lon)
+        if direction == "backward":
+            # last right with on <= left.on (ties: max tiebreak — the sort
+            # put it last within equal (gid, on))
+            matched = np.searchsorted(rkey, lkey, side="right") - 1
+            hit = matched >= 0
+        else:
+            # first right with on >= left.on (ties: min tiebreak)
+            matched = np.searchsorted(rkey, lkey, side="left")
+            hit = matched < len(rkey)
+        safe = np.clip(matched, 0, max(len(rkey) - 1, 0))
+        hit &= gr_s[safe] == gl  # match must come from the left row's group
+        if not hit.any():
+            return _typed_empty(df, value_cols)
+        part = pd.DataFrame(
+            {c: l[c].to_numpy()[hit] for c in l.columns if c not in ("_side", "_b")}
+        )
+        for c in value_cols:
+            part[f"r_{c}"] = r[c].to_numpy()[r_order][matched[hit]]
+        return part
 
     ds = _bucketed_union(left, right, by, num_buckets)
     return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
@@ -108,39 +129,47 @@ def range_join(left, right, by: str, on: str, lo, hi, right_cols: tuple[str, ...
     right rows raises (interval too wide for the key density) — explicit,
     not silent truncation."""
 
+    # Whole-bucket vectorized kernel (round-5, same composite-key shape as
+    # asof_join): gid * K + rank(on) keys make the interval lookups a pair
+    # of searchsorteds over the WHOLE bucket — group separation is free
+    # because distinct gids occupy disjoint key ranges.
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_parts = []
-        for _, g in df.groupby(by, sort=False):
-            l = g[g["_side"] == 0]
-            r = g[g["_side"] == 1].sort_values(on, kind="mergesort")
-            if len(l) == 0 or len(r) == 0:
-                continue
-            ron = r[on].to_numpy()
-            lon = l[on].to_numpy()
-            starts = np.searchsorted(ron, lon + lo, side="left")
-            ends = np.searchsorted(ron, lon + hi, side="right")
-            counts = ends - starts
-            if counts.max(initial=0) > max_matches_per_row:
-                raise ValueError(
-                    f"range_join fan-out {int(counts.max())} exceeds "
-                    f"max_matches_per_row={max_matches_per_row}"
-                )
-            total = int(counts.sum())
-            if total == 0:
-                continue
-            from ..functions.strings import multi_arange
-
-            li = np.repeat(np.arange(len(l)), counts)
-            ri = multi_arange(starts, counts)
-            part = pd.DataFrame(
-                {c: l[c].to_numpy()[li] for c in l.columns if c not in ("_side", "_b")}
-            )
-            for c in right_cols:
-                part[f"r_{c}"] = r[c].to_numpy()[ri]
-            out_parts.append(part)
-        if not out_parts:
+        side = df["_side"].to_numpy()
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
             return _typed_empty(df, right_cols)
-        return pd.concat(out_parts, ignore_index=True)
+        codes, _ = pd.factorize(df[by].to_numpy(), sort=False)
+        gl, gr = codes[lmask].astype(np.int64), codes[~lmask].astype(np.int64)
+        l = df[lmask]
+        r = df[~lmask]
+        lon = l[on].to_numpy()
+        ron_raw = r[on].to_numpy()
+        r_order = np.lexsort((ron_raw, gr))
+        gr_s = gr[r_order]
+        ron = ron_raw[r_order]
+        uniq = np.unique(np.concatenate([ron_raw, lon + lo, lon + hi]))
+        K = np.int64(len(uniq) + 1)
+        rkey = gr_s * K + np.searchsorted(uniq, ron)
+        starts = np.searchsorted(rkey, gl * K + np.searchsorted(uniq, lon + lo, side="left"))
+        ends = np.searchsorted(rkey, gl * K + np.searchsorted(uniq, lon + hi, side="right"))
+        counts = ends - starts
+        if counts.max(initial=0) > max_matches_per_row:
+            raise ValueError(
+                f"range_join fan-out {int(counts.max())} exceeds "
+                f"max_matches_per_row={max_matches_per_row}"
+            )
+        if int(counts.sum()) == 0:
+            return _typed_empty(df, right_cols)
+        from ..functions.strings import multi_arange
+
+        li = np.repeat(np.arange(len(l)), counts)
+        ri = multi_arange(starts, counts)
+        part = pd.DataFrame(
+            {c: l[c].to_numpy()[li] for c in l.columns if c not in ("_side", "_b")}
+        )
+        for c in right_cols:
+            part[f"r_{c}"] = r[c].to_numpy()[r_order][ri]
+        return part
 
     ds = _bucketed_union(left, right, by, num_buckets)
     return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
