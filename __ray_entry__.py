@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
+        "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_table_parquet()
         cluster.ensure_centroids(GATE_SF_DIR)
         cluster.ensure_pq(GATE_SF_DIR)
+        cluster.ensure_ivfpq(GATE_SF_DIR)
         multimodal.ensure_media_table(GATE_SF_DIR)
     except Exception:
         # queries() creates them; worst case the gate reports the error —
@@ -354,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),
+        "ann_topk_ivfpq": cluster.ann_topk_ivfpq_sql(GATE_SF_DIR),
         # round-5: the last rows-only row flips to a value-hash check — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB

@@ -229,3 +229,21 @@ def test_ann_topk_pq_parity_and_recall(ray_session):
     d2 = np.einsum("ij,ij->i", mat - q, mat - q)
     exact = set(vid[np.lexsort((vid, d2))[:10]])
     assert len(exact & set(eng["vec_id"])) / 10 >= 0.5
+
+
+def test_ann_topk_ivfpq_parity(ray_session):
+    """IVF-ADC: SQL parity (coarse probe + residual codes + query LUT sums,
+    all exact int64) and the query vector ranks first."""
+    import duckdb
+
+    from titan_ray.stages.cluster import ann_topk_ivfpq, ann_topk_ivfpq_sql
+
+    sf = "/root/testdata/sf0.001"
+    eng = ann_topk_ivfpq(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(ann_topk_ivfpq_sql(sf)).df()
+    assert eng.sort_values(["dist", "vec_id"]).reset_index(drop=True).equals(
+        ora.astype(eng.dtypes.to_dict())
+    )
+    assert eng["vec_id"].iloc[0] == 0

@@ -459,3 +459,177 @@ def ann_topk_pq_sql(sf_dir: str, k: int = 10, vec_id: int = 0,
         "WHERE r.rn = 1 GROUP BY r.vec_id) "
         f"SELECT vec_id, dist FROM a ORDER BY dist, vec_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC, Jegou et al. 2011): coarse k-means cells + ONE shared PQ
+# codebook over cell RESIDUALS — the standard billion-scale ANN index.
+# Coarse centroids are the SAME persisted integer centroids the
+# embedding_kmeans oracle certifies; residuals stay int64, so the full
+# probe -> residual-code -> ADC ranking replays bit-exactly in SQL.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_path(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/titan_ray_kmeans/{tag}/ivfpq_codebooks.parquet"
+
+
+def _train_ivfpq(sf_dir: str, ds, cent: np.ndarray, m: int, k: int,
+                 iters: int, sample: int) -> list[np.ndarray]:
+    """Shared residual codebooks from a bounded deterministic sample."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    samp = quantize(np.stack(ds.limit(sample).to_pandas()["embedding"].to_numpy()))
+    cid, _ = _assign(samp, cent)
+    res = samp - cent[cid]
+    dsub = samp.shape[1] // m
+    books = [
+        _lloyd_int(np.ascontiguousarray(res[:, s * dsub:(s + 1) * dsub]), k, iters)
+        for s in range(m)
+    ]
+    path = ivfpq_path(sf_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "sub": pa.array(np.repeat(np.arange(m, dtype=np.int32), k)),
+                "cid": pa.array(np.tile(np.arange(k, dtype=np.int32), m)),
+                "qc": pa.array([list(b[j]) for b in books for j in range(k)],
+                               type=pa.list_(pa.int64())),
+            }
+        ),
+        path,
+    )
+    return books
+
+
+def ann_topk_ivfpq(sf_dir: str, k: int = 10, vec_id: int = 0, n_probe: int = 6,
+                   m: int = PQ_M, pq_k: int = PQ_K, iters: int = 4,
+                   sample: int = PQ_SAMPLE):
+    """IVF-ADC top-k: probe the ``n_probe`` coarse cells nearest the query
+    (exact int64 distance, cid tie-break), and within probed cells rank by
+    the ADC sum over RESIDUAL codes — per probed cell the query residual
+    yields an m x pq_k LUT of exact distances, each vector costs m LUT
+    gathers. One streaming pass; the coarse matrix + codebooks + LUTs ride
+    by closure (n_probe x m x pq_k ints).
+
+    Approximation comes ONLY from the probe cut and the residual
+    quantization — both deterministic — so the DuckDB oracle
+    (ann_topk_ivfpq_sql) reproduces the ranking bit-for-bit."""
+    import pyarrow.parquet as pq_
+
+    from .ann import query_vector
+
+    ensure_centroids(sf_dir)
+    cent = np.stack(
+        [np.asarray(x) for x in pq_.read_table(centroids_path(sf_dir))["qc"].to_pylist()]
+    ).astype(np.int64)
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = _train_ivfpq(sf_dir, ds, cent, m, pq_k, iters, sample)
+    dsub = cent.shape[1] // m
+
+    q = quantize(query_vector(sf_dir, vec_id)[None, :])[0]
+    qd = np.einsum("ij,ij->i", cent - q[None, :], cent - q[None, :])
+    probe = np.lexsort((np.arange(len(cent)), qd))[:n_probe]  # (dist, cid) order
+    luts = {}
+    for cell in probe:
+        qr = q - cent[cell]
+        luts[int(cell)] = [
+            np.einsum("ij,ij->i", b - qr[s * dsub:(s + 1) * dsub][None, :],
+                      b - qr[s * dsub:(s + 1) * dsub][None, :])
+            for s, b in enumerate(books)
+        ]
+    probe_set = set(int(c) for c in probe)
+
+    def adc(batch: pa.Table) -> pa.Table:
+        qm = quantize(_batch_embeddings(batch))
+        cid, _ = _assign(qm, cent)
+        mask = np.isin(cid, probe)
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.int64())})
+        qm, cid = qm[mask], cid[mask]
+        res = qm - cent[cid]
+        total = np.zeros(len(qm), dtype=np.int64)
+        probe_sorted = np.sort(probe)
+        cell_pos = np.searchsorted(probe_sorted, cid)
+        for s in range(m):
+            code, _ = _assign(np.ascontiguousarray(res[:, s * dsub:(s + 1) * dsub]), books[s])
+            # gather the per-cell query LUT entry for each vector's code
+            lut_rows = np.stack([luts[int(c)][s] for c in probe_sorted])
+            total += lut_rows[cell_pos, code]
+        return pa.table({"vec_id": batch["vec_id"].filter(pa.array(mask)),
+                         "dist": pa.array(total)})
+
+    return ds.map_batches(adc, batch_format="pyarrow").sort(["dist", "vec_id"]).limit(k)
+
+
+def ann_topk_ivfpq_sql(sf_dir: str, k: int = 10, vec_id: int = 0,
+                       n_probe: int = 6, m: int = PQ_M,
+                       dsub: int = 64 // PQ_M) -> str:
+    """DuckDB replay of the IVF-ADC scan: coarse argmin assignment (the
+    kmeans_sql rule) against the SAME persisted centroids, probe = top
+    n_probe cells by exact query distance, residual per-subspace argmin
+    codes against the persisted residual codebooks, summed query-LUT
+    distances, same (dist, vec_id) top-k."""
+    cpath = centroids_path(sf_dir)
+    path = ivfpq_path(sf_dir)
+    sq = "p -> (p[1] - p[2]) * (p[1] - p[2])"
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE!r}) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        f"qv AS (SELECT qe FROM q WHERE vec_id = {vec_id}), "
+        f"co AS (SELECT cid, qc FROM '{cpath}'), "
+        f"pqc AS (SELECT sub, cid, qc FROM '{path}'), "
+        # probe cells: top n_probe coarse cells by exact distance to the query
+        "pr AS (SELECT cid AS cell, qc AS cqc FROM ("
+        "SELECT co.cid, co.qc, row_number() OVER (ORDER BY "
+        f"CAST(list_sum(list_transform(list_zip(qv.qe, co.qc), {sq})) AS BIGINT), co.cid) AS rn "
+        f"FROM co, qv) WHERE rn <= {n_probe}), "
+        # coarse assignment of every vector (kmeans argmin rule)
+        "a AS (SELECT vec_id, cell, cqc FROM ("
+        "SELECT q.vec_id, co.cid AS cell, co.qc AS cqc, row_number() OVER "
+        "(PARTITION BY q.vec_id ORDER BY "
+        f"CAST(list_sum(list_transform(list_zip(q.qe, co.qc), {sq})) AS BIGINT), co.cid) AS rn "
+        "FROM q CROSS JOIN co) WHERE rn = 1), "
+        # residuals of vectors whose cell is probed
+        "rv AS (SELECT a.vec_id, a.cell, list_transform(list_zip(q.qe, a.cqc), "
+        "p -> p[1] - p[2]) AS re FROM a JOIN q USING (vec_id) "
+        "JOIN pr ON pr.cell = a.cell), "
+        # query residual per probed cell
+        "rq AS (SELECT pr.cell, list_transform(list_zip(qv.qe, pr.cqc), "
+        "p -> p[1] - p[2]) AS re FROM pr, qv), "
+        # per-(vector, subspace) residual code
+        "d AS (SELECT rv.vec_id, rv.cell, pqc.sub, pqc.cid, "
+        f"CAST(list_sum(list_transform(list_zip(list_slice(rv.re, pqc.sub * {dsub} + 1, "
+        f"(pqc.sub + 1) * {dsub}), pqc.qc), {sq})) AS BIGINT) AS dist "
+        "FROM rv CROSS JOIN pqc), "
+        "r2 AS (SELECT vec_id, cell, sub, cid, row_number() OVER "
+        "(PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d), "
+        # query-LUT distance per (cell, sub, cid)
+        "cd AS (SELECT rq.cell, pqc.sub, pqc.cid, "
+        f"CAST(list_sum(list_transform(list_zip(list_slice(rq.re, pqc.sub * {dsub} + 1, "
+        f"(pqc.sub + 1) * {dsub}), pqc.qc), {sq})) AS BIGINT) AS qdist "
+        "FROM rq CROSS JOIN pqc), "
+        "f AS (SELECT r2.vec_id, CAST(sum(cd.qdist) AS BIGINT) AS dist "
+        "FROM r2 JOIN cd ON cd.cell = r2.cell AND cd.sub = r2.sub AND cd.cid = r2.cid "
+        "WHERE r2.rn = 1 GROUP BY r2.vec_id) "
+        f"SELECT vec_id, dist FROM f ORDER BY dist, vec_id LIMIT {k}"
+    )
+
+
+def ensure_ivfpq(sf_dir: str) -> str:
+    """Provision the IVF-PQ oracle sidecars (coarse centroids + residual
+    codebooks) if missing; needs Ray initialised. Deterministic."""
+    import os
+
+    path = ivfpq_path(sf_dir)
+    if not os.path.exists(path):
+        ann_topk_ivfpq(sf_dir)  # trains + persists; also ensures centroids
+    return path
