@@ -135,9 +135,10 @@ def main() -> None:
         "doc_source_quota": docqc.doc_source_quota,
         "events_topk_users": events.events_topk_users,
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
-        # round-5: PQ codebook train+assign and the ADC compressed scan
+        # round-5: PQ codebook train+assign and the ADC compressed scans
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
+        "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
     }
     out = {}
     for name, fn in ops.items():
