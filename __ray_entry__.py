@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
+        "qc_conv_summary": qc_battery.qc_conv_summary,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }

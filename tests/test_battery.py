@@ -451,3 +451,18 @@ def test_sct_adaptive_radius_kernel():
     out2 = _adaptive_restrict(m2, adt2, k=2, rmin=1, rmax=6)
     row4 = out2[4]
     assert sorted(v for v in row4[~np.isnan(row4)]) == [6.0]  # t=10 kept
+
+
+def test_qc_conv_summary_consistency(ray_session):
+    """Per-conversation summary: n_flagged + n_kept == n_turns everywhere,
+    max_flag 0 iff nothing flagged, and totals agree with qc_flag_counts."""
+    from titan_ray.pipelines.qc_battery import qc_conv_summary, qc_flag_counts
+
+    sf = "/root/testdata/sf0.001"
+    s = qc_conv_summary(sf).to_pandas()
+    assert (s["n_flagged"] + s["n_kept"] == s["n_turns"]).all()
+    assert ((s["max_flag"] == 0) <= (s["n_flagged"] == 0)).all()
+    fc = qc_flag_counts(sf).to_pandas()
+    assert int(s["n_turns"].sum()) == int(fc["n_turns"].sum())
+    kept_fc = int(fc.loc[fc["dqcflag"].isin([0, 990]), "n_turns"].sum())
+    assert int(s["n_kept"].sum()) == kept_fc

@@ -160,6 +160,40 @@ def qc_flag_counts(sf_dir: str):
     return ds.groupby(["role", "dqcflag"]).aggregate(Count(alias_name="n_turns"))
 
 
+def qc_conv_summary(sf_dir: str):
+    """Per-conversation QC summary — the downstream consumer surface (keep
+    rate per conversation): n_turns, n_flagged, n_kept (flags 0/990 kept,
+    final_decision.r:12-47 keep rule), max_flag. One narrow groupby over
+    (conv_id + three ints); group count = n_conversations."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _battery_result(sf_dir, battery_config())
+
+    def narrow(b: pa.Table) -> pa.Table:
+        flag = b["dqcflag"]
+        kept = pc.or_(pc.equal(flag, 0), pc.equal(flag, 990))
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "flagged": pc.cast(pc.invert(kept), pa.int64()),
+                "kept": pc.cast(kept, pa.int64()),
+                "flag": pc.cast(flag, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Sum("flagged", alias_name="n_flagged"),
+            Sum("kept", alias_name="n_kept"),
+            Max("flag", alias_name="max_flag"),
+        )
+    )
+
+
 # the standalone fgt query uses a tighter threshold than the battery's 8.0
 # so the driver row exercises actual flags (same constant feeds its SQL)
 FGT_T_SINGLE = 3.0
@@ -606,6 +640,14 @@ def battery_sql(sf: float = 0.01) -> dict[str, str]:
         "qc_flag_counts": (
             final + " SELECT role, dqcflag, count(*) AS n_turns "
             "FROM res GROUP BY role, dqcflag"
+        ),
+        # round-5: per-conversation summary — the downstream consumer view
+        "qc_conv_summary": (
+            final + " SELECT conv_id, count(*) AS n_turns, "
+            "CAST(sum(CASE WHEN dqcflag NOT IN (0, 990) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, "
+            "CAST(sum(CASE WHEN dqcflag IN (0, 990) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(max(dqcflag) AS BIGINT) AS max_flag "
+            "FROM res GROUP BY conv_id"
         ),
     }
     for name, tail in single.items():
