@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_quota": docqc.doc_source_quota,
         "events_topk_users": events.events_topk_users,
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
+        # Gopher-style composite quality rules (Rae et al. 2021 A1.1),
+        # thresholds re-fit to the synthetic corpus; SQL-hash-checked
+        "doc_gopher_filter": docqc.doc_gopher_filter,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
@@ -355,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
+        "doc_gopher_filter": docqc.gopher_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq_sql(GATE_SF_DIR),

@@ -383,3 +383,24 @@ def test_doc_ppl_buckets(ray_session):
     # small langs but not collapse the split)
     frac = per.div(per.sum(axis=1), axis=0)
     assert (frac.max(axis=1) < 0.8).all()
+
+
+def test_doc_gopher_filter(ray_session, edge_docs):
+    from titan_ray.pipelines.docqc import doc_gopher_filter, gopher_sql
+
+    # degenerate rows (empty, single-word, irregular whitespace) all fall
+    # below the word-count band and must be dropped, hash-identically to SQL
+    eng = _compare(edge_docs, doc_gopher_filter, gopher_sql()).set_index("doc_id")
+    assert (eng["keep"] == 0).all()
+    assert eng.loc[2, "n_words"] == 0 and eng.loc[2, "mean_word_len"] == 0.0
+    assert eng.loc[3, "n_words"] == 3          # irregular whitespace collapses
+    assert eng.loc[5, "n_stop_distinct"] == 2  # 'all' + 'are'
+
+    # real corpus: hash-green and every rule cuts non-trivially
+    eng = _compare("/root/testdata/sf0.001", doc_gopher_filter, gopher_sql())
+    kept = int(eng["keep"].sum())
+    assert 0 < kept < len(eng)
+    wc_fail = ((eng["n_words"] < 20) | (eng["n_words"] > 90)).sum()
+    mwl_fail = ((eng["mean_word_len"] < 3.9) | (eng["mean_word_len"] > 5.1)).sum()
+    st_fail = (eng["n_stop_distinct"] < 2).sum()
+    assert wc_fail > 0 and mwl_fail > 0 and st_fail > 0

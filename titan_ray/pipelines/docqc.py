@@ -1425,3 +1425,108 @@ def ppl_buckets_sql() -> str:
         "WHEN b.bin <= thr.t2 THEN 'middle' ELSE 'head' END AS bucket "
         "FROM b JOIN thr USING (lang)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality-rule filter (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+# The published rule set keeps a document only if EVERY heuristic passes:
+# word count in range, mean word length in range, enough distinct stopwords
+# present (plus symbol/bullet/ellipsis ratios that are degenerate on this
+# all-lowercase-word synthetic corpus and therefore omitted). Thresholds are
+# re-fit to the synthetic corpus distribution so every rule cuts
+# non-trivially (probed at sf0.01: n_words p5/p95 = 20/90, mean word length
+# p5/p95 = 3.9/5.1). Reference analog: the same composite first-flag-wins
+# algebra as plausibility_test.r:7-11 + metadata_check.r:20-34, applied as
+# one AND-chain. Scale shape: stateless single-pass map_batches over Arrow
+# byte buffers — no shuffle, no driver state, trivially resumable at 10^12
+# rows; the stopword scan is 50 vectorized count_substring passes over the
+# padded buffer (same kernel the green doc_stopword_ratio row uses).
+GOPHER_WC_LO, GOPHER_WC_HI = 20, 90          # word-count band
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.9, 5.1      # mean-word-length band
+GOPHER_MIN_STOP = 2                          # distinct stopwords required
+
+
+def doc_gopher_filter(
+    sf_dir: str,
+    wc_lo: int = GOPHER_WC_LO,
+    wc_hi: int = GOPHER_WC_HI,
+    mwl_lo: float = GOPHER_MWL_LO,
+    mwl_hi: float = GOPHER_MWL_HI,
+    min_stop: int = GOPHER_MIN_STOP,
+):
+    """Gopher quality rules per document: word count in [wc_lo, wc_hi], mean
+    word length in [mwl_lo, mwl_hi], >= min_stop DISTINCT stopwords present.
+    Emits the per-rule inputs plus the composite keep verdict so downstream
+    stages (and the DuckDB oracle, gopher_sql) can audit which rule fired.
+    Band comparisons run on the UNROUNDED doubles on both sides (identical
+    IEEE ops over identical integers), so the verdict hash-matches; the
+    reported mean_word_len is rounded to 6 for the value hash."""
+    import pyarrow.compute as pc
+
+    from ..functions.features import STOPWORDS
+    from ..functions.strings import word_counts
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        data, offsets, _ = string_view(texts)
+        n_words = word_counts(data, offsets)
+        n_space = char_class_counts(data, offsets)["space"]
+        n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        mwl = (n_bytes - n_space).astype(np.float64) / np.maximum(n_words, 1).astype(np.float64)
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), pc.utf8_lower(texts), pa.scalar(" "), "", null_handling="replace"
+        )
+        n_stop = np.zeros(len(texts), dtype=np.int64)
+        for w in STOPWORDS:
+            c = pc.count_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+            n_stop += (np.nan_to_num(c.astype(np.float64)) > 0).astype(np.int64)
+        keep = (
+            (n_words >= wc_lo) & (n_words <= wc_hi)
+            & (mwl >= mwl_lo) & (mwl <= mwl_hi)
+            & (n_stop >= min_stop)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "mean_word_len": pa.array(round_half_away(mwl, 6)),
+                "n_stop_distinct": pa.array(n_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def gopher_sql(
+    wc_lo: int = GOPHER_WC_LO,
+    wc_hi: int = GOPHER_WC_HI,
+    mwl_lo: float = GOPHER_MWL_LO,
+    mwl_hi: float = GOPHER_MWL_HI,
+    min_stop: int = GOPHER_MIN_STOP,
+) -> str:
+    """DuckDB oracle for doc_gopher_filter: same padded-presence stopword
+    scan (contains over ' w '), same integer word/space counts, same double
+    division (ASCII precondition shared with doc_quality_scores' oracle)."""
+    from ..functions.features import STOPWORDS
+
+    pres = " + ".join(
+        f"CASE WHEN contains(p, ' {w} ') THEN 1 ELSE 0 END" for w in STOPWORDS
+    )
+    return (
+        "WITH b AS (SELECT doc_id, concat(' ', lower(text), ' ') AS p, "
+        r"CAST(length(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_words, "
+        "strlen(text) - CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_nonspace "
+        "FROM documents), "
+        f"c AS (SELECT doc_id, n_words, CAST({pres} AS BIGINT) AS n_stop_distinct, "
+        "CAST(n_nonspace AS DOUBLE) / greatest(n_words, 1) AS mwl FROM b) "
+        "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, n_stop_distinct, "
+        f"CAST(CASE WHEN n_words BETWEEN {wc_lo} AND {wc_hi} "
+        f"AND mwl >= {mwl_lo} AND mwl <= {mwl_hi} "
+        f"AND n_stop_distinct >= {min_stop} THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM c"
+    )
