@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style composite quality rules (Rae et al. 2021 A1.1),
         # thresholds re-fit to the synthetic corpus; SQL-hash-checked
         "doc_gopher_filter": docqc.doc_gopher_filter,
+        # unigram Shannon entropy in exact integer nano-nats (order-free
+        # sums -> hash-stable across Ray/DuckDB grouping orders)
+        "doc_unigram_entropy": docqc.doc_unigram_entropy,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
@@ -359,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_users": events.topk_users_sql(),
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
         "doc_gopher_filter": docqc.gopher_sql(),
+        "doc_unigram_entropy": docqc.entropy_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq_sql(GATE_SF_DIR),

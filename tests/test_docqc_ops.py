@@ -404,3 +404,19 @@ def test_doc_gopher_filter(ray_session, edge_docs):
     mwl_fail = ((eng["mean_word_len"] < 3.9) | (eng["mean_word_len"] > 5.1)).sum()
     st_fail = (eng["n_stop_distinct"] < 2).sum()
     assert wc_fail > 0 and mwl_fail > 0 and st_fail > 0
+
+
+def test_doc_unigram_entropy(ray_session, edge_docs):
+    from titan_ray.pipelines.docqc import doc_unigram_entropy, entropy_sql
+
+    eng = _compare(edge_docs, doc_unigram_entropy, entropy_sql()).set_index("doc_id")
+    assert eng.loc[0, "entropy_nano"] == 0          # 'a a a a' — one type
+    assert eng.loc[1, "entropy_nano"] == 0          # single word
+    assert eng.loc[2, "entropy_nano"] == 0          # empty
+    # 'all words here are unique' — 5 uniform types: H = ln(5)
+    import math
+    assert eng.loc[5, "entropy_nano"] == math.floor(math.log(5) * 1e9 + 0.5)
+
+    eng = _compare("/root/testdata/sf0.001", doc_unigram_entropy, entropy_sql())
+    assert (eng["entropy_nano"] >= 0).all()
+    assert eng["entropy"].nunique() > 100           # non-degenerate signal

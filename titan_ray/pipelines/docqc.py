@@ -1530,3 +1530,93 @@ def gopher_sql(
         f"AND n_stop_distinct >= {min_stop} THEN 1 ELSE 0 END AS BIGINT) AS keep "
         "FROM c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram entropy (lexical-diversity quality signal)
+# ---------------------------------------------------------------------------
+# Shannon entropy of the within-document word distribution — the standard
+# lexical-diversity gate (low entropy = template/boilerplate/repetition;
+# complements doc_repetition's max-frequency signals). Determinism design:
+# floating sums over per-word terms are ORDER-DEPENDENT, and Ray and DuckDB
+# group in different orders, so the entropy is computed in integer
+# "nano-nats": ilog(c) = floor(ln(c)*1e9 + 0.5) (libm log on both sides),
+# s = sum(c * ilog(c)) is an EXACT int64 sum (order-free), and
+# H_nano = ilog(n) - s // n is exact integer math end-to-end. Scale shape:
+# stateless single-pass map_batches (one lexsort per batch, the
+# doc_repetition kernel) — no shuffle, no driver state.
+ENTROPY_SCALE = 1_000_000_000
+
+
+def doc_unigram_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy in integer nano-nats (exact) plus the
+    double view rounded to 6. DuckDB-checkable (entropy_sql)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        n_rows = len(texts)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        values = lst.values
+        rid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        codes = np.asarray(pc.dictionary_encode(values).indices, dtype=np.int64)
+        rid, codes = rid[keep], codes[keep]
+        n_words = np.bincount(rid, minlength=n_rows).astype(np.int64)
+        s = np.zeros(n_rows, dtype=np.int64)
+        if len(rid):
+            order = np.lexsort((codes, rid))
+            r_s, c_s = rid[order], codes[order]
+            newrun = np.ones(len(r_s), dtype=bool)
+            newrun[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.flatnonzero(newrun)
+            runlen = np.diff(np.append(starts, len(r_s)))
+            m = int(max(n_words.max(initial=0), 1))
+            # libm log (math.log), NOT np.log: numpy's SIMD log can differ
+            # from DuckDB's std::log in the last ulp; libm == libm holds
+            ilog = np.array(
+                [0, 0] + [math.floor(math.log(i) * ENTROPY_SCALE + 0.5) for i in range(2, m + 1)],
+                dtype=np.int64,
+            )
+            np.add.at(s, r_s[starts], runlen * ilog[runlen])
+            h_nano = np.where(n_words > 0, ilog[np.maximum(n_words, 1)] - s // np.maximum(n_words, 1), 0)
+        else:
+            h_nano = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "entropy_nano": pa.array(h_nano.astype(np.int64)),
+                "entropy": pa.array(round_half_away(h_nano / float(ENTROPY_SCALE), 6)),
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def entropy_sql() -> str:
+    """DuckDB oracle for doc_unigram_entropy: the same nano-nat integer
+    pipeline (floor(ln(c)*1e9 + 0.5) per count, exact BIGINT sum, integer
+    division), so group ordering cannot perturb the hash."""
+    k = ENTROPY_SCALE
+    return (
+        r"WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents), "
+        "c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+        f"e AS (SELECT doc_id, sum(c) AS n, sum(c * CAST(floor(ln(c) * {k} + 0.5) AS BIGINT)) AS s "
+        "FROM c GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(e.n, 0) AS BIGINT) AS n_words, "
+        f"CAST(CASE WHEN e.n > 0 THEN CAST(floor(ln(e.n) * {k} + 0.5) AS BIGINT) - s // e.n "
+        "ELSE 0 END AS BIGINT) AS entropy_nano, "
+        f"round(CAST(CASE WHEN e.n > 0 THEN CAST(floor(ln(e.n) * {k} + 0.5) AS BIGINT) - s // e.n "
+        f"ELSE 0 END AS DOUBLE) / {k}, 6) AS entropy "
+        "FROM documents d LEFT JOIN e USING (doc_id)"
+    )

@@ -31,7 +31,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import duckdb
     import ray
 
@@ -52,6 +52,8 @@ def main(sf_dir: str):
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     results = {}
     for name, fn in qs.items():
         try:
@@ -74,4 +76,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         only=sys.argv[2:] or None)
