@@ -211,6 +211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram Shannon entropy in exact integer nano-nats (order-free
         # sums -> hash-stable across Ray/DuckDB grouping orders)
         "doc_unigram_entropy": docqc.doc_unigram_entropy,
+        # top-k bigram collocations by integer-scaled PMI (exact ranking,
+        # combiner groupby + two hash_join exchanges — nothing corpus-sized
+        # crosses the wire)
+        "doc_pmi_collocations": docqc.doc_pmi_collocations,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
@@ -363,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
         "doc_gopher_filter": docqc.gopher_sql(),
         "doc_unigram_entropy": docqc.entropy_sql(),
+        "doc_pmi_collocations": docqc.pmi_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq_sql(GATE_SF_DIR),

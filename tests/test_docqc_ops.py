@@ -420,3 +420,34 @@ def test_doc_unigram_entropy(ray_session, edge_docs):
     eng = _compare("/root/testdata/sf0.001", doc_unigram_entropy, entropy_sql())
     assert (eng["entropy_nano"] >= 0).all()
     assert eng["entropy"].nunique() > 100           # non-degenerate signal
+
+
+def test_doc_pmi_collocations(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_pmi_collocations, pmi_sql
+
+    # PMI = c12*N/(c1*c2): a *rare* perfect pair (both words occur only in
+    # the collocation, exactly min_count times) scores N/c12 — strictly
+    # above frequent perfect pairs and far above 'the X' chains.
+    d = tmp_path / "pmi"
+    d.mkdir()
+    rows = []
+    for i in range(5):
+        rows.append("the dog zyx qwv the cat")       # planted rare pair
+    for i in range(75):
+        rows.append("the dog the cat the bird the fish")
+    tbl = pa.table({
+        "doc_id": pa.array(range(80), type=pa.int64()),
+        "text": pa.array(rows),
+    })
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_pmi_collocations, pmi_sql())
+    top = eng.iloc[0]
+    assert (top["w1"], top["w2"]) == ("zyx", "qwv")
+
+    # real corpus: hash-green with a full top-30 board
+    eng = _compare("/root/testdata/sf0.001", doc_pmi_collocations, pmi_sql())
+    assert len(eng) == 30
+    assert eng["pmi_scaled"].is_monotonic_decreasing

@@ -1620,3 +1620,150 @@ def entropy_sql() -> str:
         f"ELSE 0 END AS DOUBLE) / {k}, 6) AS entropy "
         "FROM documents d LEFT JOIN e USING (doc_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level PMI collocations (Church & Hanks 1990)
+# ---------------------------------------------------------------------------
+# Top-k word-bigram collocations by pointwise mutual information — the
+# classic corpus-analysis op for phrase mining / tokenizer vocab curation.
+# PMI = ln(c12 * N / (c1 * c2)) is rank-equivalent to the SCALED INTEGER
+# score (PMI_SCALE * c12 * N) // (c1 * c2), so the whole ranking is exact
+# integer math (no float, no log) and replays bit-identically in DuckDB
+# HUGEINT. Scale shape: ONE pass emits per-batch pre-aggregated unigram AND
+# bigram partial counts (dictionary-encode + bincount — the doc_top_words
+# combiner), ONE vocabulary-sized groupby merges them, the min-count filter
+# shrinks candidates to the collocation set, and two stages.joins.hash_join
+# exchanges attach c1/c2 — nothing corpus-sized crosses the wire and the
+# driver never materializes anything but the final top-k.
+PMI_SCALE = 1_000_000
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def doc_pmi_collocations(sf_dir: str, k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT):
+    """Top-k bigram collocations by integer-scaled PMI, ties broken by
+    (w1, w2) ascending. DuckDB-checkable (pmi_sql)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        n_rows = len(texts)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        values = lst.values
+        rid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        w = values.filter(pa.array(keep))
+        rid = rid[keep]
+        out_kind, out_key, out_n = [], [], []
+        if len(w):
+            enc = pc.dictionary_encode(w)
+            cnt = np.bincount(np.asarray(enc.indices, dtype=np.int64), minlength=len(enc.dictionary))
+            out_kind.append(np.zeros(len(enc.dictionary), dtype=np.int8))
+            out_key.append(enc.dictionary.cast(pa.string()))
+            out_n.append(cnt.astype(np.int64))
+        if len(w) > 1:
+            same = rid[1:] == rid[:-1]
+            pairs = pc.binary_join_element_wise(
+                w.slice(0, len(w) - 1).cast(pa.string()), w.slice(1).cast(pa.string()), " "
+            ).filter(pa.array(same))
+            if len(pairs):
+                enc2 = pc.dictionary_encode(pairs)
+                cnt2 = np.bincount(np.asarray(enc2.indices, dtype=np.int64), minlength=len(enc2.dictionary))
+                out_kind.append(np.ones(len(enc2.dictionary), dtype=np.int8))
+                out_key.append(enc2.dictionary.cast(pa.string()))
+                out_n.append(cnt2.astype(np.int64))
+        if not out_kind:
+            return pa.table({"kind": pa.array([], pa.int8()), "key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(out_kind)),
+                "key": pa.concat_arrays(out_key),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    # vocabulary-sized after the combiner groupby — materializing it (NOT
+    # the corpus) lets the three consumers below reuse one computation
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .sum("n")
+        .map_batches(lambda b: b.rename_columns(["kind", "key", "n"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def kind_only(kind: int, names: tuple[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["kind"], kind))
+            return pa.table({names[0]: b["key"], names[1]: b["n"]})
+
+        return fn
+
+    uni = agg.map_batches(kind_only(0, ("key", "n")), batch_format="pyarrow")
+    n_total = int(uni.sum("n"))
+
+    def to_cand(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["kind"], 1), pc.greater_equal(batch["n"], min_count))
+        b = batch.filter(m)
+        parts = pc.split_pattern(b["key"], " ")
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "c12": b["n"],
+            }
+        )
+
+    cand = agg.map_batches(to_cand, batch_format="pyarrow")
+    uni1 = agg.map_batches(kind_only(0, ("w1", "c")), batch_format="pyarrow")
+    uni2 = agg.map_batches(kind_only(0, ("w2", "c")), batch_format="pyarrow")
+    j1 = hash_join(cand, uni1, "w1", ("c",)).map_batches(
+        lambda b: b.rename_columns(["w1", "w2", "c12", "c1"]), batch_format="pyarrow"
+    )
+    j = hash_join(j1, uni2, "w2", ("c",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c12 = np.asarray(batch["c12"], dtype=np.int64)
+        c1 = np.asarray(batch["c1"], dtype=np.int64)
+        c2 = np.asarray(batch["r_c"], dtype=np.int64)
+        if len(c12):
+            # promote to Python int: np.int64 * PMI_SCALE wraps silently
+            assert int(c12.max()) * PMI_SCALE * n_total < 2**63, "PMI_SCALE overflow"
+        s = (PMI_SCALE * c12 * n_total) // (c1 * c2)
+        return pa.table(
+            {"w1": batch["w1"], "w2": batch["w2"], "c12": pa.array(c12),
+             "pmi_scaled": pa.array(s.astype(np.int64))}
+        )
+
+    return j.map_batches(score, batch_format="pyarrow").sort(
+        ["pmi_scaled", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
+
+
+def pmi_sql(k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT) -> str:
+    """DuckDB oracle for doc_pmi_collocations: HUGEINT replay of the exact
+    integer PMI ranking (same scale, same floor division, same tie order)."""
+    return (
+        r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents), "
+        "t AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok), "
+        "uni AS (SELECT w, count(*) AS c FROM t GROUP BY w), "
+        "tot AS (SELECT sum(c) AS n FROM uni), "
+        "bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c12 FROM t a "
+        "JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1 GROUP BY 1, 2) "
+        "SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12, "
+        f"CAST((CAST({PMI_SCALE} AS HUGEINT) * bg.c12 * tot.n) // "
+        "(CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_scaled "
+        "FROM bg, tot "
+        "JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2 "
+        f"WHERE bg.c12 >= {min_count} "
+        f"ORDER BY pmi_scaled DESC, bg.w1, bg.w2 LIMIT {k}"
+    )
