@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiner groupby + two hash_join exchanges — nothing corpus-sized
         # crosses the wire)
         "doc_pmi_collocations": docqc.doc_pmi_collocations,
+        # BM25 top-k retrieval under a rational integer scoring (one text
+        # pass -> narrow candidate stream; |Q|-sized df aggregate; HUGEINT
+        # SQL replay of the exact ranking)
+        "doc_bm25_topk": docqc.doc_bm25_topk,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
@@ -368,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filter": docqc.gopher_sql(),
         "doc_unigram_entropy": docqc.entropy_sql(),
         "doc_pmi_collocations": docqc.pmi_sql(),
+        "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq_sql(GATE_SF_DIR),

@@ -451,3 +451,39 @@ def test_doc_pmi_collocations(ray_session, tmp_path):
     eng = _compare("/root/testdata/sf0.001", doc_pmi_collocations, pmi_sql())
     assert len(eng) == 30
     assert eng["pmi_scaled"].is_monotonic_decreasing
+
+
+def test_doc_bm25_topk(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import bm25_sql, doc_bm25_topk
+
+    # doc 0: dense in rare term 'hash' and short -> top; doc 1: one hit in a
+    # long doc -> lower; doc 2: hits only ubiquitous 'stream' -> lowest;
+    # doc 3: no hits -> absent; doc 4: empty (inert for N/avgdl)
+    d = tmp_path / "bm25"
+    d.mkdir()
+    rows = [
+        "hash hash join x",
+        "hash " + "y " * 40 + "z",
+        "stream a b c",
+        "p q r s",
+        "",
+    ] + ["stream w w w"] * 10          # make 'stream' high-df
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+        "text": pa.array(rows),
+    })
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_bm25_topk, bm25_sql())
+    assert eng.iloc[0]["doc_id"] == 0                  # tf-dense short doc wins
+    assert 3 not in set(eng["doc_id"])                 # no query hits -> absent
+    assert 4 not in set(eng["doc_id"])
+    s = eng.set_index("doc_id")["bm25_scaled"]
+    assert s[0] > s[1] > s[2]                          # df + length norm order
+
+    # real corpus: hash-green
+    eng = _compare("/root/testdata/sf0.001", doc_bm25_topk, bm25_sql())
+    assert len(eng) > 0
+    assert eng["bm25_scaled"].is_monotonic_decreasing

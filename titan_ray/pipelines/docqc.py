@@ -1767,3 +1767,152 @@ def pmi_sql(k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT) -> str:
         f"WHERE bg.c12 >= {min_count} "
         f"ORDER BY pmi_scaled DESC, bg.w1, bg.w2 LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 text retrieval (Robertson & Walker 1994 / Okapi)
+# ---------------------------------------------------------------------------
+# Top-k documents for a bag-of-words query under a RATIONAL BM25 variant:
+# k1 = 6/5 and b = 3/4 are folded into pure integer arithmetic, avgdl is the
+# floored corpus mean, and the log-IDF is replaced by its rank-preserving
+# rational core (2N - 2df + 1) / (2df + 1) — so every per-term contribution
+# is one exact integer floor-division
+#   floor(S * (2N-2df+1) * 22*A*f / ((2df+1) * (10*A*f + 3*A + 9*dl)))
+# (derivation: tf_part = f*(k1+1)/(f + k1*(1 - b + b*dl/A)) with k1=6/5,
+# b=3/4 multiplied through by 10*A) and the per-doc score is an order-free
+# integer sum that replays bit-identically in DuckDB HUGEINT.
+# Scale shape: ONE pass over the corpus emits a narrow stream — one global
+# (n_docs, n_tokens) partial per batch plus one row per (doc, query-term)
+# hit; df/N/avgdl are |Q|-sized / scalar aggregates over that stream; the
+# score pass touches only candidate docs and the driver sees top-k rows.
+BM25_SCALE = 10_000
+BM25_QUERY = ("hash", "join", "merge", "stream")
+BM25_TOP_K = 20
+
+
+def doc_bm25_topk(sf_dir: str, query: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K):
+    """Top-k (doc_id, bm25_scaled) for a fixed term query; ties broken by
+    doc_id ascending. Docs with zero query-term hits score 0 and are not
+    returned (standard BM25 candidate semantics). DuckDB-checkable
+    (bm25_sql). Reference analog: the 'value vs expected climatology' band
+    of functions/checks/climatological_check.r recast as corpus-relative
+    term salience."""
+    import pyarrow.compute as pc
+    import ray
+
+    assert all(t.isalnum() for t in query), "query terms must be plain words"
+    nq = len(query)
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_rows = len(texts)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        rid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(lst.values, "").fill_null(False))
+        w = lst.values.filter(pa.array(keep))
+        rid = rid[keep]
+        dl = np.bincount(rid, minlength=n_rows).astype(np.int64)
+
+        ti = pc.index_in(w, pa.array(list(query)))
+        tmask = np.asarray(pc.is_valid(ti))
+        out_doc = np.empty(0, dtype=np.int64)
+        out_ti = np.empty(0, dtype=np.int64)
+        out_f = np.empty(0, dtype=np.int64)
+        out_dl = np.empty(0, dtype=np.int64)
+        if tmask.any():
+            tiv = np.asarray(ti.cast(pa.int64()).fill_null(0))[tmask]
+            ridq = rid[tmask]
+            ukey, f = np.unique(ridq * nq + tiv, return_counts=True)
+            urow = ukey // nq
+            out_doc, out_ti = did[urow], ukey % nq
+            out_f, out_dl = f.astype(np.int64), dl[urow]
+        # kind-0 stats row: f = token total, dl = docs with >=1 token (the
+        # corpus N/avgdl convention BM25 uses; zero-token docs are inert)
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate([[0], np.ones(len(out_doc), dtype=np.int8)]).astype(np.int8)),
+                "doc_id": pa.array(np.concatenate([[0], out_doc])),
+                "ti": pa.array(np.concatenate([[-1], out_ti])),
+                "f": pa.array(np.concatenate([[int(dl.sum())], out_f])),
+                "dl": pa.array(np.concatenate([[int(np.count_nonzero(dl))], out_dl])),
+            }
+        )
+
+    # narrow (stats + candidate) stream, materialized ONCE — its three
+    # consumers (corpus scalars, df, score) never re-touch the corpus text
+    narrow = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    stats = narrow.filter(expr="kind == 0")
+    tl = int(stats.sum("f") or 0)
+    n_docs = int(stats.sum("dl") or 0)
+    cand = narrow.filter(expr="kind == 1")
+    if n_docs == 0 or cand.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bm25_scaled": pa.array([], pa.int64())})
+        )
+    avgdl = tl // n_docs
+    df_rows = cand.groupby("ti").count().take_all()     # |Q|-sized
+    df_arr = np.zeros(nq, dtype=np.int64)
+    for r in df_rows:
+        df_arr[int(r["ti"])] = int(r["count()"])
+
+    # overflow guard for the int64 numerator (promote to Python int — the
+    # np.int64 product would wrap silently); DuckDB side is HUGEINT-exact
+    assert BM25_SCALE * (2 * n_docs + 1) * 22 * max(avgdl, 1) * max(
+        int(cand.max("f")), 1
+    ) < 2**63, "BM25_SCALE overflow"
+
+    def score(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ti = batch["ti"].to_numpy(zero_copy_only=False)
+        f = batch["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = df_arr[ti]
+        num = BM25_SCALE * (2 * n_docs - 2 * df + 1) * 22 * avgdl * f
+        den = (2 * df + 1) * (10 * avgdl * f + 3 * avgdl + 9 * dl)
+        s = num // den
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "bm25_scaled": pa.array(s),
+                "_b": pa.array((did % 64).astype(np.int32)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("bm25_scaled", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "bm25_scaled": g["bm25_scaled_sum"]})
+
+    return (
+        cand.map_batches(score, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .sort(["bm25_scaled", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bm25_sql(query: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K) -> str:
+    """DuckDB oracle for doc_bm25_topk: the same rational-BM25 integer
+    ranking in HUGEINT (same floored avgdl, same per-term floor division,
+    same tie order)."""
+    terms = ", ".join(f"'{t}'" for t in query)
+    return (
+        r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents), "
+        "t AS (SELECT doc_id, unnest(ts) AS w FROM tok), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "
+        "g AS (SELECT count(*) AS n, sum(dl) // count(*) AS a FROM dl), "
+        f"f AS (SELECT doc_id, w, count(*) AS f FROM t WHERE w IN ({terms}) GROUP BY 1, 2), "
+        "df AS (SELECT w, count(*) AS df FROM f GROUP BY w), "
+        "s AS (SELECT f.doc_id, "
+        f"SUM((CAST({BM25_SCALE} AS HUGEINT) * (2*g.n - 2*df.df + 1) * 22 * g.a * f.f) // "
+        "((2*df.df + 1) * (10*g.a*f.f + 3*g.a + 9*dl.dl))) AS sc "
+        "FROM f JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g GROUP BY 1) "
+        "SELECT doc_id, CAST(sc AS BIGINT) AS bm25_scaled FROM s "
+        f"ORDER BY sc DESC, doc_id LIMIT {k}"
+    )
