@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
         "qc_conv_summary": qc_battery.qc_conv_summary,
+        # role->next_role Markov transition counts (the LEAD-window shape;
+        # one conv-bucket exchange, |roles|^2 merge)
+        "conv_role_transitions": qc_battery.conv_role_transitions,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
     }
@@ -305,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         # flagship battery over the persisted scored corpus (the driver gate
         # runs at sf=0.01; queries() writes the file before the SQL reads it)
         **qc_battery.battery_sql(GATE_SF),
+        "conv_role_transitions": qc_battery.role_transitions_sql(GATE_SF),
         **neardup.neardup_sql(GATE_SF),
         "doc_length_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars "

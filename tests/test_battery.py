@@ -466,3 +466,28 @@ def test_qc_conv_summary_consistency(ray_session):
     assert int(s["n_turns"].sum()) == int(fc["n_turns"].sum())
     kept_fc = int(fc.loc[fc["dqcflag"].isin([0, 990]), "n_turns"].sum())
     assert int(s["n_kept"].sum()) == kept_fc
+
+
+def test_conv_role_transitions(ray_session):
+    """Role-transition counts: engine (bucket exchange + lexsort kernel) vs
+    the DuckDB LEAD-window oracle, hash-exact; sanity: total transitions ==
+    sum over conversations of (len - 1)."""
+    import duckdb
+
+    from titan_ray.pipelines.qc_battery import (
+        conv_role_transitions,
+        role_transitions_sql,
+    )
+    from tools.check_contract import to_pandas, value_hash
+
+    sf = "/root/testdata/sf0.001"
+    eng = to_pandas(conv_role_transitions(sf))
+    ora = duckdb.sql(role_transitions_sql(0.001)).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+    n_expected = duckdb.sql(
+        "SELECT CAST(sum(c - 1) AS BIGINT) FROM (SELECT count(*) AS c FROM "
+        "read_parquet('/tmp/titan_ray_corpus/sf0.001/*.parquet') "
+        "WHERE conv_id IS NOT NULL AND role IS NOT NULL GROUP BY conv_id)"
+    ).fetchone()[0]
+    assert int(eng["n"].sum()) == int(n_expected)

@@ -865,3 +865,89 @@ def sct_scores_sql(sf: float = 0.01) -> str:
         "JOIN f ON f.conv_id = m.conv_id AND f.turn_idx = m.turn_idx "
         f"WHERE m.cnt >= {cfg.sct_min}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Role-transition matrix (the LEAD-window shape)
+# ---------------------------------------------------------------------------
+
+def conv_role_transitions(sf_dir: str):
+    """(role, next_role, n) Markov transition counts within conversations
+    ordered by turn_idx — the per-conversation sequential view a routing /
+    agent-analysis consumer reads off the corpus (reference analog: the
+    within-neighbourhood ordering that buddy/sct iterate in titan.r's conv
+    loop, reduced to its transition statistics).
+
+    Scale shape: only (conv_id, turn_idx, role) crosses ONE bucket-keyed
+    exchange (deterministic siphash conv bucket, 64 keys — same exchange
+    discipline as the flagship conv shuffle); the per-bucket kernel is a
+    factorize + lexsort + vectorized adjacent-compare; the final merge is a
+    |roles|^2-sized groupby. Rows with null conv_id/role are excluded on
+    both sides (the LEAD partition over nulls is not well-defined)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        corpus_path_for_sf(_sf_of(sf_dir)), columns=["conv_id", "turn_idx", "role"]
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["conv_id"]), pc.is_valid(b["role"]))
+        b = b.filter(m)
+        hv = pd.util.hash_array(b["conv_id"].to_pandas().to_numpy(dtype=object))
+        return b.append_column("_b", pa.array((hv % 64).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        conv = pd.factorize(t["conv_id"].to_pandas())[0]
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        roles, runiq = pd.factorize(t["role"].to_pandas())
+        # order by (turn_idx, role): the corpus plants duplicate
+        # (conv_id, turn_idx) rows, and under a bare turn_idx order LEAD is
+        # ambiguous on the ties; with role as tiebreaker any remaining
+        # permutation is between identical keys and cannot change the
+        # transition sequence. Role codes are appearance-ordered, so map
+        # them to lexicographic rank first (SQL compares the strings).
+        nr0 = len(runiq)
+        rank = np.empty(nr0, dtype=np.int64)
+        rank[np.argsort(runiq)] = np.arange(nr0)
+        order = np.lexsort((rank[roles], ti, conv))
+        cs, rs = conv[order], roles[order]
+        adj = cs[1:] == cs[:-1]
+        nr = len(runiq)
+        key = rs[:-1][adj] * nr + rs[1:][adj]
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "role": pa.array(runiq.take(uk // nr)),
+                "next_role": pa.array(runiq.take(uk % nr)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .groupby(["role", "next_role"])
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["role", "next_role", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def role_transitions_sql(sf: float = 0.01) -> str:
+    """DuckDB oracle for conv_role_transitions (LEAD window, same null
+    exclusions)."""
+    rel = f"read_parquet('{corpus_path_for_sf(sf)}/*.parquet')"
+    return (
+        f"WITH src AS (SELECT conv_id, turn_idx, role FROM {rel} "
+        "WHERE conv_id IS NOT NULL AND role IS NOT NULL), "
+        "s AS (SELECT role, lead(role) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx, role) AS next_role FROM src) "
+        "SELECT role, next_role, count(*) AS n FROM s "
+        "WHERE next_role IS NOT NULL GROUP BY role, next_role"
+    )
