@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style per-language perplexity buckets
         "doc_source_quota": docqc.doc_source_quota,
         "events_topk_users": events.events_topk_users,
+        # trailing RANGE-INTERVAL frame (rate-limiter primitive): one
+        # user-bucket exchange, two whole-bucket searchsorted calls
+        "events_sliding_rate": events.events_sliding_rate,
         "doc_ppl_buckets": docqc.doc_ppl_buckets,
         # Gopher-style composite quality rules (Rae et al. 2021 A1.1),
         # thresholds re-fit to the synthetic corpus; SQL-hash-checked
@@ -372,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": docqc.hash_split_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
+        "events_sliding_rate": events.sliding_rate_sql(),
         "doc_ppl_buckets": docqc.ppl_buckets_sql(),
         "doc_gopher_filter": docqc.gopher_sql(),
         "doc_unigram_entropy": docqc.entropy_sql(),

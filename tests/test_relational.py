@@ -158,3 +158,51 @@ def test_events_topk_users_parity_and_ties(ray_session):
         out = events_topk_users(d, k=2)
     got = set(zip(out["event_type"], out["user_id"], out["n"]))
     assert got == {("a", 1, 2), ("a", 2, 2), ("b", 9, 2)}
+
+
+def test_events_sliding_rate(ray_session, tmp_path):
+    """Trailing RANGE-frame rate: DuckDB window parity at sf0.001, plus a
+    planted table covering frame edges (exactly-W-old included, W+1 excluded,
+    duplicate-ts peers counted regardless of order, users isolated)."""
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_sliding_rate, sliding_rate_sql
+
+    eng = to_pandas(events_sliding_rate(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(sliding_rate_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+    import pyarrow.parquet as pq
+
+    W = 600_000_000
+    base = 1_700_000_000_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(7), type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], type=pa.int64()),
+            "ts": pa.array(
+                [base, base + W, base + W + 1, base + 2 * W + 2,
+                 base + 2 * W + 2,            # duplicate ts (peer rows)
+                 base, base + 1],
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a"] * 7),
+            "value": pa.array([0.0] * 7),
+            "props": pa.array([""] * 7),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_sliding_rate(str(d))).set_index("event_id")["n_win"]
+    assert eng[0] == 1          # nothing before
+    assert eng[1] == 2          # event 0 is exactly W old -> included
+    assert eng[2] == 2          # event 0 now W+1 old -> excluded; event 1 in
+    assert eng[3] == 2 and eng[4] == 2   # ts-peers count each other
+    assert eng[5] == 1 and eng[6] == 2   # user 2 isolated from user 1
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con2.sql(sliding_rate_sql()).df()
+    assert value_hash(eng.reset_index()) == value_hash(ora)

@@ -381,3 +381,86 @@ def topk_users_sql(k: int = TOPK_USERS) -> str:
         "FROM events GROUP BY event_type, user_id) "
         f"WHERE rn <= {k} ORDER BY event_type, n DESC, user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate (RANGE BETWEEN INTERVAL frame)
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW_US = 600_000_000          # 10 minutes, integer microseconds
+
+
+def events_sliding_rate(sf_dir: str, window_us: int = SLIDE_WINDOW_US,
+                        num_buckets: int = 64):
+    """Per event: how many of the SAME user's events fall in the trailing
+    ``window_us`` frame [ts - W, ts] — the rate-limiter / burst-detection
+    primitive, i.e. the one window shape (RANGE BETWEEN INTERVAL ... AND
+    CURRENT ROW) the sessions/hourly/topk family doesn't cover. RANGE frames
+    include ts-peers regardless of row order, so the result is well-defined
+    under duplicate timestamps with no tiebreaker needed.
+
+    Scale shape: narrow (event_id, user_id, ts) stream through ONE
+    bucket-keyed exchange (user_id % B, so a user's events co-locate); the
+    per-bucket kernel is fully vectorized — sort by (user, ts), lift each
+    user's relative timestamps onto disjoint int64 ranges separated by more
+    than W, then TWO whole-bucket np.searchsorted calls give every frame
+    boundary at once (no per-user Python loop)."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        if len(eid) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_win": pa.array([], pa.int64())})
+        order = np.lexsort((ts, uid))
+        eid, uid, ts = eid[order], uid[order], ts[order]
+        rel = ts - ts.min()
+        # user index 0..n_users-1 in sorted order
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        uidx = np.cumsum(new) - 1
+        stride = int(rel.max()) + window_us + 1
+        # isolation guard: uidx * stride must stay exact in int64 (at this
+        # bound a bucket holds ~9e18/stride users; shrink the bucket count
+        # or the window if a real deployment ever trips it)
+        assert int(uidx[-1]) * stride < 2**63, "sliding-rate stride overflow"
+        adj = rel + uidx * stride
+        hi = np.searchsorted(adj, adj, side="right")
+        lo = np.searchsorted(adj, adj - window_us, side="left")
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "n_win": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def sliding_rate_sql(window_us: int = SLIDE_WINDOW_US) -> str:
+    """DuckDB replay of events_sliding_rate: the same RANGE-INTERVAL frame."""
+    return (
+        "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL {window_us} MICROSECONDS PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS n_win FROM events"
+    )
