@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiner groupby + two hash_join exchanges — nothing corpus-sized
         # crosses the wire)
         "doc_pmi_collocations": docqc.doc_pmi_collocations,
+        # distributed COUNT(DISTINCT): per-batch local vocab collapse,
+        # one word-hash-bucket exchange, per-bucket-final counts
+        "doc_vocab_size": docqc.doc_vocab_size,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -386,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filter": docqc.gopher_sql(),
         "doc_unigram_entropy": docqc.entropy_sql(),
         "doc_pmi_collocations": docqc.pmi_sql(),
+        "doc_vocab_size": docqc.vocab_size_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

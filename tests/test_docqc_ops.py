@@ -487,3 +487,20 @@ def test_doc_bm25_topk(ray_session, tmp_path):
     eng = _compare("/root/testdata/sf0.001", doc_bm25_topk, bm25_sql())
     assert len(eng) > 0
     assert eng["bm25_scaled"].is_monotonic_decreasing
+
+
+def test_doc_vocab_size(ray_session, edge_docs, tmp_path):
+    from titan_ray.pipelines.docqc import doc_vocab_size, vocab_size_sql
+
+    # edge fixture: 'de' lang has ONLY the empty doc -> no row (unnest
+    # semantics); per-lang type/token counts hash-match DuckDB
+    eng = _compare(edge_docs, doc_vocab_size, vocab_size_sql()).set_index("lang")
+    assert "de" not in eng.index
+    assert eng.loc["en", "n_types"] == len(
+        set("a a a a one leading and trailing all words here are unique".split())
+    )
+    assert eng.loc["fr", "n_types"] == 3 and eng.loc["fr", "n_tokens"] == 7
+
+    # real corpus, multi-block: exchange-level dedup correctness
+    eng = _compare("/root/testdata/sf0.001", doc_vocab_size, vocab_size_sql())
+    assert (eng["n_types"] <= eng["n_tokens"]).all()

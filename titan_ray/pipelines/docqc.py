@@ -1916,3 +1916,92 @@ def bm25_sql(query: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K) -> str:
         "SELECT doc_id, CAST(sc AS BIGINT) AS bm25_scaled FROM s "
         f"ORDER BY sc DESC, doc_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language vocabulary size (COUNT DISTINCT at scale / Heaps' law input)
+# ---------------------------------------------------------------------------
+
+def doc_vocab_size(sf_dir: str, num_buckets: int = 64):
+    """(lang, n_types, n_tokens): distinct-word and total-word counts per
+    language — the distributed COUNT(DISTINCT) primitive (tokenizer-vocab
+    sizing / Heaps'-law curves). Words are 64-bit FNV hashes; the SQL oracle
+    counts the literal strings, so a collision would surface as a driver-
+    gate mismatch (same convention as doc_lm_fluency).
+
+    Scale shape: per-batch np.unique collapses each batch to its LOCAL
+    (lang, word-hash) vocabulary before the exchange; ONE bucket-keyed
+    groupby on hash % B co-locates every occurrence of a (lang, word), so
+    the per-bucket distinct count is final and the last merge sums
+    |langs| x B tiny partials."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        g1, rid = _word_gram_hashes(texts, 1)
+        lang_codes, lang_uniq = pd.factorize(batch["lang"].to_pandas())
+        lc = lang_codes[rid].astype(np.int64)
+        # kind-0 rows: per-lang token-count partials
+        tok = np.bincount(lc[lc >= 0], minlength=len(lang_uniq)).astype(np.int64) \
+            if len(lc) else np.zeros(len(lang_uniq), dtype=np.int64)
+        # kind-1 rows: batch-local distinct (lang, hash) pairs
+        h = g1.view(np.int64)
+        m = lc >= 0                      # null lang rows excluded both sides
+        pairs = np.unique(np.stack([lc[m], h[m]]), axis=1) if m.any() else np.empty((2, 0), dtype=np.int64)
+        langs0 = pa.array(lang_uniq, type=pa.string())
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate([np.zeros(len(lang_uniq), dtype=np.int8),
+                                                 np.ones(pairs.shape[1], dtype=np.int8)])),
+                "lang": pa.concat_arrays([langs0, langs0.take(pa.array(pairs[0]))]),
+                "h": pa.array(np.concatenate([np.zeros(len(lang_uniq), dtype=np.int64), pairs[1]])),
+                "n": pa.array(np.concatenate([tok, np.zeros(pairs.shape[1], dtype=np.int64)])),
+                "_b": pa.array(
+                    np.concatenate([
+                        np.full(len(lang_uniq), num_buckets, dtype=np.int64),  # stats bucket
+                        (pairs[1] % num_buckets + num_buckets) % num_buckets,  # word bucket
+                    ]).astype(np.int32)
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_numpy(zero_copy_only=False)
+        if (kinds == 0).all():           # the stats bucket: sum token partials
+            g = t.group_by("lang").aggregate([("n", "sum")])
+            return pa.table({"lang": g["lang"], "n_types": pa.array(np.zeros(len(g), dtype=np.int64)),
+                             "n_tokens": g["n_sum"]})
+        lang = t["lang"].to_pandas().to_numpy(dtype=object)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        lc, lu = pd.factorize(lang)
+        key = np.unique(np.stack([lc.astype(np.int64), h]), axis=1)
+        types = np.bincount(key[0], minlength=len(lu)).astype(np.int64)
+        return pa.table({"lang": pa.array(lu, type=pa.string()), "n_types": pa.array(types),
+                         "n_tokens": pa.array(np.zeros(len(lu), dtype=np.int64))})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_types", "n_tokens"])
+    )
+    # a lang whose every doc is empty has no words in the SQL view — drop
+    # its zero row to match COUNT-over-unnest semantics
+    return out.map_batches(
+        lambda b: b.rename_columns(["lang", "n_types", "n_tokens"]),
+        batch_format="pyarrow",
+    ).filter(expr="n_tokens > 0")
+
+
+def vocab_size_sql() -> str:
+    """DuckDB oracle for doc_vocab_size (literal-string distinct counts)."""
+    return (
+        r"WITH t AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w "
+        "FROM documents WHERE lang IS NOT NULL) "
+        "SELECT lang, count(DISTINCT w) AS n_types, count(*) AS n_tokens "
+        "FROM t GROUP BY lang"
+    )
