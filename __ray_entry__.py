@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed COUNT(DISTINCT): per-batch local vocab collapse,
         # one word-hash-bucket exchange, per-bucket-final counts
         "doc_vocab_size": docqc.doc_vocab_size,
+        # snapshot diff (incremental-ingest primitive): sides collapse
+        # to hashes at the read, one doc-bucket exchange, set algebra
+        "corpus_diff": docqc.corpus_diff,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -390,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_entropy": docqc.entropy_sql(),
         "doc_pmi_collocations": docqc.pmi_sql(),
         "doc_vocab_size": docqc.vocab_size_sql(),
+        "corpus_diff": docqc.corpus_diff_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

@@ -504,3 +504,32 @@ def test_doc_vocab_size(ray_session, edge_docs, tmp_path):
     # real corpus, multi-block: exchange-level dedup correctness
     eng = _compare("/root/testdata/sf0.001", doc_vocab_size, vocab_size_sql())
     assert (eng["n_types"] <= eng["n_tokens"]).all()
+
+
+def test_corpus_diff(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import corpus_diff, corpus_diff_sql
+
+    # ids picked so all three statuses fire: 3 -> B only (added), 5 -> A
+    # only (removed), 7/14 -> both with B's text amended (changed), 1/2 ->
+    # both unchanged (absent), 15 -> neither snapshot
+    d = tmp_path / "diff"
+    d.mkdir()
+    ids = [1, 2, 3, 5, 7, 14, 15]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([f"text {i}" for i in ids]),
+    })
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), corpus_diff, corpus_diff_sql()).set_index("doc_id")
+    assert eng.loc[3, "status"] == "added"
+    assert eng.loc[5, "status"] == "removed"
+    assert eng.loc[7, "status"] == "changed"
+    assert eng.loc[14, "status"] == "changed"
+    assert set(eng.index) == {3, 5, 7, 14}
+
+    # real corpus, multi-block
+    eng = _compare("/root/testdata/sf0.001", corpus_diff, corpus_diff_sql())
+    assert set(eng["status"]) == {"added", "removed", "changed"}

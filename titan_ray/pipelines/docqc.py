@@ -2005,3 +2005,100 @@ def vocab_size_sql() -> str:
         "SELECT lang, count(DISTINCT w) AS n_types, count(*) AS n_tokens "
         "FROM t GROUP BY lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (incremental-ingest primitive)
+# ---------------------------------------------------------------------------
+
+def corpus_diff(sf_dir: str, num_buckets: int = 64):
+    """Diff two corpus snapshots by doc_id + 128-bit content hash; emit
+    (doc_id, status) with status in {'added', 'removed', 'changed'} — the
+    incremental-ingest primitive (what changed since the last crawl?).
+
+    The gate derives both snapshots deterministically from the documents
+    table: snapshot A = doc_id % 3 != 0; snapshot B = doc_id % 5 != 0 with
+    text amended (' v2' suffix) where doc_id % 7 == 0 — so added, removed
+    and changed are all exercised. Identity is the siphash pair of the
+    text (dedup_broadcast convention); the SQL twin FULL-OUTER-joins the
+    literal strings, so a collision would surface as a gate mismatch.
+
+    Scale shape: each snapshot collapses to (doc_id, side, h1, h2) at the
+    read — the corpus text never crosses the wire — then ONE doc-bucket
+    exchange co-locates both sides of every doc_id and the per-bucket
+    kernel is sorted-array set algebra (intersect1d / searchsorted)."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import _hash2
+
+    def side_fn(side: int, amend: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = did % 3 != 0 if side == 0 else did % 5 != 0
+            b = batch.filter(pa.array(keep))
+            did = did[keep]
+            texts = b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"]
+            if amend:
+                m = pa.array(did % 7 == 0)
+                amended = pc.binary_join_element_wise(texts, pa.scalar("v2"), " ")
+                texts = pc.if_else(m, amended, texts)
+            h1, h2 = _hash2(texts.to_pandas())
+            return pa.table(
+                {
+                    "doc_id": pa.array(did),
+                    "side": pa.array(np.full(len(did), side, dtype=np.int8)),
+                    "h1": pa.array(h1),
+                    "h2": pa.array(h2),
+                    "_b": pa.array((did % num_buckets).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    a = _read(sf_dir, ["doc_id", "text"]).map_batches(side_fn(0, False), batch_format="pyarrow")
+    b = _read(sf_dir, ["doc_id", "text"]).map_batches(side_fn(1, True), batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        ma, mb = side == 0, side == 1
+        oa, ob = np.argsort(did[ma], kind="stable"), np.argsort(did[mb], kind="stable")
+        da, db = did[ma][oa], did[mb][ob]
+        common, ia, ib = np.intersect1d(da, db, assume_unique=True, return_indices=True)
+        removed = da[~np.isin(da, db, assume_unique=True)]
+        added = db[~np.isin(db, da, assume_unique=True)]
+        diff = (h1[ma][oa][ia] != h1[mb][ob][ib]) | (h2[ma][oa][ia] != h2[mb][ob][ib])
+        changed = common[diff]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([added, removed, changed]).astype(np.int64)
+                ),
+                "status": pa.array(
+                    ["added"] * len(added) + ["removed"] * len(removed) + ["changed"] * len(changed),
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return (
+        a.union(b)
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def corpus_diff_sql() -> str:
+    """DuckDB oracle for corpus_diff (FULL OUTER JOIN over literal text)."""
+    return (
+        "WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0), "
+        "b AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 5 <> 0) "
+        "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+        "CASE WHEN a.doc_id IS NULL THEN 'added' "
+        "WHEN b.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
+        "WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text"
+    )
