@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot diff (incremental-ingest primitive): sides collapse
         # to hashes at the read, one doc-bucket exchange, set algebra
         "corpus_diff": docqc.corpus_diff,
+        # cross-table enrichment: fused co-partition join (embeddings x
+        # documents.lang) + immediate int64 centroid partials
+        "embedding_lang_centroids": docqc.embedding_lang_centroids,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -394,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pmi_collocations": docqc.pmi_sql(),
         "doc_vocab_size": docqc.vocab_size_sql(),
         "corpus_diff": docqc.corpus_diff_sql(),
+        "embedding_lang_centroids": docqc.lang_centroids_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

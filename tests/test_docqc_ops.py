@@ -533,3 +533,44 @@ def test_corpus_diff(ray_session, tmp_path):
     # real corpus, multi-block
     eng = _compare("/root/testdata/sf0.001", corpus_diff, corpus_diff_sql())
     assert set(eng["status"]) == {"added", "removed", "changed"}
+
+
+def test_embedding_lang_centroids(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.docqc import embedding_lang_centroids, lang_centroids_sql
+    import duckdb
+
+    def compare(d):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+        eng = to_pandas(embedding_lang_centroids(d))
+        ora = con.sql(lang_centroids_sql()).df()
+        assert len(eng) == len(ora)
+        assert value_hash(eng) == value_hash(ora)
+        return eng
+
+    # planted: 2 langs, 2 dims, one unmatched vec (inner-join drop)
+    d = tmp_path / "cent"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a", "b", "c"]),
+        "lang": pa.array(["en", "en", "fr"]),
+    }), d / "documents.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 9], type=pa.int64()),
+        "embedding": pa.array([[0.5, -0.25], [0.5, 0.75], [1.0, 0.0], [9.0, 9.0]],
+                              type=pa.list_(pa.float32())),
+    }), d / "embeddings.parquet")
+    eng = compare(str(d)).set_index(["lang", "dim"])
+    assert eng.loc[("en", 1), "sum_q"] == 1_000_000 and eng.loc[("en", 1), "n"] == 2
+    assert eng.loc[("en", 2), "sum_q"] == 500_000
+    assert eng.loc[("fr", 1), "sum_q"] == 1_000_000 and eng.loc[("fr", 1), "n"] == 1
+    assert ("9.0" not in str(eng))          # vec 9 dropped (no doc)
+
+    eng = compare("/root/testdata/sf0.001")
+    assert len(eng) == eng["lang"].nunique() * 64

@@ -2102,3 +2102,131 @@ def corpus_diff_sql() -> str:
         "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
         "WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table centroid aggregate (documents x embeddings)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 1_000_000
+
+
+def embedding_lang_centroids(sf_dir: str, num_buckets: int = 64):
+    """Per-language embedding centroid sums: (lang, dim, sum_q, n) where q =
+    floor(component * 1e6) in exact int64 — the cross-table enrichment shape
+    (vector table joined to metadata, then reduced), e.g. per-language mean
+    embeddings for drift monitoring.
+
+    Scale shape: a FUSED co-partition join + partial reduce — both tables
+    bucket by id hash (embeddings carry their vectors exactly once across
+    ONE exchange; documents contribute only (doc_id, lang), ~10 B/row), and
+    the per-bucket kernel attaches lang via searchsorted then collapses
+    immediately to |langs| x d int64 partials, so the second exchange is
+    tiny. Components are cast float32 -> float64 exactly before scaling, so
+    the DuckDB CAST(x AS DOUBLE) replay is bit-identical; `dim` is 1-based
+    (generate_subscripts convention)."""
+    from ..sources.reader import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    docs = _read(sf_dir, ["doc_id", "lang"])
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "lang": pa.nulls(len(vid), pa.string()),
+                "embedding": e,
+                "_b": pa.array((vid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(did),
+                "lang": batch["lang"],
+                "embedding": pa.nulls(len(did), pa.list_(pa.float32())),
+                "_b": pa.array((did % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "dim": pa.array([], pa.int64()),
+                          "sum_q": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        e_col = t["embedding"]
+        if isinstance(e_col, pa.ChunkedArray):
+            e_col = e_col.combine_chunks()
+        is_doc = np.asarray(pc.is_valid(t["lang"]))
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        dids = vid[is_doc]
+        if len(dids) == 0:
+            return empty
+        langs = t["lang"].to_pandas().to_numpy(dtype=object)[is_doc]
+        o = np.argsort(dids, kind="stable")
+        dids, langs = dids[o], langs[o]
+        emb_rows = np.flatnonzero(~is_doc)
+        vids = vid[emb_rows]
+        pos = np.minimum(np.searchsorted(dids, vids), len(dids) - 1)
+        hit = dids[pos] == vids                          # inner-join semantics
+        emb_rows = emb_rows[hit]
+        lang_of = langs[pos[hit]]
+        sub = e_col.take(pa.array(emb_rows))
+        off = np.asarray(sub.offsets, dtype=np.int64)
+        counts = off[1:] - off[:-1]
+        vals = np.asarray(sub.values, dtype=np.float64)   # f32 -> f64 exact
+        if len(vals) == 0:
+            return empty
+        q = np.floor(vals * CENTROID_SCALE).astype(np.int64)
+        lc, lu = pd.factorize(np.repeat(lang_of, counts))
+        dim = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], counts) + 1)         # 1-based
+        d_max = int(dim.max())
+        key = lc.astype(np.int64) * d_max + (dim - 1)
+        sums = np.zeros(len(lu) * d_max, dtype=np.int64)
+        np.add.at(sums, key, q)                           # exact int64
+        cnts = np.bincount(key, minlength=len(lu) * d_max).astype(np.int64)
+        nz = np.flatnonzero(cnts)
+        return pa.table(
+            {
+                "lang": pa.array(np.asarray(lu, dtype=object).take(nz // d_max), type=pa.string()),
+                "dim": pa.array(nz % d_max + 1),
+                "sum_q": pa.array(sums[nz]),
+                "n": pa.array(cnts[nz]),
+            }
+        )
+
+    out = (
+        emb.map_batches(emb_side, batch_format="pyarrow")
+        .union(docs.map_batches(doc_side, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .groupby(["lang", "dim"])
+        .sum(["sum_q", "n"])
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["lang", "dim", "sum_q", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def lang_centroids_sql() -> str:
+    """DuckDB oracle for embedding_lang_centroids."""
+    return (
+        "WITH e AS (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+        "j AS (SELECT d.lang, e.dim, "
+        f"CAST(floor(CAST(e.x AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS q "
+        "FROM e JOIN documents d ON d.doc_id = e.vec_id) "
+        "SELECT lang, CAST(dim AS BIGINT) AS dim, CAST(sum(q) AS BIGINT) AS sum_q, "
+        "count(*) AS n FROM j GROUP BY lang, dim"
+    )
