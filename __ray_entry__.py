@@ -22,6 +22,7 @@ from titan_ray.functions.scrub import SCRUB_RULES
 from titan_ray.pipelines import docqc, events, qc_battery, relational
 from titan_ray.pipelines.qc import build_qc_pipeline
 from titan_ray.stages import ann, cluster, multimodal, neardup
+from titan_ray.state import dedup_index
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -242,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-table enrichment: fused co-partition join (embeddings x
         # documents.lang) + immediate int64 centroid partials
         "embedding_lang_centroids": docqc.embedding_lang_centroids,
+        # online cross-run dedup: the shared-MUTABLE-index pattern (the
+        # one deliberate raw-actor drop); min-id semantics -> order-free
+        # deterministic result despite racy ingest
+        "online_dedup_docs": dedup_index.online_dedup_docs,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -398,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_size": docqc.vocab_size_sql(),
         "corpus_diff": docqc.corpus_diff_sql(),
         "embedding_lang_centroids": docqc.lang_centroids_sql(),
+        "online_dedup_docs": dedup_index.online_dedup_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

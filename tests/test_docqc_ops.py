@@ -574,3 +574,39 @@ def test_embedding_lang_centroids(ray_session, tmp_path):
 
     eng = compare("/root/testdata/sf0.001")
     assert len(eng) == eng["lang"].nunique() * 64
+
+
+def test_online_dedup_index(ray_session, tmp_path):
+    """Shared-mutable-index pattern (raw-actor escape hatch): duplicates
+    planted ACROSS the two simulated crawls (odd ids ingest first, even
+    second) — only a persistent cross-run index can catch those; min-id
+    semantics make the racy execution deterministic and SQL-replayable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.state.dedup_index import online_dedup_docs, online_dedup_sql
+
+    d = tmp_path / "didx"
+    d.mkdir()
+    # text 'dup A': ids 3 (crawl 1) and 2 (crawl 2) -> min 2 survives;
+    # text 'dup B': ids 5 and 7 (both crawl 1) -> min 5; singletons pass
+    tbl = pa.table({
+        "doc_id": pa.array([2, 3, 5, 7, 8, 11], type=pa.int64()),
+        "text": pa.array(["dup A", "dup A", "dup B", "dup B", "solo x", "solo y"]),
+    })
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = to_pandas(online_dedup_docs(str(d), num_shards=3))
+    assert sorted(eng["doc_id"]) == [2, 5, 8, 11]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    assert value_hash(eng) == value_hash(con.sql(online_dedup_sql()).df())
+
+    # real corpus parity at sf0.001
+    eng = to_pandas(online_dedup_docs("/root/testdata/sf0.001"))
+    con2 = duckdb.connect()
+    con2.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'")
+    ora = con2.sql(online_dedup_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
