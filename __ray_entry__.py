@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one deliberate raw-actor drop); min-id semantics -> order-free
         # deterministic result despite racy ingest
         "online_dedup_docs": dedup_index.online_dedup_docs,
+        # cross-doc n-gram novelty (inverse dup-span signal): df decided
+        # inside gram buckets, re-collapsed to per-doc partials
+        "doc_ngram_novelty": docqc.doc_ngram_novelty,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -404,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": docqc.corpus_diff_sql(),
         "embedding_lang_centroids": docqc.lang_centroids_sql(),
         "online_dedup_docs": dedup_index.online_dedup_sql(),
+        "doc_ngram_novelty": docqc.ngram_novelty_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

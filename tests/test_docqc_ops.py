@@ -610,3 +610,29 @@ def test_online_dedup_index(ray_session, tmp_path):
     ora = con2.sql(online_dedup_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_ngram_novelty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_ngram_novelty, ngram_novelty_sql
+
+    # doc 0/1 share 'a b c' (their only gram -> not unique); doc 2 is all
+    # fresh; doc 3 too short for any 3-gram
+    d = tmp_path / "nov"
+    d.mkdir()
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c", "a b c", "x y z w", "p q"]),
+    })
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_ngram_novelty, ngram_novelty_sql()).set_index("doc_id")
+    assert eng.loc[0, "novelty_milli"] == 0 and eng.loc[0, "n_gram"] == 1
+    assert eng.loc[2, "novelty_milli"] == 1000 and eng.loc[2, "n_uniq"] == 2
+    assert eng.loc[3, "n_gram"] == 0 and eng.loc[3, "novelty_milli"] == 0
+
+    # real corpus, multi-block: df decided inside gram buckets
+    eng = _compare("/root/testdata/sf0.001", doc_ngram_novelty, ngram_novelty_sql())
+    assert len(eng) == 500
+    assert eng["novelty_milli"].between(0, 1000).all()

@@ -2230,3 +2230,115 @@ def lang_centroids_sql() -> str:
         "SELECT lang, CAST(dim AS BIGINT) AS dim, CAST(sum(q) AS BIGINT) AS sum_q, "
         "count(*) AS n FROM j GROUP BY lang, dim"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram novelty (the inverse of the dup-span signal)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = NOVELTY_N, num_buckets: int = 64):
+    """(doc_id, n_uniq, n_gram, novelty_milli): of each document's DISTINCT
+    word n-grams, how many appear in NO other document — high novelty =
+    original text, low = boilerplate (the complement of doc_dup_spans,
+    reduced to a per-doc score a quality filter can threshold).
+
+    Scale shape: per-batch distinct (doc, gram-hash) pairs -> exchange 1
+    keyed by gram bucket (df per gram is final within its bucket, so the
+    unique-flag is decided there and immediately RE-collapsed to per-doc
+    partials) -> exchange 2 keyed by doc bucket merges partials with the
+    zero base rows. Both exchanges carry ~16 B/row; floors are integer, so
+    the DuckDB replay (literal gram strings) is exact."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g, rid = _word_gram_hashes(texts, n)
+        h = g.view(np.int64)
+        key = np.unique(np.stack([did[rid], h]), axis=1)  # per-doc distinct
+        return pa.table(
+            {
+                "doc_id": pa.array(key[0]),
+                "h": pa.array(key[1]),
+                "_b": pa.array(((key[1] % num_buckets + num_buckets) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_gram_bucket(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        o = np.argsort(h, kind="stable")
+        hs, ds_ = h[o], did[o]
+        new = np.r_[True, hs[1:] != hs[:-1]]
+        gid = np.cumsum(new) - 1
+        df = np.bincount(gid)
+        uniq = (df[gid] == 1).astype(np.int64)
+        # collapse to per-doc partials before exchange 2
+        u, inv = np.unique(ds_, return_inverse=True)
+        n_uniq = np.zeros(len(u), dtype=np.int64)
+        np.add.at(n_uniq, inv, uniq)
+        n_gram = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(u),
+                "n_uniq": pa.array(n_uniq),
+                "n_gram": pa.array(n_gram),
+                "_b2": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def base(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(did), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_uniq": pa.array(z),
+                "n_gram": pa.array(z),
+                "_b2": pa.array((did % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("n_uniq", "sum"), ("n_gram", "sum")])
+        nu = g["n_uniq_sum"].to_numpy(zero_copy_only=False)
+        ng = g["n_gram_sum"].to_numpy(zero_copy_only=False)
+        nov = np.where(ng > 0, (1000 * nu) // np.maximum(ng, 1), 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_uniq": pa.array(nu),
+                "n_gram": pa.array(ng),
+                "novelty_milli": pa.array(nov),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_gram_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .union(_read(sf_dir, ["doc_id"]).map_batches(base, batch_format="pyarrow"))
+        .groupby("_b2")
+        .map_groups(lambda t: merge(t.drop_columns(["_b2"])), batch_format="pyarrow")
+    )
+
+
+def ngram_novelty_sql(n: int = NOVELTY_N) -> str:
+    """DuckDB oracle for doc_ngram_novelty (literal gram strings)."""
+    hi = n - 1
+    return (
+        r"WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+{hi} AS BIGINT)], ' ') AS gram "
+        f"FROM words, unnest(range(1, len(w) - {hi - 1})) AS t(i)), "
+        "df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram), "
+        "s AS (SELECT g.doc_id, count(*) AS n_gram, "
+        "sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_uniq "
+        "FROM g JOIN df USING (gram) GROUP BY 1) "
+        "SELECT d.doc_id, coalesce(CAST(s.n_uniq AS BIGINT), 0) AS n_uniq, "
+        "coalesce(CAST(s.n_gram AS BIGINT), 0) AS n_gram, "
+        "CAST(coalesce((1000 * s.n_uniq) // s.n_gram, 0) AS BIGINT) AS novelty_milli "
+        "FROM documents d LEFT JOIN s USING (doc_id)"
+    )
