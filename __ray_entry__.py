@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc n-gram novelty (inverse dup-span signal): df decided
         # inside gram buckets, re-collapsed to per-doc partials
         "doc_ngram_novelty": docqc.doc_ngram_novelty,
+        # global percent_rank with ZERO shuffles (histogram-CDF
+        # broadcast; the quantile machinery generalized to a window fn)
+        "doc_length_percentile": docqc.doc_length_percentile,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -408,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lang_centroids": docqc.lang_centroids_sql(),
         "online_dedup_docs": dedup_index.online_dedup_sql(),
         "doc_ngram_novelty": docqc.ngram_novelty_sql(),
+        "doc_length_percentile": docqc.length_percentile_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

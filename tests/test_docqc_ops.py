@@ -636,3 +636,14 @@ def test_doc_ngram_novelty(ray_session, tmp_path):
     eng = _compare("/root/testdata/sf0.001", doc_ngram_novelty, ngram_novelty_sql())
     assert len(eng) == 500
     assert eng["novelty_milli"].between(0, 1000).all()
+
+
+def test_doc_length_percentile(ray_session, edge_docs):
+    from titan_ray.pipelines.docqc import doc_length_percentile, length_percentile_sql
+
+    eng = _compare(edge_docs, doc_length_percentile, length_percentile_sql()).set_index("doc_id")
+    assert eng.loc[2, "pct_milli"] == 0           # empty doc = shortest
+    assert eng["pct_milli"].max() == 1000         # unique max -> (7-1)/(7-1)
+
+    eng = _compare("/root/testdata/sf0.001", doc_length_percentile, length_percentile_sql())
+    assert eng["pct_milli"].between(0, 1000).all()

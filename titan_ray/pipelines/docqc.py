@@ -2342,3 +2342,67 @@ def ngram_novelty_sql(n: int = NOVELTY_N) -> str:
         "CAST(coalesce((1000 * s.n_uniq) // s.n_gram, 0) AS BIGINT) AS novelty_milli "
         "FROM documents d LEFT JOIN s USING (doc_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Global percentile rank WITHOUT a global sort (histogram-CDF broadcast)
+# ---------------------------------------------------------------------------
+
+def doc_length_percentile(sf_dir: str):
+    """(doc_id, n_chars, pct_milli): each document's global percent_rank by
+    text length in integer milli-units — pct = floor(1000 * (rank-1)
+    / (N-1)) with rank() (min-rank) tie semantics, i.e. exactly DuckDB's
+    percent_rank scaled and floored.
+
+    Scale shape: the global window never sorts the data — lengths are
+    bounded small ints, so a value histogram (doc_length_quantiles
+    machinery) reduces 10^12 rows to <= max_len buckets; its EXCLUSIVE
+    prefix sum IS the rank-1 function, broadcast to a stateless second
+    pass. Two tiny aggregates + two streaming passes, zero shuffles."""
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = _chars(batch)
+        uniq, cnt = np.unique(nc, return_counts=True)
+        return pa.table({"len": pa.array(uniq.astype(np.int64)), "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len").sum("cnt")
+        .to_pandas()   # <= distinct-length rows, never data rows
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values("len")
+    )
+    n = int(hist["cnt"].sum())
+    lens = hist["len"].to_numpy()
+    below = np.concatenate([[0], hist["cnt"].cumsum().to_numpy()[:-1]])  # rank-1
+    ref = ray.put((lens, below, n))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lens_, below_, n_ = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        nc = _chars(batch).astype(np.int64)
+        r = below_[np.searchsorted(lens_, nc)]
+        pct = (1000 * r) // max(n_ - 1, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(nc),
+                "pct_milli": pa.array(pct.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def length_percentile_sql() -> str:
+    """DuckDB oracle for doc_length_percentile (rank window, same floor)."""
+    return (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST((1000 * (rank() OVER (ORDER BY length(text)) - 1)) "
+        "// greatest(count(*) OVER () - 1, 1) AS BIGINT) AS pct_milli "
+        "FROM documents"
+    )
