@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global percent_rank with ZERO shuffles (histogram-CDF
         # broadcast; the quantile machinery generalized to a window fn)
         "doc_length_percentile": docqc.doc_length_percentile,
+        # Q3 shape: two big x big hash_join exchanges + order-grain
+        # aggregate + top-k (lineitem pre-aggregated before its join)
+        "tpch_shipping_topk": relational.tpch_shipping_topk,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -395,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_tfidf": docqc.tfidf_sql(),
         "tpch_pricing": relational.pricing_sql(),
         "tpch_revenue_by_nation": relational.revenue_sql(),
+        "tpch_shipping_topk": relational.shipping_topk_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_dup_spans": neardup.dup_spans_sql(),
         "doc_lm_fluency": docqc.lm_fluency_sql(),

@@ -206,3 +206,19 @@ def test_events_sliding_rate(ray_session, tmp_path):
     con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     ora = con2.sql(sliding_rate_sql()).df()
     assert value_hash(eng.reset_index()) == value_hash(ora)
+
+
+def test_tpch_shipping_topk(ray_session):
+    """Q3-shape 3-table join + top-k: engine vs DuckDB hash parity and the
+    revenue-desc/orderkey tie order."""
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import tpch_shipping_topk, shipping_topk_sql
+
+    eng = to_pandas(tpch_shipping_topk(SF))
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    ora = con.sql(shipping_topk_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    assert eng["revenue_1e4"].is_monotonic_decreasing

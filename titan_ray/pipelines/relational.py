@@ -205,3 +205,115 @@ def revenue_sql(year: int = REVENUE_YEAR) -> str:
         f"WHERE year(o_orderdate) = {year} "
         "GROUP BY n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: segment-filtered 3-table join + top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-15"
+Q3_TOP_K = 10
+
+
+def tpch_shipping_topk(sf_dir: str, segment: str = Q3_SEGMENT,
+                       date: str = Q3_DATE, k: int = Q3_TOP_K):
+    """Top-k unshipped orders by revenue (TPC-H Q3 shape): customer
+    (segment filter) JOIN orders (date filter) JOIN lineitem (date filter),
+    grouped by (orderkey, orderdate), exact integer money, ties broken by
+    orderkey. Three-table plan: BOTH joins are big x big hash_join
+    exchanges (customer scales with the facts — never broadcast); lineitem
+    pre-aggregates revenue per orderkey per batch BEFORE its join, so the
+    widest exchange moves (okey, partial) pairs, not line items; the final
+    aggregate is order-cardinality and the driver sees k rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    d64 = np.datetime64(date, "us")
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"]
+        b = batch.filter(pc.equal(seg, segment))
+        return pa.table({"ckey": b["c_custkey"],
+                         "one": pa.array(np.ones(b.num_rows, dtype=np.int8))})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(od < d64))
+        odc = b["o_orderdate"]
+        if isinstance(odc, pa.ChunkedArray):
+            odc = odc.combine_chunks()
+        return pa.table({"ckey": b["o_custkey"], "okey": b["o_orderkey"],
+                         "odate_us": odc.cast(pa.int64())})
+
+    # join 1: orders x segment customers (semi-join via inner hash_join)
+    seg_orders = hash_join(
+        orders.map_batches(orders_prep, batch_format="pyarrow"),
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        on="ckey",
+        right_cols=("one",),
+    ).map_batches(
+        lambda b: pa.table({"okey": b["okey"], "odate_us": b["odate_us"]}),
+        batch_format="pyarrow",
+    )
+
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(sd > d64))
+        g = pd.DataFrame(
+            {"okey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+             "revenue_1e4": _disc_1e4(b)}
+        ).groupby("okey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    # join 2: per-order revenue partials x qualifying orders
+    joined = hash_join(
+        line.map_batches(line_prep, batch_format="pyarrow"),
+        seg_orders,
+        on="okey",
+        right_cols=("odate_us",),
+    )
+
+    agg = (
+        joined.map_batches(
+            lambda b: pa.table({"okey": b["okey"], "odate_us": b["r_odate_us"],
+                                "revenue_1e4": b["revenue_1e4"]}),
+            batch_format="pyarrow",
+        )
+        .groupby(["okey", "odate_us"])
+        .aggregate(Sum("revenue_1e4", alias_name="revenue_1e4"))
+        .sort(["revenue_1e4", "okey"], descending=[True, False])
+        .limit(k)
+    )
+    return agg
+
+
+def shipping_topk_sql(segment: str = Q3_SEGMENT, date: str = Q3_DATE,
+                      k: int = Q3_TOP_K) -> str:
+    return (
+        "SELECT l_orderkey AS okey, "
+        "CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) "
+        "    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_1e4 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE c_mktsegment = '{segment}' "
+        f"AND o_orderdate < TIMESTAMP '{date}' "
+        f"AND l_shipdate > TIMESTAMP '{date}' "
+        "GROUP BY 1, 2 "
+        f"ORDER BY revenue_1e4 DESC, okey LIMIT {k}"
+    )
