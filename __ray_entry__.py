@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q3 shape: two big x big hash_join exchanges + order-grain
         # aggregate + top-k (lineitem pre-aggregated before its join)
         "tpch_shipping_topk": relational.tpch_shipping_topk,
+        # sequential-pattern funnel (first-touch min gates; per-bucket
+        # stage counts are final — one user-bucket exchange)
+        "events_funnel": events.events_funnel,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing": relational.pricing_sql(),
         "tpch_revenue_by_nation": relational.revenue_sql(),
         "tpch_shipping_topk": relational.shipping_topk_sql(),
+        "events_funnel": events.funnel_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_dup_spans": neardup.dup_spans_sql(),
         "doc_lm_fluency": docqc.lm_fluency_sql(),

@@ -222,3 +222,48 @@ def test_tpch_shipping_topk(ray_session):
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
     assert eng["revenue_1e4"].is_monotonic_decreasing
+
+
+def test_events_funnel(ray_session, tmp_path):
+    """Sequential funnel: DuckDB parity at sf0.001 plus a planted table
+    covering ordering gates (B before A doesn't convert; equal ts does)."""
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_funnel, funnel_sql
+
+    eng = to_pandas(events_funnel(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(funnel_sql()).df()
+    assert value_hash(eng) == value_hash(ora)
+    s = eng.set_index("stage")["n_users"]
+    assert s[1] >= s[2] >= s[3] > 0      # funnel monotone, non-trivial
+
+    # planted: u1 full funnel; u2 click BEFORE signup (no stage-2);
+    # u3 click at the SAME ts as signup (>= gate -> converts); u4 signup only
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array(range(9), type=pa.int64()),
+        "ts": pa.array([base, base + 1, base + 2,
+                        base + 1, base,
+                        base, base,
+                        base, base], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 4, 5], type=pa.int64()),
+        "event_type": pa.array(["signup", "click", "purchase",
+                                "signup", "click",
+                                "signup", "click",
+                                "signup", "purchase"]),
+        "value": pa.array([0.0] * 9),
+        "props": pa.array([""] * 9),
+    })
+    d = tmp_path / "fun"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_funnel(str(d))).set_index("stage")["n_users"]
+    assert eng[1] == 4           # users 1,2,3,4 signed up (5 never did)
+    assert eng[2] == 2           # u1 and u3 (equal-ts gate); u2 clicked early
+    assert eng[3] == 1           # only u1 purchased after clicking
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    assert value_hash(eng.reset_index()) == value_hash(con2.sql(funnel_sql()).df())

@@ -464,3 +464,94 @@ def sliding_rate_sql(window_us: int = SLIDE_WINDOW_US) -> str:
         f"RANGE BETWEEN INTERVAL {window_us} MICROSECONDS PRECEDING AND CURRENT ROW) "
         "AS BIGINT) AS n_win FROM events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel (sequential-pattern aggregate)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES,
+                  num_buckets: int = 64):
+    """(stage, n_users): how many users completed each prefix of the
+    ordered funnel — stage k counts users whose first stage-k event occurs
+    AT/AFTER their first qualifying stage-(k-1) event (first-touch, min-
+    based, so the result is order-free deterministic). The sequential-
+    pattern aggregate every product-analytics pipeline needs.
+
+    Scale shape: the stream is filtered to funnel types and collapsed to
+    (user, type, ts) rows; ONE user-bucket exchange co-locates each user's
+    rows; the per-bucket kernel is pandas C-vectorized (per-stage
+    conditional groupby-min chain); a user lives in exactly one bucket, so
+    per-bucket stage counts are final and the last merge sums
+    |stages| x B tiny rows."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    type_idx = {t: i for i, t in enumerate(stages)}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ti = pc.index_in(batch["event_type"], pa.array(list(stages)))
+        keep = pc.is_valid(ti)
+        b = batch.filter(keep)
+        ts = b["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "ti": pc.cast(ti.filter(keep), pa.int32()),
+                "_b": pc.cast(pc.bit_wise_and(b["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_n = np.zeros(len(stages), dtype=np.int64)
+        if not df.empty:
+            prev = None   # Series: user -> first-touch ts of previous stage
+            for k in range(len(stages)):
+                sub = df[df["ti"] == k]
+                if prev is not None:
+                    gate = sub["user_id"].map(prev)
+                    sub = sub[sub["ts_us"] >= gate]   # NaN gate -> False
+                cur = sub.groupby("user_id")["ts_us"].min()
+                out_n[k] = len(cur)
+                prev = cur
+        return pd.DataFrame({"stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+                             "n_users": out_n})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop(columns=["_b"])), batch_format="pandas")
+        .groupby("stage")
+        .sum("n_users")
+        .map_batches(lambda b: b.rename_columns(["stage", "n_users"]),
+                     batch_format="pyarrow")
+    )
+
+
+def funnel_sql(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    """DuckDB replay of events_funnel (chained conditional min joins)."""
+    ctes, prev = [], None
+    for k, t in enumerate(stages, 1):
+        if prev is None:
+            ctes.append(
+                f"s{k} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{t}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{t}' AND e.ts >= p.t GROUP BY 1)"
+            )
+        prev = f"s{k}"
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS stage, (SELECT count(*) FROM s{k}) AS n_users"
+        for k in range(1, len(stages) + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
