@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential-pattern funnel (first-touch min gates; per-bucket
         # stage counts are final — one user-bucket exchange)
         "events_funnel": events.events_funnel,
+        # weekly retention cohort matrix (distinct (user, week) collapse,
+        # per-bucket-final cell counts)
+        "events_retention": events.events_retention,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -403,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_revenue_by_nation": relational.revenue_sql(),
         "tpch_shipping_topk": relational.shipping_topk_sql(),
         "events_funnel": events.funnel_sql(),
+        "events_retention": events.retention_sql(),
         "doc_winnow_fingerprints": neardup.winnow_sql(),
         "doc_dup_spans": neardup.dup_spans_sql(),
         "doc_lm_fluency": docqc.lm_fluency_sql(),

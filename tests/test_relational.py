@@ -267,3 +267,43 @@ def test_events_funnel(ray_session, tmp_path):
     con2 = duckdb.connect()
     con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     assert value_hash(eng.reset_index()) == value_hash(con2.sql(funnel_sql()).df())
+
+
+def test_events_retention(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_retention, retention_sql, WEEK_US
+
+    eng = to_pandas(events_retention(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(retention_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+    assert (eng["week_offset"] >= 0).all()
+
+    # planted: u1 weeks 0,2 of its cohort; u2 week 1 only; u3 same cohort
+    # week as u1 (cells aggregate across users)
+    w0 = (1_700_000_000_000_000 // WEEK_US) * WEEK_US
+    t = pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "ts": pa.array([w0, w0 + 2 * WEEK_US, w0 + WEEK_US, w0 + 10, w0 + 10],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 3, 3], type=pa.int64()),
+        "event_type": pa.array(["click"] * 5),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array([""] * 5),
+    })
+    d = tmp_path / "ret"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_retention(str(d)))
+    cells = {(r.cohort_week, r.week_offset): r.n_users for r in eng.itertuples()}
+    wk0 = w0 // WEEK_US
+    assert cells[(wk0, 0)] == 2          # u1 + u3 in cohort week 0
+    assert cells[(wk0, 2)] == 1          # u1 retained at offset 2
+    assert cells[(wk0 + 1, 0)] == 1      # u2's own cohort
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    assert value_hash(eng) == value_hash(con2.sql(retention_sql()).df())

@@ -555,3 +555,78 @@ def funnel_sql(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
         for k in range(1, len(stages) + 1)
     )
     return "WITH " + ", ".join(ctes) + " " + sel
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def events_retention(sf_dir: str, num_buckets: int = 64):
+    """(cohort_week, week_offset, n_users): the weekly retention matrix —
+    users grouped by the epoch-week of their FIRST event, counted in every
+    later week they were active. Weeks are integer epoch-microsecond floor
+    divisions, so the matrix replays exactly in SQL.
+
+    Scale shape: per-batch distinct (user, week) collapse, ONE user-bucket
+    exchange; a user lives in one bucket, so per-bucket (cohort, offset)
+    cell counts are final and the merge sums |weeks|^2 x B tiny rows."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        wk = np.asarray(ts.cast(pa.int64())) // WEEK_US
+        key = np.unique(np.stack([uid, wk]), axis=1)     # batch-local distinct
+        return pa.table(
+            {
+                "user_id": pa.array(key[0]),
+                "wk": pa.array(key[1]),
+                "_b": pa.array((key[0] & (num_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = t["wk"].to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([uid, wk]), axis=1)     # cross-batch distinct
+        uid, wk = key[0], key[1]
+        o = np.lexsort((wk, uid))
+        uid, wk = uid[o], wk[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        cohort = wk[first][np.cumsum(first) - 1]         # each row's user min-week
+        cell = np.stack([cohort, wk - cohort])
+        uc, n = np.unique(cell, axis=1, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uc[0]),
+                "week_offset": pa.array(uc[1]),
+                "n_users": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("n_users")
+        .map_batches(lambda b: b.rename_columns(["cohort_week", "week_offset", "n_users"]),
+                     batch_format="pyarrow")
+    )
+
+
+def retention_sql() -> str:
+    """DuckDB replay of events_retention."""
+    return (
+        f"WITH w AS (SELECT DISTINCT user_id, "
+        f"CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS wk FROM events), "
+        "c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1) "
+        "SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset, "
+        "count(*) AS n_users FROM w JOIN c USING (user_id) GROUP BY 1, 2"
+    )
