@@ -262,6 +262,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weekly retention cohort matrix (distinct (user, week) collapse,
         # per-bucket-final cell counts)
         "events_retention": events.events_retention,
+        # deterministic bottom-k uniform sample (mergeable priority sample)
+        "doc_bottomk_sample": docqc.doc_bottomk_sample,
+        # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
+        # from the cube, never the data)
+        "events_rollup": events.events_rollup,
+        # Count-Min Sketch word-frequency estimates (the bounded-memory
+        # scale path behind the exact top-words combiner) — the whole
+        # sketch replays bit-for-bit in DuckDB
+        "doc_cms_wordcounts": docqc.doc_cms_wordcounts,
+        # HyperLogLog register table per language (mergeable distinct-count
+        # sketch; registers hash-checked exactly, estimate in hll_estimate)
+        "doc_vocab_hll": docqc.doc_vocab_hll,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -424,6 +436,10 @@ def oracle_sql() -> dict[str, str]:
         "online_dedup_docs": dedup_index.online_dedup_sql(),
         "doc_ngram_novelty": docqc.ngram_novelty_sql(),
         "doc_length_percentile": docqc.length_percentile_sql(),
+        "doc_bottomk_sample": docqc.bottomk_sample_sql(),
+        "events_rollup": events.rollup_sql(),
+        "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
+        "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),
         "embedding_pq": cluster.pq_sql(GATE_SF_DIR),
         "ann_topk_pq": cluster.ann_topk_pq_sql(GATE_SF_DIR),

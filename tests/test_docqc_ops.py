@@ -647,3 +647,125 @@ def test_doc_length_percentile(ray_session, edge_docs):
 
     eng = _compare("/root/testdata/sf0.001", doc_length_percentile, length_percentile_sql())
     assert eng["pct_milli"].between(0, 1000).all()
+
+
+def test_doc_bottomk_sample(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_bottomk_sample, bottomk_sample_sql
+
+    # real corpus: hash-green vs ORDER BY hash LIMIT k
+    eng = _compare("/root/testdata/sf0.001", doc_bottomk_sample, bottomk_sample_sql())
+    assert len(eng) == 100
+    assert eng["h"].is_monotonic_increasing
+
+    # mergeability/consistency: the sample of a SUPERSET corpus restricted
+    # to the subset's ids equals the subset's own sample prefix — the
+    # bottom-k invariant that makes incremental ingest consistent
+    d1, d2 = tmp_path / "s1", tmp_path / "s2"
+    for d, n in ((d1, 500), (d2, 1000)):
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                      "text": pa.array(["x"] * n)}),
+            d / "documents.parquet",
+        )
+    s1 = doc_bottomk_sample(str(d1), k=20)
+    s2 = doc_bottomk_sample(str(d2), k=20)
+    sub = [h for h, i in zip(s2["h"], s2["doc_id"]) if i < 500]
+    assert list(s1["h"])[: len(sub)] == sub
+
+
+def test_doc_cms_wordcounts(ray_session, tmp_path):
+    import duckdb as _duck
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import (
+        CMS_PROBE_WORDS,
+        cms_wordcounts_sql,
+        doc_cms_wordcounts,
+    )
+
+    # real corpus: the full sketch replays bit-for-bit in DuckDB
+    eng = _compare("/root/testdata/sf0.001", doc_cms_wordcounts, cms_wordcounts_sql())
+    # CMS guarantee: est is an UPPER bound of the true count, per probe word
+    con = _duck.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'")
+    true = dict(con.sql(
+        r"SELECT w, count(*) FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w "
+        "FROM documents) GROUP BY w"
+    ).fetchall())
+    est = eng.set_index("word")["est"]
+    for w in CMS_PROBE_WORDS:
+        assert int(est[w]) >= int(true.get(w, 0))
+
+    # planted: a corpus of two probe words at known counts -> est exact
+    # (no collisions possible among two occupied buckets per row)
+    d = tmp_path / "cms"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["table table table", "hash"])}),
+        d / "documents.parquet",
+    )
+    eng = doc_cms_wordcounts(str(d)).set_index("word")["est"]
+    assert eng["table"] == 3 and eng["hash"] == 1
+    assert eng["spark"] == 0          # absent probe word -> empty buckets
+
+
+def test_doc_vocab_hll(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import (
+        HLL_P,
+        _bit_length_u64,
+        doc_vocab_hll,
+        hll_estimate,
+        vocab_hll_sql,
+    )
+
+    # exact bit-length kernel vs Python int.bit_length on the boundaries
+    xs = np.array([0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 54) - 1, (1 << 63)],
+                  dtype=np.uint64)
+    assert list(_bit_length_u64(xs)) == [int(x).bit_length() for x in xs.tolist()]
+
+    # real corpus: register table replays bit-for-bit in DuckDB
+    eng = _compare("/root/testdata/sf0.001", doc_vocab_hll, vocab_hll_sql())
+    assert (eng["register"] < (1 << HLL_P)).all()
+    assert (eng["max_rank"] >= 1).all()
+
+    # accuracy on a synthetic 3000-type vocabulary: HLL with m=256 has
+    # ~6.5% stderr; assert a generous 20% band
+    d = tmp_path / "hll"
+    d.mkdir()
+    texts = [" ".join(f"w{i}" for i in range(j * 30, j * 30 + 30)) for j in range(100)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), type=pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 100)}),
+        d / "documents.parquet",
+    )
+    regs = doc_vocab_hll(str(d)).to_pandas()
+    est = hll_estimate(regs)["en"]
+    assert 0.8 * 3000 < est < 1.2 * 3000
+
+    # mergeability: union of two half-corpus register tables == whole-corpus
+    # registers (per-cell max is the sketch's merge)
+    da, db = tmp_path / "ha", tmp_path / "hb"
+    for dd, lo, hi in ((da, 0, 50), (db, 50, 100)):
+        dd.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(lo, hi), type=pa.int64()),
+                      "text": pa.array(texts[lo:hi]),
+                      "lang": pa.array(["en"] * (hi - lo))}),
+            dd / "documents.parquet",
+        )
+    import pandas as pd
+
+    merged = (
+        pd.concat([doc_vocab_hll(str(da)).to_pandas(), doc_vocab_hll(str(db)).to_pandas()])
+        .groupby(["lang", "register"], as_index=False)["max_rank"].max()
+    )
+    whole = regs.sort_values(["lang", "register"]).reset_index(drop=True)
+    merged = merged.sort_values(["lang", "register"]).reset_index(drop=True)
+    assert whole.equals(merged[whole.columns.tolist()])

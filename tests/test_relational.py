@@ -307,3 +307,48 @@ def test_events_retention(ray_session, tmp_path):
     con2 = duckdb.connect()
     con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     assert value_hash(eng) == value_hash(con2.sql(retention_sql()).df())
+
+
+def test_events_rollup(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_rollup, rollup_sql
+
+    # real corpus: hash-green vs GROUP BY ROLLUP
+    eng = to_pandas(events_rollup(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(rollup_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+    # the three levels reconcile: cells sum to their type subtotal, type
+    # subtotals sum to the grand total
+    cells = eng[(eng["event_type"] != "ALL") & (eng["hour"] >= 0)]
+    subs = eng[(eng["event_type"] != "ALL") & (eng["hour"] == -1)].set_index("event_type")
+    total = eng[eng["event_type"] == "ALL"].iloc[0]
+    for t, part in cells.groupby("event_type"):
+        assert part["n"].sum() == subs.loc[t, "n"]
+        assert part["value_milli"].sum() == subs.loc[t, "value_milli"]
+    assert subs["n"].sum() == total["n"]
+    assert subs["value_milli"].sum() == total["value_milli"]
+
+    # planted: negative values floor toward -inf identically on both sides
+    t = pa.table({
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "ts": pa.array([3_600_000_000, 3_600_000_001], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "event_type": pa.array(["x", "x"]),
+        "value": pa.array([-1.2345, 2.5]),
+        "props": pa.array(["", ""]),
+    })
+    d = tmp_path / "roll"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_rollup(str(d)))
+    cell = eng[(eng["event_type"] == "x") & (eng["hour"] == 1)].iloc[0]
+    assert cell["value_milli"] == -1235 + 2500      # floor(-1234.5), floor(2500.0)
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    assert value_hash(eng) == value_hash(con2.sql(rollup_sql()).df())

@@ -2406,3 +2406,341 @@ def length_percentile_sql() -> str:
         "// greatest(count(*) OVER () - 1, 1) AS BIGINT) AS pct_milli "
         "FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k uniform sample (priority sampling by fixed hash)
+# ---------------------------------------------------------------------------
+
+BOTTOMK_K = 100
+
+
+def doc_bottomk_sample(sf_dir: str, k: int = BOTTOMK_K):
+    """The ``k`` docs with the SMALLEST value of the bijective mix
+    h(doc_id) = (doc_id * MULT + SEED) mod 2^64 — a deterministic uniform
+    k-sample of the corpus (bottom-k / priority sampling, the classic
+    mergeable-sample primitive): h is a fixed bijection of doc_id, so the
+    sample is identical under any partitioning, merges across shards by a
+    plain k-way min, and stays consistent under incremental ingest (a new
+    doc enters iff its h beats the current k-th smallest — no resampling).
+    The inspect-1000-random-docs tool every corpus pipeline needs, without
+    RNG state (the doc_sample_rebalance gate generalized from a rate to an
+    exact count).
+
+    Scale shape: each batch reduces to its k smallest (doc_id, h) rows via
+    np.argpartition (no batch sort); the driver merges <= k x n_blocks
+    candidate rows — k-bounded by construction, never data-sized. The
+    reference's random-thinning analog is the sampling branch of its
+    read stage (read_data_to_check.r:121-143 keeps one row per duplicate
+    neighbourhood); DuckDB twin: ORDER BY h LIMIT k."""
+    ds = _read(sf_dir, ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = did.astype(np.uint64) * np.uint64(_SAMPLE_MULT) + np.uint64(_SAMPLE_SEED)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            did, h = did[idx], h[idx]
+        return pa.table({"doc_id": pa.array(did), "h": pa.array(h)})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cand["doc_id"].to_numpy(), cand["h"].to_numpy()))[:k]
+    return cand.iloc[order].reset_index(drop=True)[["doc_id", "h"]]
+
+
+def bottomk_sample_sql(k: int = BOTTOMK_K) -> str:
+    """DuckDB replay of doc_bottomk_sample (HUGEINT mod-2^64 mix)."""
+    two64 = 1 << 64
+    return (
+        f"SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + "
+        f"{_SAMPLE_SEED}) % {two64} AS UBIGINT) AS h "
+        f"FROM documents ORDER BY h, doc_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch word frequencies (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4          # d pairwise-independent rows
+CMS_LOG2_WIDTH = 10    # w = 1024 buckets per row (gate-sized; widen at scale)
+# fixed odd multipliers / offsets per row; the bucket of a word in row r is
+# the TOP log2(w) bits of (h * A_r + B_r) mod 2^64. A_r are 32-bit odd
+# constants (xxhash/Knuth primes) so the SQL twin's HUGEINT product stays
+# under 2^96 — INT128 would overflow with 64-bit multipliers.
+_CMS_A = (2654435761, 2246822519, 3266489917, 668265263)
+_CMS_B = (9618706967345529057, 1794715362263372909, 6364136223846793005, 2135587011510693171)
+# fixed probe lexicon: the corpus-jargon words the gate reports estimates
+# for (a CMS answers point queries — the candidate list is the caller's)
+CMS_PROBE_WORDS = (
+    "table", "row", "value", "hash", "scan", "sort", "merge", "batch",
+    "key", "agg", "window", "part", "fast", "slow", "line", "spark",
+    "the", "a", "pipeline", "quantile",
+)
+
+
+def doc_cms_wordcounts(sf_dir: str, num_buckets: int = 64):
+    """(word, est) — Count-Min Sketch upper-bound frequency estimates for
+    the fixed probe lexicon over all corpus words: est(w) = min over d rows
+    of sketch[r][bucket_r(w)]. The sketch is a d x w int64 matrix — the
+    bounded-memory substitute for a full word-count table when the
+    vocabulary itself is too large to shuffle (the scale path behind
+    doc_top_words' exact combiner). Estimates are exact upper bounds:
+    est >= true count always, with overestimates only from bucket
+    collisions — entirely deterministic here (fixed row constants), so the
+    DuckDB twin replays the sketch bit-for-bit from the literal words.
+
+    Scale shape: each batch bincounts its words into a LOCAL d x w partial
+    (the only thing emitted — d*w rows max per batch, corpus-size
+    independent); one bucket-keyed exchange sums partials per (row,
+    bucket); the driver collects exactly d*w final cells and answers the
+    probe queries from the in-memory matrix. No word ever crosses the
+    exchange."""
+    ds = _read(sf_dir, ["text"])
+    depth, width = CMS_DEPTH, 1 << CMS_LOG2_WIDTH
+    shift = np.uint64(64 - CMS_LOG2_WIDTH)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        g1, _ = _word_gram_hashes(texts, 1)
+        rows, buckets, counts = [], [], []
+        for r in range(depth):
+            b = ((g1 * np.uint64(_CMS_A[r]) + np.uint64(_CMS_B[r])) >> shift).astype(np.int64)
+            c = np.bincount(b, minlength=width).astype(np.int64)
+            nz = np.flatnonzero(c)
+            rows.append(np.full(len(nz), r, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(c[nz])
+        rr = np.concatenate(rows)
+        bb = np.concatenate(buckets)
+        return pa.table(
+            {
+                "r": pa.array(rr),
+                "bucket": pa.array(bb),
+                "c": pa.array(np.concatenate(counts)),
+                "_b": pa.array(((rr << CMS_LOG2_WIDTH | bb) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r", "bucket"]).aggregate([("c", "sum")])
+        return pa.table({"r": g["r"], "bucket": g["bucket"], "c": g["c_sum"]})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # exactly <= d x w rows by construction
+    )
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    sketch[cells["r"].to_numpy(), cells["bucket"].to_numpy()] = cells["c"].to_numpy()
+
+    words = list(CMS_PROBE_WORDS)
+    h = np.full(len(words), _WORD_HASH_SEED, dtype=np.uint64)
+    maxlen = max(len(w) for w in words)
+    for j in range(maxlen):
+        m = np.asarray([len(w) > j for w in words])
+        hm = h[m] * _WORD_HASH_MULT
+        np.add(hm, np.asarray([ord(w[j]) for w in words if len(w) > j], dtype=np.uint64),
+               out=hm, casting="unsafe")
+        h[m] = hm
+    # _word_gram_hashes chains even a 1-gram once more (g = SEED*MULT + h);
+    # the probe must hash through the identical chain to hit the same buckets
+    chain = np.uint64((int(_WORD_HASH_SEED) * int(_WORD_HASH_MULT)) % (1 << 64))
+    np.add(h, chain, out=h, casting="unsafe")
+    est = np.min(
+        np.stack([
+            sketch[r, ((h * np.uint64(_CMS_A[r]) + np.uint64(_CMS_B[r])) >> shift).astype(np.int64)]
+            for r in range(depth)
+        ]),
+        axis=0,
+    )
+    import pandas as pd
+
+    return pd.DataFrame({"word": words, "est": est.astype(np.int64)})
+
+
+def cms_wordcounts_sql() -> str:
+    """DuckDB replay of doc_cms_wordcounts: the word FNV chain via
+    list_reduce in HUGEINT mod-2^64, the per-row affine mix, the top-bit
+    bucket fold, the d x w summed sketch, and the min-over-rows probe —
+    the entire sketch replayed exactly from the literal words."""
+    two64 = 1 << 64
+    width_div = 1 << (64 - CMS_LOG2_WIDTH)
+    chain = (int(_WORD_HASH_SEED) * int(_WORD_HASH_MULT)) % two64
+    fnv = (
+        "(({chain} + list_reduce(list_prepend(CAST({seed} AS HUGEINT), "
+        "list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))), "
+        "(h, b) -> (h * {mult} + b) % {two64})) % {two64})"
+    ).format(seed=int(_WORD_HASH_SEED), mult=int(_WORD_HASH_MULT), two64=two64, chain=chain)
+    rows = ", ".join(
+        f"(({fnv} * {_CMS_A[r]} + {_CMS_B[r]}) % {two64}) // {width_div}" for r in range(CMS_DEPTH)
+    )
+    probes = ", ".join(f"'{w}'" for w in CMS_PROBE_WORDS)
+    return (
+        rf"WITH words AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents), "
+        f"hashed AS (SELECT w, unnest([{rows}]) AS bucket, "
+        f"unnest(range(0, {CMS_DEPTH})) AS r FROM words), "
+        "sketch AS (SELECT r, bucket, count(*) AS c FROM hashed GROUP BY r, bucket), "
+        f"probe AS (SELECT w, unnest([{rows}]) AS bucket, "
+        f"unnest(range(0, {CMS_DEPTH})) AS r FROM (SELECT unnest([{probes}]) AS w)) "
+        "SELECT probe.w AS word, CAST(min(coalesce(sketch.c, 0)) AS BIGINT) AS est "
+        "FROM probe LEFT JOIN sketch ON probe.r = sketch.r AND probe.bucket = sketch.bucket "
+        "GROUP BY probe.w"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch (Flajolet et al. 2007) for per-language
+# distinct-word counting at sketch cost
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                     # 2^p = 256 registers per language
+_HLL_RANK_BITS = 54           # rank over the LOW 54 bits (BIGINT-safe in SQL)
+# avalanche finalizer (xorshift-multiply, SplitMix64 shape) applied before
+# register/rank extraction: the word FNV chain pushes byte differences
+# upward only ~40 bits per step and is affine in the input bytes, so
+# sequential vocabularies would otherwise correlate in the TOP register
+# bits (observed: +24% cardinality bias). Both multipliers are public
+# constants < 2^63 (xorshift64*/xxhash) so the SQL twin's HUGEINT products
+# stay inside INT128; the xors/shifts replay in native UBIGINT.
+_HLL_FIN_K1 = 0x2545F4914F6CDD1D
+_HLL_FIN_K2 = 0x27D4EB2F165667C5
+
+
+def _hll_finalize(h: np.ndarray) -> np.ndarray:
+    z = h.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(_HLL_FIN_K1)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(_HLL_FIN_K2)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (0 -> 0). float log2
+    would misround near 2^53+ boundaries; this is a 6-step binary search."""
+    x = x.copy()
+    bl = np.zeros(len(x), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(s)) > 0
+        bl[m] += s
+        x[m] >>= np.uint64(s)
+    bl[x > 0] += 1
+    return bl
+
+
+def doc_vocab_hll(sf_dir: str, num_buckets: int = 64):
+    """(lang, register, max_rank): the HyperLogLog register table over each
+    language's word-hash stream — the mergeable bounded-memory substitute
+    for doc_vocab_size's exact COUNT(DISTINCT) when even the distinct
+    vocabulary is too large to exchange. register = top HLL_P bits of the
+    word hash; rank = leading-zero count of the low _HLL_RANK_BITS bits
+    + 1 (54 bits so the SQL twin's bin() replay stays inside BIGINT). The
+    registers ARE the sketch: unions across shards/runs are plain per-cell
+    max (tested), and hll_estimate() turns them into the cardinality
+    estimate. The twin replays register + rank bit-exactly from the
+    literal words via the same FNV chain.
+
+    Scale shape: each batch collapses to <= n_langs x 2^p local register
+    maxima (np.maximum-reduceat over a lexsort); ONE bucket-keyed exchange
+    (register % B — all partials of a cell co-locate) makes per-cell max
+    final. Nothing word-sized ever crosses the wire."""
+    import pandas as pd
+
+    ds = _read(sf_dir, ["lang", "text"])
+    mask = np.uint64((1 << _HLL_RANK_BITS) - 1)
+    reg_shift = np.uint64(64 - HLL_P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        g1, rid = _word_gram_hashes(texts, 1)
+        lang_codes, lang_uniq = pd.factorize(batch["lang"].to_pandas())
+        lc = lang_codes[rid].astype(np.int64)
+        m = lc >= 0
+        h = _hll_finalize(g1[m])
+        lc = lc[m]
+        reg = (h >> reg_shift).astype(np.int64)
+        rank = (_HLL_RANK_BITS + 1) - _bit_length_u64(h & mask)
+        key = lc << np.int64(HLL_P) | reg
+        order = np.argsort(key, kind="stable")
+        ks, rs = key[order], rank[order]
+        new = np.r_[True, ks[1:] != ks[:-1]]
+        starts = np.flatnonzero(new)
+        mx = np.maximum.reduceat(rs, starts) if len(rs) else np.empty(0, dtype=np.int64)
+        ku = ks[starts] if len(ks) else np.empty(0, dtype=np.int64)
+        regs = ku & ((1 << HLL_P) - 1)
+        return pa.table(
+            {
+                "lang": pa.array(lang_uniq, type=pa.string()).take(pa.array(ku >> HLL_P)),
+                "register": pa.array(regs),
+                "max_rank": pa.array(mx),
+                "_b": pa.array((regs % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "register"]).aggregate([("max_rank", "max")])
+        return pa.table(
+            {"lang": g["lang"], "register": g["register"], "max_rank": g["max_rank_max"]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def hll_estimate(registers: "pd.DataFrame") -> dict[str, float]:
+    """Cardinality estimate per language from doc_vocab_hll's register
+    table (standard HLL: alpha_m * m^2 / sum 2^-M[j], with the small-range
+    linear-counting correction). Driver-side arithmetic over <= n_langs x
+    2^p rows — diagnostics, not part of the hash-checked surface."""
+    import pandas as pd  # noqa: F401
+
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out: dict[str, float] = {}
+    for lang, part in registers.groupby("lang"):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[part["register"].to_numpy()] = part["max_rank"].to_numpy()
+        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out[str(lang)] = float(est)
+    return out
+
+
+def vocab_hll_sql() -> str:
+    """DuckDB replay of doc_vocab_hll: same chained word FNV in HUGEINT,
+    register = top bits, rank = 55 - bit_length(low 54 bits) computed
+    exactly via bin() string length."""
+    two64 = 1 << 64
+    chain = (int(_WORD_HASH_SEED) * int(_WORD_HASH_MULT)) % two64
+    fnv = (
+        "(({chain} + list_reduce(list_prepend(CAST({seed} AS HUGEINT), "
+        "list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))), "
+        "(h, b) -> (h * {mult} + b) % {two64})) % {two64})"
+    ).format(seed=int(_WORD_HASH_SEED), mult=int(_WORD_HASH_MULT), two64=two64, chain=chain)
+    reg_div = 1 << (64 - HLL_P)
+    rank_mod = 1 << _HLL_RANK_BITS
+    top = _HLL_RANK_BITS + 1
+    return (
+        rf"WITH t AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w "
+        "FROM documents WHERE lang IS NOT NULL), "
+        f"h0 AS (SELECT lang, CAST({fnv} AS UBIGINT) AS u0 FROM t), "
+        "h1 AS (SELECT lang, xor(u0, u0 >> 30) AS u1 FROM h0), "
+        f"h2 AS (SELECT lang, CAST((CAST(u1 AS HUGEINT) * {_HLL_FIN_K1}) % {two64} AS UBIGINT) AS u2 FROM h1), "
+        "h3 AS (SELECT lang, xor(u2, u2 >> 27) AS u3 FROM h2), "
+        f"h4 AS (SELECT lang, CAST((CAST(u3 AS HUGEINT) * {_HLL_FIN_K2}) % {two64} AS UBIGINT) AS u4 FROM h3), "
+        "h AS (SELECT lang, CAST(xor(u4, u4 >> 31) AS HUGEINT) AS hv FROM h4), "
+        f"r AS (SELECT lang, CAST(hv // {reg_div} AS BIGINT) AS register, "
+        f"CASE WHEN hv % {rank_mod} = 0 THEN {top} "
+        f"ELSE {top} - length(ltrim(bin(CAST(hv % {rank_mod} AS BIGINT)), '0')) END AS rank "
+        "FROM h) "
+        "SELECT lang, register, CAST(max(rank) AS BIGINT) AS max_rank "
+        "FROM r GROUP BY lang, register"
+    )

@@ -630,3 +630,99 @@ def retention_sql() -> str:
         "SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset, "
         "count(*) AS n_users FROM w JOIN c USING (user_id) GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical ROLLUP aggregate (OLAP cube slice)
+# ---------------------------------------------------------------------------
+
+def events_rollup(sf_dir: str, num_buckets: int = 64):
+    """GROUP BY ROLLUP (event_type, hour): event count + value sum at every
+    level of the hierarchy — finest (type, hour) cells, per-type subtotals,
+    and the grand total — in ONE pass over the data (the OLAP rollup
+    primitive; the reference's summary stage prints exactly this shape of
+    per-provider + overall flag tallies, titan.r:254-263). Values sum as
+    exact integer millis (floor(value * 1000)) so the result is
+    hash-identical to the SQL twin regardless of summation order; rollup
+    coordinates surface as 'ALL' / -1, never NULL, so the row set is
+    hash-comparable.
+
+    Scale shape: a per-batch Arrow group_by collapses each batch to its
+    local (type, hour) cells before the exchange; ONE bucket-keyed groupby
+    (hour % B — every partial of a cell lands in its bucket) makes
+    per-cell sums final; the subtotal and total levels re-aggregate the
+    CELL table (n_types x n_hours rows, corpus-size independent) on the
+    driver, never the data."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 3600_000_000
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour),
+                "vm": pa.array(vm),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate([("vm", "sum"), ("vm", "count")])
+        hh = g["hour"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "value_milli": g["vm_sum"].cast(pa.int64()),
+                "n": g["vm_count"].cast(pa.int64()),
+                "_b": pa.array(pc.bit_wise_and(pa.array(hh), num_buckets - 1).cast(pa.int32())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "hour"]).aggregate([("value_milli", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": g["n_sum"],
+                "value_milli": g["value_milli_sum"],
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # n_types x n_hours rows — the CUBE, not the data
+    )
+    sub = (
+        cells.groupby("event_type", as_index=False)[["n", "value_milli"]].sum()
+        .assign(hour=np.int64(-1))
+    )
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "hour": np.int64(-1),
+         "n": [cells["n"].sum()], "value_milli": [cells["value_milli"].sum()]}
+    )
+    out = pd.concat([cells, sub, total], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["value_milli"] = out["value_milli"].astype(np.int64)
+    return out[["event_type", "hour", "n", "value_milli"]]
+
+
+def rollup_sql() -> str:
+    """DuckDB replay of events_rollup (GROUP BY ROLLUP, sentinel coords)."""
+    return (
+        "WITH e AS (SELECT event_type, "
+        "epoch_us(ts) // 3600000000 AS hour, "
+        "CAST(floor(value * 1000) AS BIGINT) AS vm FROM events) "
+        "SELECT coalesce(event_type, 'ALL') AS event_type, "
+        "coalesce(hour, -1) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS value_milli "
+        "FROM e GROUP BY ROLLUP (event_type, hour)"
+    )
