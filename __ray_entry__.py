@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weekly retention cohort matrix (distinct (user, week) collapse,
         # per-bucket-final cell counts)
         "events_retention": events.events_retention,
+        # Q22 shape: date-windowed ANTI-join (dormant high-balance
+        # customers), integer cross-multiplied above-average gate
+        "tpch_cust_no_orders": relational.tpch_cust_no_orders,
         # deterministic bottom-k uniform sample (mergeable priority sample)
         "doc_bottomk_sample": docqc.doc_bottomk_sample,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
@@ -436,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "online_dedup_docs": dedup_index.online_dedup_sql(),
         "doc_ngram_novelty": docqc.ngram_novelty_sql(),
         "doc_length_percentile": docqc.length_percentile_sql(),
+        "tpch_cust_no_orders": relational.cust_no_orders_sql(),
         "doc_bottomk_sample": docqc.bottomk_sample_sql(),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),

@@ -352,3 +352,55 @@ def test_events_rollup(ray_session, tmp_path):
     con2 = duckdb.connect()
     con2.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     assert value_hash(eng) == value_hash(con2.sql(rollup_sql()).df())
+
+
+def test_tpch_cust_no_orders(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import (
+        cust_no_orders_sql,
+        tpch_cust_no_orders,
+    )
+
+    # gate-scale parity (sf0.001 has no dormant customers — empty there by
+    # data, exercised via the planted fixture below instead)
+    sf01 = "/root/testdata/sf0.01"
+    eng = to_pandas(tpch_cust_no_orders(sf01))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf01}/{t}.parquet'")
+    ora = con.sql(cust_no_orders_sql()).df()
+    assert len(eng) > 0 and len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+    # planted: u1 rich+dormant (kept), u2 rich+recent order (anti-joined
+    # away), u3 poor+dormant (below-average gate), u4 rich, old order only
+    # (kept — the date window is what makes it an anti-join, not a NOT IN)
+    d = tmp_path / "q22"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"]),
+        "c_nationkey": pa.array([7, 7, 8, 9], type=pa.int32()),
+        "c_acctbal": pa.array([900.0, 800.0, 10.0, 700.0]),
+        "c_mktsegment": pa.array(["x"] * 4),
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], type=pa.int64()),
+        "o_custkey": pa.array([2, 4], type=pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"]),
+        "o_totalprice": pa.array([1.0, 1.0]),
+        "o_orderdate": pa.array([np.datetime64("1998-05-01", "us"),
+                                 np.datetime64("1996-01-01", "us")]),
+        "o_orderpriority": pa.array(["1", "1"]),
+    }), d / "orders.parquet")
+    out = to_pandas(tpch_cust_no_orders(str(d))).set_index("nationkey")
+    assert 7 in out.index and out.loc[7, "n_cust"] == 1          # u1 only
+    assert out.loc[7, "total_bal_cents"] == 90000
+    assert 8 not in out.index                                     # u3 below avg
+    assert 9 in out.index and out.loc[9, "total_bal_cents"] == 70000  # u4 kept
+    con2 = duckdb.connect()
+    for t in ("customer", "orders"):
+        con2.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    assert value_hash(out.reset_index()) == value_hash(con2.sql(cust_no_orders_sql()).df())

@@ -317,3 +317,124 @@ def shipping_topk_sql(segment: str = Q3_SEGMENT, date: str = Q3_DATE,
         "GROUP BY 1, 2 "
         f"ORDER BY revenue_1e4 DESC, okey LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: ANTI-join (customers with no orders)
+# ---------------------------------------------------------------------------
+
+DORMANT_SINCE = "1998-01-01"       # anti-side date window (dormancy cutoff)
+
+
+def tpch_cust_no_orders(sf_dir: str, since: str = DORMANT_SINCE,
+                        num_buckets: int = 64):
+    """Dormant-high-value-customer query (TPC-H Q22 anti-join shape): per
+    nation, the count and total balance of customers whose balance is
+    ABOVE the average positive balance AND who have placed NO orders since
+    ``since`` — the canonical ANTI-join the inner hash_join family doesn't
+    cover (reference analog: the blacklist membership drop is the same
+    not-in-set shape, read_data_to_check.r:94-119). Money is exact integer
+    cents; the above-average gate is the integer cross-multiply
+    bal * n > sum (no float division).
+
+    Scale shape: pass 1 reduces customers to ONE (sum, count) row via
+    per-batch partials (driver holds two ints); pass 2 tags candidate
+    customers (narrow payload: custkey, nationkey, bal) and per-batch
+    DISTINCT order custkeys, co-partitions both by custkey % B, and each
+    bucket drops customers present on the order side with one sorted
+    np.isin — the anti-join never leaves the bucket. The final per-nation
+    rollup sums B x |nations| partial rows, never the data."""
+    cutoff = np.datetime64(since, "us")
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch["c_acctbal"])
+        m = bal > 0
+        return pa.table({"s": pa.array([int(bal[m].sum())]), "n": pa.array([int(m.sum())])})
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s_tot, n_tot = int(parts["s"].sum()), int(parts["n"].sum())
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = _cents(batch["c_acctbal"])
+        # above-average gate, exact integers: bal/1 > s/n  <=>  bal*n > s
+        m = bal * n_tot > s_tot
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "custkey": pa.array(ck),
+                "side": pa.array(np.zeros(len(ck), dtype=np.int8)),
+                "nationkey": pa.array(nk[m]),
+                "bal": pa.array(bal[m]),
+                "_b": pa.array((ck % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        recent = batch["o_orderdate"].to_numpy(zero_copy_only=False) >= cutoff
+        ck = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False)[recent])
+        return pa.table(
+            {
+                "custkey": pa.array(ck),
+                "side": pa.array(np.ones(len(ck), dtype=np.int8)),
+                "nationkey": pa.array(np.zeros(len(ck), dtype=np.int64)),
+                "bal": pa.array(np.zeros(len(ck), dtype=np.int64)),
+                "_b": pa.array((ck % num_buckets).astype(np.int32)),
+            }
+        )
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"])
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        have = np.unique(ck[side == 1])
+        keep = (side == 0) & ~np.isin(ck, have)
+        nk = t["nationkey"].to_numpy(zero_copy_only=False)[keep]
+        bal = t["bal"].to_numpy(zero_copy_only=False)[keep]
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "nationkey": pa.array(u),
+                "n_cust": pa.array(np.bincount(inv).astype(np.int64)),
+                "total_bal_cents": pa.array(np.bincount(inv, weights=bal).astype(np.int64)),
+            }
+        )
+
+    parts = (
+        both.groupby("_b")
+        .map_groups(lambda t: anti(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # <= num_buckets x |nations| partial rows
+    )
+    if parts.empty:   # all buckets empty -> Ray yields a column-less frame
+        return pd.DataFrame({"nationkey": pd.Series(dtype=np.int64),
+                             "n_cust": pd.Series(dtype=np.int64),
+                             "total_bal_cents": pd.Series(dtype=np.int64)})
+    out = parts.groupby("nationkey", as_index=False)[["n_cust", "total_bal_cents"]].sum()
+    out["n_cust"] = out["n_cust"].astype(np.int64)
+    out["total_bal_cents"] = out["total_bal_cents"].astype(np.int64)
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def cust_no_orders_sql(since: str = DORMANT_SINCE) -> str:
+    """DuckDB replay of tpch_cust_no_orders (NOT EXISTS anti-join over the
+    date window, integer cross-multiplied above-average gate)."""
+    return (
+        "WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer), "
+        "agg AS (SELECT sum(bal) AS s, count(*) AS n FROM c WHERE bal > 0), "
+        "cand AS (SELECT c.* FROM c, agg WHERE c.bal * agg.n > agg.s) "
+        "SELECT nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
+        "CAST(sum(bal) AS BIGINT) AS total_bal_cents FROM cand "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cand.c_custkey "
+        f"AND o.o_orderdate >= DATE '{since}') "
+        "GROUP BY nationkey ORDER BY nationkey"
+    )
