@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_cust_no_orders": relational.tpch_cust_no_orders,
         # deterministic bottom-k uniform sample (mergeable priority sample)
         "doc_bottomk_sample": docqc.doc_bottomk_sample,
+        # the same, stratified per language (inspect-k-from-every-stratum)
+        "doc_bottomk_per_lang": docqc.doc_bottomk_per_lang,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
@@ -441,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_percentile": docqc.length_percentile_sql(),
         "tpch_cust_no_orders": relational.cust_no_orders_sql(),
         "doc_bottomk_sample": docqc.bottomk_sample_sql(),
+        "doc_bottomk_per_lang": docqc.bottomk_per_lang_sql(),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),

@@ -769,3 +769,19 @@ def test_doc_vocab_hll(ray_session, tmp_path):
     whole = regs.sort_values(["lang", "register"]).reset_index(drop=True)
     merged = merged.sort_values(["lang", "register"]).reset_index(drop=True)
     assert whole.equals(merged[whole.columns.tolist()])
+
+
+def test_doc_bottomk_per_lang(ray_session):
+    from titan_ray.pipelines.docqc import (
+        BOTTOMK_PER_LANG,
+        bottomk_per_lang_sql,
+        doc_bottomk_per_lang,
+    )
+
+    eng = _compare("/root/testdata/sf0.001", doc_bottomk_per_lang, bottomk_per_lang_sql())
+    # exactly k per language (every lang has >= k docs at this sf)
+    assert (eng.groupby("lang").size() == BOTTOMK_PER_LANG).all()
+    # the per-lang sample is the restriction of the global hash order:
+    # within a lang, kept h values are that lang's k smallest
+    for _lang, part in eng.groupby("lang"):
+        assert part["h"].is_monotonic_increasing or sorted(part["h"]) == part["h"].tolist()

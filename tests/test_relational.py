@@ -404,3 +404,36 @@ def test_tpch_cust_no_orders(ray_session, tmp_path):
     for t in ("customer", "orders"):
         con2.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     assert value_hash(out.reset_index()) == value_hash(con2.sql(cust_no_orders_sql()).df())
+
+
+def test_hash_join_left_outer(ray_session):
+    """Unmatched LEFT rows survive with null r_ columns (same many-to-many
+    expansion as inner for matched keys); parity vs DuckDB LEFT JOIN."""
+    from tools.check_contract import value_hash
+    from titan_ray.stages.joins import hash_join
+
+    lds, rds = _join_fixture()
+    out = hash_join(lds, rds, on="k", right_cols=("rv", "tag"), num_buckets=8,
+                    join_type="left outer").to_pandas()
+    out = out.sort_values(["k", "lv", "r_rv"]).reset_index(drop=True)
+    # k=1: 2x1, k=2: 1x2, k=3 and k=5 survive padded, k=4 right-only dropped
+    assert out["k"].tolist() == [1, 1, 2, 2, 3, 5]
+    assert out["r_rv"].tolist()[:4] == [100, 100, 200, 201]
+    assert out["r_rv"].isna().tolist() == [False, False, False, False, True, True]
+    assert str(out["ts"].dtype).startswith("datetime64")
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE l (k BIGINT, lv BIGINT); INSERT INTO l VALUES (1,10),(1,11),(2,20),(3,30),(5,50)")
+    con.sql("CREATE TABLE r (k BIGINT, rv BIGINT, tag VARCHAR); INSERT INTO r VALUES (1,100,'a'),(2,200,'b'),(2,201,'c'),(4,400,'d')")
+    ora = con.sql("SELECT l.k, l.lv, r.rv AS r_rv, r.tag AS r_tag FROM l LEFT JOIN r USING (k)").df()
+    assert value_hash(out[["k", "lv", "r_rv", "r_tag"]]) == value_hash(ora)
+
+    # empty right side: all left rows pad (the r==0 bucket branch)
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                                   "lv": pa.array([1, 2], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64()),
+                                    "rv": pa.array([], type=pa.int64())}))
+    out = hash_join(left, right, on="k", right_cols=("rv",), num_buckets=4,
+                    join_type="left outer").to_pandas()
+    assert len(out) == 2 and out["r_rv"].isna().all()

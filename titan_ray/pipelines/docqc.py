@@ -2744,3 +2744,71 @@ def vocab_hll_sql() -> str:
         "SELECT lang, register, CAST(max(rank) AS BIGINT) AS max_rank "
         "FROM r GROUP BY lang, register"
     )
+
+
+BOTTOMK_PER_LANG = 10
+
+
+def doc_bottomk_per_lang(sf_dir: str, k: int = BOTTOMK_PER_LANG):
+    """Per-language bottom-k sample: for every lang, the ``k`` docs with the
+    smallest h(doc_id) — doc_bottomk_sample stratified by group, i.e. the
+    deterministic 'inspect k random docs from EVERY language' primitive
+    (rebalanced-eyeball sets, per-stratum eval slices). Same mergeable
+    bottom-k invariant per stratum.
+
+    Scale shape: each batch reduces to <= k rows per lang present (one
+    lexsort + rank-within-group, no Python loop); the exchange then
+    carries only the pre-reduced candidate stream into one tiny
+    groupby(lang) whose per-group final pass re-applies the same
+    selection. DuckDB twin: row_number() OVER (PARTITION BY lang ORDER BY
+    h, doc_id) <= k."""
+    import pandas as pd
+
+    ds = _read(sf_dir, ["doc_id", "lang"])
+
+    def topk(did: np.ndarray, lang: np.ndarray, h: np.ndarray):
+        codes, uniq = pd.factorize(lang)
+        order = np.lexsort((did, h, codes))
+        cs = codes[order]
+        new = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(order)) - starts[np.cumsum(new) - 1]
+        keep = order[(rank < k) & (cs >= 0)]
+        return did[keep], lang[keep], h[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = did.astype(np.uint64) * np.uint64(_SAMPLE_MULT) + np.uint64(_SAMPLE_SEED)
+        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        d, l, hh = topk(did, lang, h)
+        return pa.table(
+            {"doc_id": pa.array(d), "lang": pa.array(l, type=pa.string()), "h": pa.array(hh)}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang"].to_pandas(), dtype=object)
+        d, l, hh = topk(did, lang, h)
+        return pa.table(
+            {"doc_id": pa.array(d), "lang": pa.array(l, type=pa.string()), "h": pa.array(hh)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def bottomk_per_lang_sql(k: int = BOTTOMK_PER_LANG) -> str:
+    """DuckDB replay of doc_bottomk_per_lang."""
+    two64 = 1 << 64
+    return (
+        "SELECT doc_id, lang, h FROM ("
+        f"SELECT doc_id, lang, CAST((CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + "
+        f"{_SAMPLE_SEED}) % {two64} AS UBIGINT) AS h, "
+        "row_number() OVER (PARTITION BY lang ORDER BY "
+        f"(CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + {_SAMPLE_SEED}) % {two64}, doc_id) AS rn "
+        f"FROM documents WHERE lang IS NOT NULL) WHERE rn <= {k}"
+    )

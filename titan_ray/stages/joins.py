@@ -175,8 +175,11 @@ def range_join(left, right, by: str, on: str, lo, hi, right_cols: tuple[str, ...
     return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
 
 
-def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: int = 64):
-    """Generic INNER equi-join for two LARGE datasets: both sides are tagged,
+def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: int = 64,
+              join_type: str = "inner"):
+    """Generic equi-join for two LARGE datasets (``join_type`` "inner" or
+    "left outer" — unmatched left rows survive with null r_ columns, the
+    enrich-with-optional-side shape): both sides are tagged,
     null-padded to one unified schema, bucketed by hash(on) and unioned, so a
     single narrow co-partitioning shuffle feeds a per-bucket vectorized
     pandas hash merge. Right columns come back as r_<col>.
@@ -232,9 +235,16 @@ def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: in
         side = t["_side"].to_numpy(zero_copy_only=False)
         l = t.filter(pa.array(side == 0)).select(left_cols)
         r = t.filter(pa.array(side == 1)).select([on] + out_rcols)
-        if l.num_rows == 0 or r.num_rows == 0:
+        if l.num_rows == 0:
             return out_schema.empty_table()
-        merged = l.combine_chunks().join(r.combine_chunks(), keys=on, join_type="inner")
+        if r.num_rows == 0:
+            if join_type == "inner":
+                return out_schema.empty_table()
+            pad = [l[c] for c in left_cols] + [
+                pa.nulls(l.num_rows, type=rtypes[oc]) for oc in right_cols
+            ]
+            return pa.table(dict(zip(out_schema.names, pad))).cast(out_schema)
+        merged = l.combine_chunks().join(r.combine_chunks(), keys=on, join_type=join_type)
         return merged.select(out_schema.names).cast(out_schema)
 
     ds = left.map_batches(tag(0), batch_format="pyarrow").union(
