@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bottomk_sample": docqc.doc_bottomk_sample,
         # the same, stratified per language (inspect-k-from-every-stratum)
         "doc_bottomk_per_lang": docqc.doc_bottomk_per_lang,
+        # model fitting as aggregation: OLS via exact integer normal-
+        # equation moments; even the coefficients hash-match (HUGEINT twin)
+        "doc_linreg_words_chars": docqc.doc_linreg_words_chars,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
@@ -444,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_cust_no_orders": relational.cust_no_orders_sql(),
         "doc_bottomk_sample": docqc.bottomk_sample_sql(),
         "doc_bottomk_per_lang": docqc.bottomk_per_lang_sql(),
+        "doc_linreg_words_chars": docqc.linreg_sql(),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),

@@ -785,3 +785,29 @@ def test_doc_bottomk_per_lang(ray_session):
     # within a lang, kept h values are that lang's k smallest
     for _lang, part in eng.groupby("lang"):
         assert part["h"].is_monotonic_increasing or sorted(part["h"]) == part["h"].tolist()
+
+
+def test_doc_linreg_words_chars(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_linreg_words_chars, linreg_sql
+
+    eng = _compare("/root/testdata/sf0.001", doc_linreg_words_chars, linreg_sql())
+    row = eng.iloc[0]
+    # identity check against the closed form recomputed from the moments
+    n, sx, sy, sxy, sxx = (int(row[c]) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    assert row["slope_milli"] == (1000 * (n * sxy - sx * sy)) // det  # positive here
+    # slope is ~1/avg-word-length: strictly between 0 and 1000 milli
+    assert 0 < row["slope_milli"] < 1000
+
+    # planted NEGATIVE slope: longer texts with fewer words — engine must
+    # truncate toward zero exactly like DuckDB's // (not Python floor)
+    d = tmp_path / "lr"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e", "aaaaaaaaaa bbbbbbbbbb", "cccccccccccccccccccccccccc"]),
+    }), d / "documents.parquet")
+    out = _compare(str(d), doc_linreg_words_chars, linreg_sql())
+    assert out.iloc[0]["slope_milli"] < 0

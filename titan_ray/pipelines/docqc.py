@@ -2812,3 +2812,79 @@ def bottomk_per_lang_sql(k: int = BOTTOMK_PER_LANG) -> str:
         f"(CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + {_SAMPLE_SEED}) % {two64}, doc_id) AS rn "
         f"FROM documents WHERE lang IS NOT NULL) WHERE rn <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed least-squares fit (model fitting as aggregation)
+# ---------------------------------------------------------------------------
+
+def doc_linreg_words_chars(sf_dir: str):
+    """One-row OLS fit of n_words ~ n_chars over the whole corpus — model
+    fitting expressed as a distributed aggregation: the normal-equation
+    moments (n, Σx, Σy, Σxy, Σx²) are exact integer partial sums (the same
+    associativity trick as the kmeans int64 partials), and the closed-form
+    slope/intercept are evaluated from them in exact scaled-integer
+    arithmetic — floor(1000 * (nΣxy − ΣxΣy) / (nΣx² − Σx²)) — identically
+    in the engine (Python bigint) and the SQL twin (HUGEINT), so even the
+    fitted coefficients hash-match bit-for-bit.
+
+    Scale shape: one streaming pass, each batch reduces to a single
+    5-int row; the driver folds n_batches tiny rows. Zero shuffles; the
+    moment vector is the entire cross-worker state (this is how any
+    GLM/linear probe fits at 100 TB: moments or gradients as combiner
+    aggregates, solve driver-side)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _chars(batch)                                  # n_chars per doc
+        _, rid = _word_gram_hashes(
+            batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"], 1
+        )
+        y = np.bincount(rid, minlength=batch.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows]),
+                "sx": pa.array([int(x.sum())]),
+                "sy": pa.array([int(y.sum())]),
+                "sxy": pa.array([int((x * y).sum())]),
+                "sxx": pa.array([int((x * x).sum())]),
+            }
+        )
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy, sxy, sxx = (int(m[c]) for c in ("n", "sx", "sy", "sxy", "sxx"))
+
+    def tdiv(a: int, b: int) -> int:
+        # DuckDB's integer // truncates toward zero; Python's floors — match
+        # DuckDB so a negative slope/intercept still hash-matches the twin
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    det = n * sxx - sx * sx
+    slope_milli = tdiv(1000 * (n * sxy - sx * sy), det) if det else 0
+    intercept_milli = tdiv(1000 * sy - slope_milli * sx, n) if n else 0
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)], "sx": [np.int64(sx)], "sy": [np.int64(sy)],
+            "sxy": [np.int64(sxy)], "sxx": [np.int64(sxx)],
+            "slope_milli": [np.int64(slope_milli)],
+            "intercept_milli": [np.int64(intercept_milli)],
+        }
+    )
+
+
+def linreg_sql() -> str:
+    """DuckDB replay of doc_linreg_words_chars (HUGEINT moments + the same
+    floor-division closed form)."""
+    return (
+        r"WITH d AS (SELECT CAST(length(text) AS HUGEINT) AS x, "
+        r"CAST(length(regexp_extract_all(text, '\S+')) AS HUGEINT) AS y FROM documents), "
+        "m AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x*y) AS sxy, sum(x*x) AS sxx FROM d) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy, "
+        "CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx, "
+        "CAST((1000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT) AS slope_milli, "
+        "CAST((1000 * sy - ((1000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx)) * sx) // n AS BIGINT) AS intercept_milli "
+        "FROM m"
+    )
