@@ -272,6 +272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model fitting as aggregation: OLS via exact integer normal-
         # equation moments; even the coefficients hash-match (HUGEINT twin)
         "doc_linreg_words_chars": docqc.doc_linreg_words_chars,
+        # distributed variance from associative integer moments
+        "events_value_stats": events.events_value_stats,
+        # flat_map/unnest surface: corpus exploded to token-position rows
+        "doc_explode_tokens": docqc.doc_explode_tokens,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
@@ -448,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_sample": docqc.bottomk_sample_sql(),
         "doc_bottomk_per_lang": docqc.bottomk_per_lang_sql(),
         "doc_linreg_words_chars": docqc.linreg_sql(),
+        "events_value_stats": events.value_stats_sql(),
+        "doc_explode_tokens": docqc.explode_tokens_sql(),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),

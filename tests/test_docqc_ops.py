@@ -811,3 +811,17 @@ def test_doc_linreg_words_chars(ray_session, tmp_path):
     }), d / "documents.parquet")
     out = _compare(str(d), doc_linreg_words_chars, linreg_sql())
     assert out.iloc[0]["slope_milli"] < 0
+
+
+def test_doc_explode_tokens(ray_session, edge_docs):
+    from titan_ray.pipelines.docqc import doc_explode_tokens, explode_tokens_sql
+
+    # edge fixture: whitespace runs, leading/trailing space, empty doc —
+    # positions count KEPT tokens only, 1-based, matching unnest ordinality
+    eng = _compare(edge_docs, doc_explode_tokens, explode_tokens_sql())
+    g = eng[eng["doc_id"] == 3].sort_values("pos")
+    assert g["pos"].tolist() == list(range(1, len(g) + 1))
+    assert 2 not in set(eng["doc_id"])          # empty doc -> zero rows
+
+    eng = _compare("/root/testdata/sf0.001", doc_explode_tokens, explode_tokens_sql())
+    assert (eng["pos"] >= 1).all()

@@ -437,3 +437,18 @@ def test_hash_join_left_outer(ray_session):
     out = hash_join(left, right, on="k", right_cols=("rv",), num_buckets=4,
                     join_type="left outer").to_pandas()
     assert len(out) == 2 and out["r_rv"].isna().all()
+
+
+def test_events_value_stats(ray_session):
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_value_stats, value_stats_sql
+
+    eng = to_pandas(events_value_stats(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(value_stats_sql()).df()
+    assert value_hash(eng) == value_hash(ora)
+    # identity: var_micro recomputed from the moments; nonneg by Cauchy-Schwarz
+    for r in eng.itertuples():
+        assert r.var_micro == (r.n * r.s2 - r.s * r.s) // (r.n * r.n)
+        assert r.var_micro >= 0

@@ -2888,3 +2888,51 @@ def linreg_sql() -> str:
         "CAST((1000 * sy - ((1000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx)) * sx) // n AS BIGINT) AS intercept_milli "
         "FROM m"
     )
+
+
+def doc_explode_tokens(sf_dir: str):
+    """(doc_id, pos, token): the corpus exploded to one row per token with
+    its 1-based position — the flat_map/unnest surface (row count EXPANDS
+    through the operator; every other doc op contracts). Downstream of
+    this shape: token-level labeling, span extraction, per-position
+    alignment. Stateless, shuffle-free, embarrassingly parallel.
+
+    DuckDB twin: unnest(regexp_extract_all) + generate_subscripts."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        values = lst.values
+        rid = np.repeat(np.arange(len(texts), dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        values = values.filter(pa.array(keep))
+        rid = rid[keep]
+        # 1-based token position within each row, counted over KEPT tokens
+        new = np.r_[True, rid[1:] != rid[:-1]] if len(rid) else np.empty(0, dtype=bool)
+        starts = np.flatnonzero(new)
+        pos = (np.arange(len(rid)) - starts[np.cumsum(new) - 1] + 1) if len(rid) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[rid]),
+                "pos": pa.array(pos.astype(np.int64)),
+                "token": values,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def explode_tokens_sql() -> str:
+    """DuckDB replay of doc_explode_tokens."""
+    return (
+        r"SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos, "
+        r"unnest(l) AS token FROM "
+        r"(SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents)"
+    )

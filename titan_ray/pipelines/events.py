@@ -746,3 +746,65 @@ def rollup_sql() -> str:
         "coalesce(hour, -1) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS value_milli "
         "FROM e GROUP BY ROLLUP (event_type, hour)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed variance (second-moment aggregate)
+# ---------------------------------------------------------------------------
+
+def events_value_stats(sf_dir: str):
+    """Per event_type: n, sum, sum-of-squares and the exact population
+    variance in micro-units — the distributed-variance primitive (the
+    reference's per-check summary statistics shape, titan.r:254-263),
+    computed from associative integer moments so any partial/merge order
+    gives the identical result: var_micro = floor((n·Σv² − (Σv)²) / n²)
+    with v in integer millis (round-half-away, the _vm convention).
+
+    Scale shape: per-batch Arrow group_by collapses each batch to
+    |types| 3-int rows; the driver folds types x batches tiny partials.
+    Moment magnitudes: Σv² grows as rows x vm² — int64 holds ~9.2e18, so
+    at vm ~ 1e5 the int64 partial bound is ~1e9 rows per TYPE; above that
+    promote the merge to Python bigints driver-side (the per-batch
+    partials stay bounded by batch size regardless)."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm = _vm(batch)
+        t = pa.table({"event_type": batch["event_type"], "vm": pa.array(vm),
+                      "vm2": pa.array(vm * vm)})
+        g = t.group_by("event_type").aggregate([("vm", "sum"), ("vm2", "sum"), ("vm", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g["vm_count"].cast(pa.int64()),
+                "s": g["vm_sum"].cast(pa.int64()),
+                "s2": g["vm2_sum"].cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False)[["n", "s", "s2"]].sum()
+    # exact integer closed form, Python bigint (no int64 overflow in n*s2)
+    var = [
+        (int(n) * int(s2) - int(s) * int(s)) // (int(n) * int(n)) if n else 0
+        for n, s, s2 in zip(out["n"], out["s"], out["s2"])
+    ]
+    out["var_micro"] = np.asarray(var, dtype=np.int64)
+    for c in ("n", "s", "s2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def value_stats_sql() -> str:
+    """DuckDB replay of events_value_stats (HUGEINT moments, same floor)."""
+    return (
+        "WITH e AS (SELECT event_type, CAST(round(value * 1000) AS HUGEINT) AS vm FROM events), "
+        "m AS (SELECT event_type, count(*)::HUGEINT AS n, sum(vm) AS s, sum(vm*vm) AS s2 "
+        "FROM e GROUP BY event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s, "
+        "CAST(s2 AS BIGINT) AS s2, "
+        "CAST((n*s2 - s*s) // (n*n) AS BIGINT) AS var_micro "
+        "FROM m ORDER BY event_type"
+    )
