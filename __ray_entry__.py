@@ -21,7 +21,7 @@ from titan_ray.functions.features import _TOKEN_PATTERN
 from titan_ray.functions.scrub import SCRUB_RULES
 from titan_ray.pipelines import docqc, events, qc_battery, relational
 from titan_ray.pipelines.qc import build_qc_pipeline
-from titan_ray.stages import ann, cluster, multimodal, neardup
+from titan_ray.stages import ann, cluster, graph, multimodal, neardup
 from titan_ray.state import dedup_index
 
 
@@ -276,6 +276,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": events.events_value_stats,
         # flat_map/unnest surface: corpus exploded to token-position rows
         "doc_explode_tokens": docqc.doc_explode_tokens,
+        # Bloom-filter membership probe (the third sketch after CMS/HLL):
+        # 8 KiB bit array vs the decontam gram broadcast; fp deterministic
+        "doc_bloom_probe": docqc.doc_bloom_probe,
+        # size-biased deterministic sample (exact power-of-two gate)
+        "doc_sample_lenprop": docqc.doc_sample_lenprop,
+        # canonical text normalization (value-mutating cleanup map)
+        "doc_normalize": docqc.doc_normalize,
+        # iterative distributed PageRank over the near-dup candidate graph
+        # (K join+aggregate rounds in scaled-integer math; unrolled-CTE twin)
+        "doc_pagerank": graph.doc_pagerank,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
@@ -454,6 +464,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_linreg_words_chars": docqc.linreg_sql(),
         "events_value_stats": events.value_stats_sql(),
         "doc_explode_tokens": docqc.explode_tokens_sql(),
+        "doc_bloom_probe": docqc.bloom_probe_sql(),
+        "doc_sample_lenprop": docqc.sample_lenprop_sql(),
+        "doc_normalize": docqc.normalize_sql(),
+        "doc_pagerank": graph.pagerank_sql(GATE_SF),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),

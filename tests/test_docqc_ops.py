@@ -825,3 +825,117 @@ def test_doc_explode_tokens(ray_session, edge_docs):
 
     eng = _compare("/root/testdata/sf0.001", doc_explode_tokens, explode_tokens_sql())
     assert (eng["pos"] >= 1).all()
+
+
+def test_doc_bloom_probe(ray_session, tmp_path):
+    import duckdb as _duck
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import (
+        _EVAL_MOD,
+        _EVAL_REM,
+        bloom_probe_sql,
+        doc_bloom_probe,
+    )
+
+    # real corpus: the whole sketch (hash chains, bit set, all-k test)
+    # replays bit-for-bit, false positives included
+    eng = _compare("/root/testdata/sf0.001", doc_bloom_probe, bloom_probe_sql())
+    assert (eng["doc_id"] % _EVAL_MOD != _EVAL_REM).all()
+
+    # Bloom guarantee: NO false negatives — every word actually in the
+    # eval vocabulary must test positive. Planted: doc 7 is eval with
+    # words {alpha beta}; doc 1 shares them (n_hits >= 2), doc 2 shares
+    # none of the eval vocab (n_hits >= 0, usually 0 at this fill rate).
+    d = tmp_path / "bloom"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([_EVAL_REM, 1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta", "alpha beta gamma", "zeta eta"]),
+    }), d / "documents.parquet")
+    out = _compare(str(d), doc_bloom_probe, bloom_probe_sql()).set_index("doc_id")
+    assert out.loc[1, "n_hits"] >= 2       # no false negatives
+    assert out.loc[2, "n_hits"] <= 2       # fp possible but bounded by vocab
+
+
+def test_doc_sample_lenprop(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_sample_lenprop, sample_lenprop_sql
+
+    eng = _compare("/root/testdata/sf0.001", doc_sample_lenprop, sample_lenprop_sql())
+    # size-biased: the kept set's mean length exceeds the corpus mean
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'")
+    corpus_mean = con.sql("SELECT avg(length(text)) FROM documents").fetchone()[0]
+    assert eng["n_chars"].mean() > corpus_mean
+
+    # docs at/above the denominator are kept with probability 1
+    d = tmp_path / "lp"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(50), type=pa.int64()),
+        "text": pa.array(["x" * 2000] * 50),
+    }), d / "documents.parquet")
+    out = _compare(str(d), doc_sample_lenprop, sample_lenprop_sql())
+    assert len(out) == 50
+
+
+def test_doc_pagerank(ray_session, tmp_path):
+    import duckdb as _duck
+
+    from titan_ray.stages.graph import (
+        PR_BASE,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_R,
+        doc_pagerank,
+        pagerank_from_pairs,
+        pagerank_sql,
+    )
+
+    # planted star: center 0 <-> leaves 1..5; brute-force integer reference
+    pairs = pa.table({"doc_a": pa.array([0] * 5, type=pa.int64()),
+                      "doc_b": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    eng = pagerank_from_pairs(pairs, iters=3).to_pandas().set_index("doc_id")["rank_nano"]
+
+    import numpy as _np
+    deg = {0: 5, **{i: 1 for i in range(1, 6)}}
+    r = {v: PR_R for v in deg}
+    for _ in range(3):
+        c = {v: r[v] // deg[v] for v in deg}
+        nxt = {}
+        nxt[0] = PR_BASE + (PR_DAMP_NUM * sum(c[i] for i in range(1, 6))) // 1000
+        for i in range(1, 6):
+            nxt[i] = PR_BASE + (PR_DAMP_NUM * c[0]) // 1000
+        r = nxt
+    assert dict(eng) == r
+    assert eng[0] > eng[1]                     # hub centrality
+
+    # real corpus: the K-round join/aggregate loop replays bit-for-bit in
+    # the unrolled-CTE twin over the same persisted candidate list
+    eng = doc_pagerank("/root/testdata/sf0.001").to_pandas()
+    con = _duck.connect()
+    ora = con.sql(pagerank_sql(0.001)).df()
+    from tools.check_contract import value_hash
+    assert len(eng) == len(ora) and value_hash(eng) == value_hash(ora)
+
+
+def test_doc_normalize(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_normalize, normalize_sql
+
+    d = tmp_path / "norm"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["  Hello\tWORLD  x ", "AbC"]),
+    }), d / "documents.parquet")
+    out = _compare(str(d), doc_normalize, normalize_sql()).set_index("doc_id")
+    assert out.loc[0, "text_norm"] == "hello world x"
+    assert out.loc[1, "text_norm"] == "abc"
+
+    _compare("/root/testdata/sf0.001", doc_normalize, normalize_sql())

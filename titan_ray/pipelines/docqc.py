@@ -2936,3 +2936,208 @@ def explode_tokens_sql() -> str:
         r"unnest(l) AS token FROM "
         r"(SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (the third classic sketch, after CMS and
+# HLL): bounded-memory set membership for blocklist/decontamination probes
+# ---------------------------------------------------------------------------
+
+BLOOM_LOG2_M = 16                 # m = 65536 bits (8 KiB broadcast)
+BLOOM_K = 3                       # hash functions
+# per-hash 32-bit odd multipliers (xxhash primes; HUGEINT-safe, same
+# convention as the CMS rows) + offsets; position_j(w) = top log2(m) bits
+# of (fnv1(w) * A_j + B_j) mod 2^64
+_BLOOM_A = (2654435761, 2246822519, 3266489917)
+_BLOOM_B = (1609587929392839161, 9650029242287828579, 2870177450012600261)
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions for chained word hashes h (uint64)."""
+    shift = np.uint64(64 - BLOOM_LOG2_M)
+    return np.stack([
+        ((h * np.uint64(_BLOOM_A[j]) + np.uint64(_BLOOM_B[j])) >> shift).astype(np.int64)
+        for j in range(BLOOM_K)
+    ])
+
+
+def doc_bloom_probe(sf_dir: str, num_buckets: int = 64):
+    """(doc_id, n_hits): for every NON-eval document, how many of its
+    DISTINCT words test positive against a Bloom filter built from the
+    eval slice's vocabulary — doc_decontaminate's membership probe
+    swapped from an exact gram broadcast to the bounded-memory sketch
+    (the filter is 2^16 bits regardless of eval size; false positives are
+    deterministic given the fixed hash constants, so the SQL twin —
+    which replays the k affine position chains and the bit set exactly —
+    hash-matches bit-for-bit, false positives included).
+
+    Scale shape: the build side collapses each batch to its distinct bit
+    positions (<= m rows), one bucket-keyed exchange dedups them, and the
+    driver broadcasts ONE packed uint64 array (8 KiB) into a stateless
+    streaming probe. Zero data-sized shuffles."""
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = did % _EVAL_MOD == _EVAL_REM
+        if not sel.any():
+            e = np.empty(0, dtype=np.int64)
+            return pa.table({"pos": pa.array(e), "_b": pa.array(e.astype(np.int32))})
+        texts = batch.filter(pa.array(sel))["text"]
+        g1, _ = _word_gram_hashes(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts, 1
+        )
+        pos = np.unique(_bloom_positions(g1).reshape(-1))
+        return pa.table({"pos": pa.array(pos), "_b": pa.array((pos % num_buckets).astype(np.int32))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({"pos": pa.array(np.unique(t["pos"].to_numpy(zero_copy_only=False)))})
+
+    pos = (
+        ds.map_batches(build_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()["pos"].to_numpy()   # <= m distinct bit positions
+    )
+    bits = np.zeros(1 << (BLOOM_LOG2_M - 6), dtype=np.uint64)   # packed 2^16 bits
+    # bitwise_or.at (not fancy |=): repeated word indices must all land
+    np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        b = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = did % _EVAL_MOD != _EVAL_REM
+        bt = batch.filter(pa.array(sel))
+        texts = bt["text"].combine_chunks() if isinstance(bt["text"], pa.ChunkedArray) else bt["text"]
+        g1, rid = _word_gram_hashes(texts, 1)
+        n_rows = bt.num_rows
+        if len(g1):
+            # distinct words per doc (membership is per TYPE, not token)
+            key = np.stack([rid, g1.view(np.int64)])
+            uniq = np.unique(key, axis=1)
+            rid_u, h_u = uniq[0], uniq[1].view(np.uint64)
+            p = _bloom_positions(h_u)
+            hit = np.ones(len(h_u), dtype=bool)
+            for j in range(BLOOM_K):
+                hit &= (b[p[j] >> 6] >> (p[j].astype(np.uint64) & np.uint64(63))) & np.uint64(1) > 0
+            n_hits = np.bincount(rid_u[hit], minlength=n_rows).astype(np.int64)
+        else:
+            n_hits = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": bt["doc_id"],
+                "n_hits": pa.array(n_hits),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def bloom_probe_sql() -> str:
+    """DuckDB replay of doc_bloom_probe: the chained word FNV, the k affine
+    position mixes, the distinct bit-position set from the eval slice, and
+    the all-k membership test per distinct (doc, word)."""
+    two64 = 1 << 64
+    chain = (int(_WORD_HASH_SEED) * int(_WORD_HASH_MULT)) % two64
+    fnv = (
+        "(({chain} + list_reduce(list_prepend(CAST({seed} AS HUGEINT), "
+        "list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))), "
+        "(h, b) -> (h * {mult} + b) % {two64})) % {two64})"
+    ).format(seed=int(_WORD_HASH_SEED), mult=int(_WORD_HASH_MULT), two64=two64, chain=chain)
+    div = 1 << (64 - BLOOM_LOG2_M)
+    poss = ", ".join(
+        f"((hv * {_BLOOM_A[j]} + {_BLOOM_B[j]}) % {two64}) // {div}" for j in range(BLOOM_K)
+    )
+    return (
+        rf"WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents), "
+        f"h AS (SELECT DISTINCT doc_id, {fnv} AS hv FROM t), "
+        f"p AS (SELECT doc_id, hv, unnest([{poss}]) AS pos, "
+        f"unnest(range(0, {BLOOM_K})) AS j FROM h), "
+        f"bits AS (SELECT DISTINCT pos FROM p WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}), "
+        f"probe AS (SELECT doc_id, hv, count(*) = {BLOOM_K} AS hit "
+        "FROM p LEFT JOIN bits USING (pos) "
+        f"WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM} AND bits.pos IS NOT NULL "
+        "GROUP BY doc_id, hv HAVING count(*) = " + str(BLOOM_K) + ") "
+        f"SELECT d.doc_id, CAST(coalesce(n.c, 0) AS BIGINT) AS n_hits FROM "
+        f"(SELECT doc_id FROM documents WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}) d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS c FROM probe GROUP BY doc_id) n USING (doc_id)"
+    )
+
+
+LENPROP_LOG2_DENOM = 10    # keep probability = min(1, n_chars / 1024)
+
+
+def doc_sample_lenprop(sf_dir: str, log2_denom: int = LENPROP_LOG2_DENOM):
+    """Length-proportional deterministic sample: keep a doc with
+    probability min(1, n_chars / 2^d) — importance sampling by size (the
+    token-budget-weighted selection primitive: long docs are rarer and
+    carry more tokens, so a size-biased subsample preserves token mass
+    better than a uniform one). The gate is EXACT integer math: keep iff
+    top-d bits of h(doc_id) < n_chars, i.e. h/2^64 < n_chars/2^d with no
+    float anywhere — same h as doc_bottomk_sample, so it inherits the
+    partition-invariance and incremental-ingest consistency. Stateless,
+    shuffle-free. DuckDB twin: hv // 2^(64-d) < length(text)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    shift = np.uint64(64 - log2_denom)
+
+    def samp(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = _chars(batch)
+        h = did.astype(np.uint64) * np.uint64(_SAMPLE_MULT) + np.uint64(_SAMPLE_SEED)
+        keep = (h >> shift).astype(np.int64) < nc
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "n_chars": pa.array(nc[keep].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def sample_lenprop_sql(log2_denom: int = LENPROP_LOG2_DENOM) -> str:
+    """DuckDB replay of doc_sample_lenprop."""
+    two64 = 1 << 64
+    div = 1 << (64 - log2_denom)
+    return (
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents "
+        f"WHERE (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + {_SAMPLE_SEED}) % {two64} "
+        f"// {div} < length(text)"
+    )
+
+
+def doc_normalize(sf_dir: str):
+    """(doc_id, text_norm): canonical text normalization — lowercase +
+    whitespace runs collapsed to single spaces + trimmed — the
+    value-mutating cleanup map every ingest runs before hashing/dedup
+    (the scrub stage's shape without the rule chain; reference analog:
+    the value-rescale map at read, read_data_to_check.r:83-84).
+    Stateless streaming pass, Arrow kernels only (utf8_lower +
+    regex replace), zero shuffles."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(t), r"\s+", " ")
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text_norm": t})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_sql() -> str:
+    """DuckDB replay of doc_normalize."""
+    return (
+        r"SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) "
+        "AS text_norm FROM documents"
+    )
