@@ -123,9 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dual_fg 4) hash-checked in one battery row (round-4 verdict #4) ---
         "qc_optional_checks": qc_battery.qc_optional_checks,
         "qc_metrics": _qc_metrics,
-        # round-5: per-conversation consumer summary + role-transition
-        # matrix (LEAD-window shape) — promoted into the window
-        "qc_conv_summary": qc_battery.qc_conv_summary,
+        # round-5: role-transition matrix (LEAD-window shape)
         "conv_role_transitions": qc_battery.conv_role_transitions,
         # --- document-table analogs (SQL-checked). doc_length_stats is
         # pytest-oracle-covered (tests/test_docqc_ops.py) but retired from
@@ -147,11 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text pass -> narrow candidate stream; HUGEINT SQL replay)
         "doc_bm25_topk": docqc.doc_bm25_topk,
         "doc_lm_fluency": docqc.doc_lm_fluency,
-        "doc_hash_split": docqc.doc_hash_split,
         "doc_scrub": docqc.doc_scrub,
         "doc_langid": docqc.doc_langid,
         "doc_repetition": docqc.doc_repetition,
-        "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "doc_length_quantiles": docqc.doc_length_quantiles,
         "doc_decontaminate": docqc.doc_decontaminate,
         "doc_top_tfidf": docqc.doc_top_tfidf,
@@ -175,7 +171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ (IVFADC): coarse cells + residual codebooks, probe +
         # ADC ranking SQL-replayed exactly
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
-        "embedding_neardup": ann.embedding_neardup_pairs,
         "embedding_kmeans": cluster.embedding_kmeans,
         "semantic_dedup": cluster.semantic_dedup,
         # --- near-dup suite over documents: exact-Jaccard verify + dedup +
@@ -193,6 +188,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": neardup.minhash_lsh_candidates,
         # round-5: cross-document dup spans (Lee-et-al signal), SQL-replayed
         "doc_dup_spans": neardup.doc_dup_spans,
+        # round-5-final window promotions (rotation rationale in COVERAGE.md:
+        # the four machine classes the window lacked — an ITERATIVE
+        # join+aggregate loop, two mergeable sketches, and an ANTI-join —
+        # replace four derivative/row-local rows, which stay registered +
+        # oracle-backed below):
+        "doc_pagerank": graph.doc_pagerank,
+        "doc_vocab_hll": docqc.doc_vocab_hll,
+        "doc_cms_wordcounts": docqc.doc_cms_wordcounts,
+        "tpch_cust_no_orders": relational.tpch_cust_no_orders,
         # --- multimodal: file-backed binary payloads through the real
         # read -> actor-pool decode path. Round-5: ORACLE-BACKED — the
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
@@ -262,9 +266,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weekly retention cohort matrix (distinct (user, week) collapse,
         # per-bucket-final cell counts)
         "events_retention": events.events_retention,
-        # Q22 shape: date-windowed ANTI-join (dormant high-balance
-        # customers), integer cross-multiplied above-average gate
-        "tpch_cust_no_orders": relational.tpch_cust_no_orders,
         # deterministic bottom-k uniform sample (mergeable priority sample)
         "doc_bottomk_sample": docqc.doc_bottomk_sample,
         # the same, stratified per language (inspect-k-from-every-stratum)
@@ -283,19 +284,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_lenprop": docqc.doc_sample_lenprop,
         # canonical text normalization (value-mutating cleanup map)
         "doc_normalize": docqc.doc_normalize,
-        # iterative distributed PageRank over the near-dup candidate graph
-        # (K join+aggregate rounds in scaled-integer math; unrolled-CTE twin)
-        "doc_pagerank": graph.doc_pagerank,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
-        # Count-Min Sketch word-frequency estimates (the bounded-memory
-        # scale path behind the exact top-words combiner) — the whole
-        # sketch replays bit-for-bit in DuckDB
-        "doc_cms_wordcounts": docqc.doc_cms_wordcounts,
-        # HyperLogLog register table per language (mergeable distinct-count
-        # sketch; registers hash-checked exactly, estimate in hll_estimate)
-        "doc_vocab_hll": docqc.doc_vocab_hll,
+        # round-5-final rotation counterparts (promoted: doc_pagerank,
+        # doc_vocab_hll, doc_cms_wordcounts, tpch_cust_no_orders; these
+        # four retire past the window but keep oracles + pytest):
+        # qc_conv_summary is a consumer view derivable from the in-window
+        # battery rows; hash_split and sample_rebalance are row-local hash
+        # gates (same class as the in-roster bottomk/lenprop gates);
+        # embedding_neardup's exact pair scan is the brute-force baseline
+        # of the in-window semantic_dedup/kmeans machinery.
+        "qc_conv_summary": qc_battery.qc_conv_summary,
+        "doc_hash_split": docqc.doc_hash_split,
+        "doc_sample_rebalance": docqc.doc_sample_rebalance,
+        "embedding_neardup": ann.embedding_neardup_pairs,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
