@@ -284,6 +284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_lenprop": docqc.doc_sample_lenprop,
         # canonical text normalization (value-mutating cleanup map)
         "doc_normalize": docqc.doc_normalize,
+        # semi-structured JSON field parse (two independent parsers agree)
+        "events_props_extract": events.events_props_extract,
+        # exact Levenshtein verify over the LSH candidate pairs (order-
+        # sensitive fuzzy metric complementing set-based Jaccard)
+        "neardup_edit_distance": neardup.neardup_edit_distance,
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
@@ -470,6 +475,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bloom_probe": docqc.bloom_probe_sql(),
         "doc_sample_lenprop": docqc.sample_lenprop_sql(),
         "doc_normalize": docqc.normalize_sql(),
+        "events_props_extract": events.props_extract_sql(),
+        "neardup_edit_distance": neardup.edit_distance_sql(GATE_SF),
         "doc_pagerank": graph.pagerank_sql(GATE_SF),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),

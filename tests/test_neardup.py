@@ -599,3 +599,53 @@ def test_doc_dup_spans_sf0001(ray_session):
     ora = con.sql(dup_spans_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_levenshtein_kernel_and_pairs(ray_session):
+    import duckdb
+
+    import numpy as np
+
+    from tools.check_contract import value_hash
+    from titan_ray.stages.neardup import (
+        _levenshtein_block,
+        edit_distance_sql,
+        neardup_edit_distance,
+    )
+
+    # kernel vs classic DP on planted + random byte strings (incl. empties)
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[len(b)]
+
+    import random
+
+    random.seed(7)
+    pairs = [("kitten", "sitting"), ("", "xyz"), ("xyz", ""), ("aa", "aa")]
+    pairs += [("".join(random.choice("abc") for _ in range(random.randint(0, 15))),
+               "".join(random.choice("abc") for _ in range(random.randint(0, 15))))
+              for _ in range(30)]
+    la = np.array([len(a) for a, _ in pairs], dtype=np.int64)
+    lb = np.array([len(b) for _, b in pairs], dtype=np.int64)
+    A = np.zeros((len(pairs), max(la.max(), 1)), dtype=np.uint8)
+    B = np.zeros((len(pairs), max(lb.max(), 1)), dtype=np.uint8)
+    for i, (a, b) in enumerate(pairs):
+        A[i, : len(a)] = np.frombuffer(a.encode(), dtype=np.uint8)
+        B[i, : len(b)] = np.frombuffer(b.encode(), dtype=np.uint8)
+    got = list(_levenshtein_block(A, la, B, lb))
+    assert got == [ref(a, b) for a, b in pairs]
+
+    # full operator vs DuckDB levenshtein over the persisted pair list
+    sf_dir = "/root/testdata/sf0.001"
+    eng = neardup_edit_distance(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(edit_distance_sql(0.001)).df()
+    assert len(eng) == len(ora) and value_hash(eng) == value_hash(ora)
+    assert (eng["sim_milli"] <= 1000).all() and (eng["edit_dist"] >= 0).all()

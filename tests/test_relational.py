@@ -452,3 +452,15 @@ def test_events_value_stats(ray_session):
     for r in eng.itertuples():
         assert r.var_micro == (r.n * r.s2 - r.s * r.s) // (r.n * r.n)
         assert r.var_micro >= 0
+
+
+def test_events_props_extract(ray_session):
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_props_extract, props_extract_sql
+
+    eng = to_pandas(events_props_extract(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(props_extract_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -808,3 +808,44 @@ def value_stats_sql() -> str:
         "CAST((n*s2 - s*s) // (n*n) AS BIGINT) AS var_micro "
         "FROM m ORDER BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured field extraction (the ETL parse step)
+# ---------------------------------------------------------------------------
+
+def events_props_extract(sf_dir: str):
+    """(event_id, k_val): the integer field ``k`` parsed out of the JSON
+    ``props`` column — the semi-structured-payload parse step every event
+    pipeline runs before it can aggregate on payload fields (the
+    reference's configurable-column read is the flat-file version of
+    this, read_data_to_check.r:31-66). Vectorized Arrow regex capture,
+    stateless, zero shuffles; rows whose props carry no integer k
+    surface as NULL (parse errors are data, not exceptions).
+
+    DuckDB twin: json_extract — two independent parsers agreeing on
+    every row is the check."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        p = batch["props"]
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        m = pc.extract_regex(p, r'"k":\s*(?P<v>-?\d+)')
+        v = pc.struct_field(m, "v")
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k_val": pc.cast(v, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def props_extract_sql() -> str:
+    """DuckDB replay via its native JSON parser."""
+    return (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val "
+        "FROM events"
+    )

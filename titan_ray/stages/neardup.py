@@ -1058,3 +1058,152 @@ def dup_spans_sql(k: int = DUP_SPAN_K) -> str:
         "SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_grams, "
         "CAST(max(rl) AS BIGINT) AS max_run FROM runs GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification over the LSH candidate pairs (the fuzzy-match
+# metric family: Levenshtein complements set-based Jaccard — order-sensitive,
+# catches rearrangement that shingle sets miss)
+# ---------------------------------------------------------------------------
+
+def _levenshtein_block(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Unit-cost Levenshtein for P padded byte-row pairs, vectorized over
+    pairs AND columns: the sequential left-dependency new[j-1]+1 becomes a
+    running minimum of (cand[k] - k) (prefix-min trick), so each DP row is
+    O(1) numpy ops; the row loop runs to max(la). Distances are snapshotted
+    per pair when its own row count is reached."""
+    P, M = B.shape
+    dp = np.tile(np.arange(M + 1, dtype=np.int64), (P, 1))
+    out = np.empty(P, dtype=np.int64)
+    done = la == 0
+    out[done] = lb[done]
+    for i in range(1, int(la.max(initial=0)) + 1):
+        cost = (A[:, i - 1 : i] != B).astype(np.int64)
+        cand = np.empty((P, M + 1), dtype=np.int64)
+        cand[:, 0] = i
+        np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost, out=cand[:, 1:])
+        # left-propagation: dp_new[j] = j + cummin_{k<=j}(cand[k] - k)
+        t = np.minimum.accumulate(cand - np.arange(M + 1), axis=1)
+        dp = t + np.arange(M + 1)
+        hit = la == i
+        if hit.any():
+            out[hit] = dp[hit, lb[hit]]
+    return out
+
+
+def neardup_edit_distance(sf_dir: str, num_buckets: int = 64):
+    """(doc_a, doc_b, edit_dist, sim_milli) for every LSH candidate pair:
+    exact Levenshtein distance between the two texts plus the normalized
+    similarity floor(1000 * (maxlen - d) / maxlen) in integer milli.
+    Candidates come from the persisted pair list (ensure_candidates — the
+    same artifact the Jaccard verify and its SQL oracle read), so the two
+    verification metrics are directly comparable per pair.
+
+    Scale shape (verify_candidate_pairs convention): the candidate list is
+    the small broadcast side; each involved doc's TEXT is emitted once per
+    pair, pairs co-locate by pid % B, and the per-bucket kernel runs the
+    prefix-min vectorized DP over all of the bucket's pairs at once. The
+    documents table streams — no driver-side read. DuckDB twin:
+    levenshtein() over the pair list joined twice to documents (byte ==
+    char for this ASCII corpus; a unicode corpus needs a byte-level twin)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.docqc import _read
+
+    cand = pq.read_table(ensure_candidates(sf_dir)).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("doc_a", "doc_b", "edit_dist", "sim_milli")})
+    cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pair_of_doc: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        pair_of_doc.setdefault(int(a), []).append(pid)
+        pair_of_doc.setdefault(int(b), []).append(pid)
+    side_of = {}   # (pid, doc) -> 0 for doc_a, 1 for doc_b
+    for pid, (a, b) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        side_of[(pid, int(a))] = 0
+        side_of[(pid, int(b))] = 1
+    ref = ray.put((pair_of_doc, side_of))
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lookup, sides = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        involved = np.fromiter(lookup.keys(), dtype=np.int64, count=len(lookup))
+        batch = batch.filter(pa.array(np.isin(ids, involved)))
+        pid_o, doc_o, side_o, text_o = [], [], [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pandas()
+        for i, d in enumerate(ids):
+            for pid in lookup.get(int(d), ()):
+                pid_o.append(pid)
+                doc_o.append(int(d))
+                side_o.append(sides[(pid, int(d))])
+                text_o.append(texts.iloc[i])
+        return pa.table(
+            {
+                "pid": pa.array(np.asarray(pid_o, dtype=np.int64)),
+                "doc_id": pa.array(np.asarray(doc_o, dtype=np.int64)),
+                "side": pa.array(np.asarray(side_o, dtype=np.int64)),
+                "text": pa.array(text_o, type=pa.string()),
+                "_b": pa.array((np.asarray(pid_o, dtype=np.int64) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("doc_a", "doc_b", "edit_dist", "sim_milli")})
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pandas()
+        order = np.lexsort((side, pid))
+        pid, side, doc = pid[order], side[order], doc[order]
+        texts = texts.iloc[order].reset_index(drop=True)
+        # rows come in (side 0, side 1) pairs per pid
+        assert len(pid) % 2 == 0 and (pid[0::2] == pid[1::2]).all()
+        a_txt = [s.encode() for s in texts.iloc[0::2]]
+        b_txt = [s.encode() for s in texts.iloc[1::2]]
+        la = np.asarray([len(x) for x in a_txt], dtype=np.int64)
+        lb = np.asarray([len(x) for x in b_txt], dtype=np.int64)
+        A = np.zeros((len(a_txt), int(la.max(initial=0))), dtype=np.uint8)
+        B = np.zeros((len(b_txt), int(lb.max(initial=0))), dtype=np.uint8)
+        for i, x in enumerate(a_txt):
+            A[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+        for i, x in enumerate(b_txt):
+            B[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+        d = _levenshtein_block(A, la, B, lb)
+        mx = np.maximum(la, lb)
+        sim = np.where(mx > 0, (1000 * (mx - d)) // np.maximum(mx, 1), 1000)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[0::2]),
+                "doc_b": pa.array(doc[1::2]),
+                "edit_dist": pa.array(d),
+                "sim_milli": pa.array(sim.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def edit_distance_sql(sf: float = 0.01) -> str:
+    """DuckDB replay of neardup_edit_distance via the native levenshtein()."""
+    path = candidates_path(sf)
+    return (
+        f"WITH pairs AS (SELECT doc_a, doc_b FROM read_parquet('{path}')) "
+        "SELECT p.doc_a, p.doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist, "
+        "CAST(CASE WHEN greatest(length(da.text), length(db.text)) > 0 THEN "
+        "(1000 * (greatest(length(da.text), length(db.text)) - levenshtein(da.text, db.text))) "
+        "// greatest(length(da.text), length(db.text)) ELSE 1000 END AS BIGINT) AS sim_milli "
+        "FROM pairs p JOIN documents da ON da.doc_id = p.doc_a "
+        "JOIN documents db ON db.doc_id = p.doc_b"
+    )
