@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
+        # per-node triangle counts over the candidate graph (the motif
+        # complement of doc_pagerank: clique membership vs hub centrality)
+        "graph_triangles": graph.graph_triangles,
     }
 
 
@@ -478,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": events.props_extract_sql(),
         "neardup_edit_distance": neardup.edit_distance_sql(GATE_SF),
         "doc_pagerank": graph.pagerank_sql(GATE_SF),
+        "graph_triangles": graph.triangles_sql(GATE_SF),
         "events_rollup": events.rollup_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),

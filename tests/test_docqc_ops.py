@@ -939,3 +939,34 @@ def test_doc_normalize(ray_session, tmp_path):
     assert out.loc[1, "text_norm"] == "abc"
 
     _compare("/root/testdata/sf0.001", doc_normalize, normalize_sql())
+
+
+def test_graph_triangles(ray_session):
+    import duckdb as _duck
+    import ray.data as rd
+
+    from titan_ray.stages.graph import (
+        graph_triangles,
+        triangles_from_pairs,
+        triangles_sql,
+    )
+
+    # planted: 4-clique {1,2,3,4} (4 triangles, each node in C(3,2)=3) +
+    # star 10<->{11,12,13} (no closure) + one pendant edge
+    cl = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    pend = [(20, 21)]
+    pairs = pa.table({
+        "doc_a": pa.array([p[0] for p in cl + star + pend], type=pa.int64()),
+        "doc_b": pa.array([p[1] for p in cl + star + pend], type=pa.int64()),
+    })
+    out = triangles_from_pairs(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_triangles"]))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}   # star/pendant close nothing
+
+    # real corpus: engine == three-way-self-join twin over the same parquet
+    eng = graph_triangles("/root/testdata/sf0.001").to_pandas()
+    con = _duck.connect()
+    ora = con.sql(triangles_sql(0.001)).df()
+    from tools.check_contract import value_hash
+    assert len(eng) == len(ora) and value_hash(eng) == value_hash(ora)

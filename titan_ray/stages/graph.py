@@ -118,3 +118,173 @@ def pagerank_sql(sf: float = 0.01, iters: int = PR_ITERS) -> str:
         "WITH " + ", ".join(ctes)
         + f" SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_nano FROM r{iters}"
     )
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph motif / clustering structure)
+# ---------------------------------------------------------------------------
+#
+# The second graph primitive after PageRank: per-node triangle counts over
+# the same candidate graph. A document sitting in many triangles belongs to
+# a densely inter-duplicated clique (a template family whose members all
+# near-dup EACH OTHER), vs. a star hub (high PageRank, zero triangles) that
+# chains otherwise-unrelated docs — the two structures want different dedup
+# policies (drop the whole clique vs. keep the hub, drop spokes). Reference
+# analog: the duplicate_check neighbourhood (read_data_to_check.r:121-143)
+# flags pairs; this classifies the neighbourhood's SHAPE.
+
+_TRI_MIX = np.uint64(0x9E3779B97F4A7C15)   # Fibonacci mixing for pair buckets
+
+
+def graph_triangles(sf_dir: str, num_buckets: int = 64):
+    """(doc_id, n_triangles) for every node of the canonical candidate
+    graph that closes at least one triangle.
+
+    Exact node-iterator algorithm, two narrow exchanges, no driver state:
+
+    1. wedge generation — canonical edges (a < b, distinct, the persisted
+       LSH candidate list) bucket by a % B so every edge of a low endpoint
+       co-locates; per bucket, each node's higher-neighbour list emits all
+       C(deg,2) ordered wedges (a; b < c). Wedge volume is Σ deg² bounded
+       upstream by the LSH bucket caps (oversized buckets become stars,
+       neardup.py), so no per-node cap is needed here — a star's wedges
+       exist but close only where its spokes really are pairwise-similar.
+    2. closure test — wedges and the edge list itself meet in a pair-hash
+       bucket ((b*φ + c) % B); a per-bucket vectorized inner merge keeps
+       wedges whose (b, c) is an edge. Each triangle a < b < c is produced
+       exactly once (at its minimum vertex), and credits all three corners.
+    3. per-node sum — (doc, 1-per-corner) partials collapse batch-locally,
+       then one node-keyed groupby makes counts final.
+
+    The DuckDB twin (triangles_sql) replays the same enumeration as a
+    three-way self-join over the identical persisted parquet — exact
+    integer counts, so the driver gate hash-matches bit-for-bit."""
+    import ray.data as rd
+
+    from .neardup import ensure_candidates
+
+    path = ensure_candidates(sf_dir)
+    return triangles_from_pairs(
+        rd.read_parquet(path, columns=["doc_a", "doc_b"]), num_buckets=num_buckets
+    )
+
+
+def triangles_from_pairs(edges, num_buckets: int = 64):
+    """Triangle-count kernel over a canonical (doc_a < doc_b, distinct)
+    edge Dataset; see graph_triangles for the full shape."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+
+    def _pair_bucket(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        h = u.astype(np.uint64) * _TRI_MIX + v.astype(np.uint64)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        u = batch["doc_a"].to_numpy(zero_copy_only=False)
+        v = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(u), "v": pa.array(v),
+                "ctr": pa.array(np.zeros(len(u), dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "_pb": pa.array(_pair_bucket(u, v)),
+            }
+        )
+
+    def lo_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        # fresh table (not append_column): drops the parquet pandas schema
+        # metadata so downstream unions see one hashable schema
+        return pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(batch["doc_b"].to_numpy(zero_copy_only=False)),
+                "_b": pa.array((a % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        x = t["doc_a"].to_numpy(zero_copy_only=False)
+        y = t["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        uniq, start, counts = np.unique(x, return_index=True, return_counts=True)
+        outs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # loop over distinct DEGREES (not nodes): all size-s adjacency
+        # lists emit their C(s,2) wedges in one fancy-index broadcast
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            sel = counts == s
+            st = start[sel]
+            i0, i1 = np.triu_indices(int(s), 1)
+            b = y[st[:, None] + i0[None, :]].ravel()
+            c = y[st[:, None] + i1[None, :]].ravel()
+            a = np.repeat(uniq[sel], len(i0))
+            outs.append((a, b, c))
+        if not outs:
+            return pa.table(
+                {
+                    "u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64()),
+                    "ctr": pa.array([], type=pa.int64()), "kind": pa.array([], type=pa.int8()),
+                    "_pb": pa.array([], type=pa.int32()),
+                }
+            )
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        c = np.concatenate([o[2] for o in outs])
+        return pa.table(
+            {
+                "u": pa.array(b), "v": pa.array(c), "ctr": pa.array(a),
+                "kind": pa.array(np.ones(len(a), dtype=np.int8)),
+                "_pb": pa.array(_pair_bucket(b, c)),
+            }
+        )
+
+    wedge_ds = (
+        edges.map_batches(lo_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: wedges(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+    edge_ds = edges.map_batches(edge_rows, batch_format="pyarrow")
+
+    def close(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        e = df[df["kind"] == 0]
+        w = df[df["kind"] == 1]
+        if not len(e) or not len(w):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        m = w.merge(e[["u", "v"]], on=["u", "v"], how="inner")
+        docs = np.concatenate(
+            [m["ctr"].to_numpy(), m["u"].to_numpy(), m["v"].to_numpy()]
+        ).astype(np.int64)
+        du, dc = np.unique(docs, return_counts=True)
+        return pa.table({"doc_id": pa.array(du), "n": pa.array(dc.astype(np.int64))})
+
+    out = (
+        wedge_ds.union(edge_ds)
+        .groupby("_pb")
+        .map_groups(lambda t: close(t.drop_columns(["_pb"])), batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_triangles"]), batch_format="pyarrow"
+    )
+
+
+def triangles_sql(sf: float = 0.01) -> str:
+    """DuckDB replay of graph_triangles: the canonical three-way self-join
+    (a < b < c once per triangle) over the same persisted candidate list,
+    corners credited via UNION ALL."""
+    from .neardup import candidates_path
+
+    path = candidates_path(sf)
+    return (
+        f"WITH pairs AS (SELECT doc_a, doc_b FROM read_parquet('{path}')), "
+        "tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c "
+        "FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b "
+        "JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b), "
+        "m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY doc_id"
+    )
