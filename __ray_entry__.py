@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-node triangle counts over the candidate graph (the motif
         # complement of doc_pagerank: clique membership vs hub centrality)
         "graph_triangles": graph.graph_triangles,
+        # per-user dense hourly grid with zero-filled gaps (dimension
+        # GENERATION — rows the input doesn't contain; generate_series twin)
+        "events_gapfill": events.events_gapfill,
     }
 
 
@@ -483,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pagerank": graph.pagerank_sql(GATE_SF),
         "graph_triangles": graph.triangles_sql(GATE_SF),
         "events_rollup": events.rollup_sql(),
+        "events_gapfill": events.gapfill_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -464,3 +464,37 @@ def test_events_props_extract(ray_session):
     ora = con.sql(props_extract_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_gapfill(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_gapfill, gapfill_sql
+
+    # planted: user 1 active at hours {2, 5} -> dense grid 2..5 with zero
+    # rows at 3 and 4; user 2 a single hour -> exactly one row
+    us = 3_600_000_000
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([2 * us, 2 * us + 7, 5 * us, 9 * us], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["x"] * 4),
+        "value": pa.array([0.0] * 4),
+        "props": pa.array([""] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_gapfill(str(d))).sort_values(["user_id", "hour"])
+    assert list(map(tuple, eng.to_numpy())) == [
+        (1, 2, 2), (1, 3, 0), (1, 4, 0), (1, 5, 1), (2, 9, 1),
+    ]
+
+    # real corpus: hash-green vs the generate_series twin
+    eng = to_pandas(events_gapfill(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(gapfill_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

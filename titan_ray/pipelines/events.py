@@ -849,3 +849,90 @@ def props_extract_sql() -> str:
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val "
         "FROM events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill: densify each user's hourly series (dimension generation)
+# ---------------------------------------------------------------------------
+
+def events_gapfill(sf_dir: str, num_buckets: int = 64):
+    """(user_id, hour, n_events) over each user's COMPLETE hourly range —
+    missing hours materialize as zero rows. The dimension-GENERATION
+    primitive (rows the input doesn't contain): regular time grids for
+    downstream window math, the stream analog of the reference gridding
+    its scattered observations onto the full DEM raster (grid points with
+    no nearby obs still get a row).
+
+    Scale shape: per-batch Arrow group_by collapses events to (user, hour)
+    partials before the ONE user-bucket exchange; inside a bucket the
+    kernel finalizes counts, derives each user's [min, max] hour span, and
+    scatters the observed counts into an arange-generated dense grid — all
+    reduceat/repeat vector ops, no Python loop, nothing driver-sized.
+    Output volume is Σ_user span_u (bounded by users x corpus timespan in
+    hours), generated inside the buckets and streamed straight out."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 3600_000_000
+        t = pa.table({"user_id": batch["user_id"], "hour": pa.array(hour)})
+        g = t.group_by(["user_id", "hour"]).aggregate([("hour", "count")])
+        b = pc.cast(pc.bit_wise_and(g["user_id"], num_buckets - 1), pa.int32())
+        return pa.table({"user_id": g["user_id"], "hour": g["hour"],
+                         "n": g["hour_count"].cast(pa.int64()), "_b": b})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        h = t["hour"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, u))
+        u, h, n = u[order], h[order], n[order]
+        # finalize the per-(user, hour) counts (partials from many batches)
+        first = np.concatenate([[True], (u[1:] != u[:-1]) | (h[1:] != h[:-1])])
+        idx = np.flatnonzero(first)
+        ns = np.add.reduceat(n, idx)
+        uu, hh = u[idx], h[idx]
+        # per-user span boundaries (uu still user-sorted, hours ascending)
+        ustart = np.concatenate([[True], uu[1:] != uu[:-1]])
+        uidx = np.flatnonzero(ustart)
+        users = uu[uidx]
+        seg_len = np.diff(np.concatenate([uidx, [len(uu)]]))
+        mn = hh[uidx]
+        mx = hh[uidx + seg_len - 1]
+        spans = mx - mn + 1
+        off = np.concatenate([[0], np.cumsum(spans)])
+        tot = int(off[-1])
+        g = np.repeat(np.arange(len(users)), spans)
+        hours = mn[g] + (np.arange(tot, dtype=np.int64) - off[:-1][g])
+        out_n = np.zeros(tot, dtype=np.int64)
+        urow = np.repeat(np.arange(len(users)), seg_len)
+        out_n[off[:-1][urow] + (hh - mn[urow])] = ns
+        return pa.table(
+            {
+                "user_id": pa.array(users[g]),
+                "hour": pa.array(hours),
+                "n_events": pa.array(out_n),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def gapfill_sql() -> str:
+    """DuckDB replay of events_gapfill (generate_series over each user's
+    [min, max] hour, observed counts left-joined in, gaps as zero)."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events), "
+        "c AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY user_id, h), "
+        "b AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM e GROUP BY user_id), "
+        "hrs AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM b) "
+        "SELECT hrs.user_id, hrs.h AS hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+        "FROM hrs LEFT JOIN c USING (user_id, h)"
+    )
