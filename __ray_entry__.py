@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user dense hourly grid with zero-filled gaps (dimension
         # GENERATION — rows the input doesn't contain; generate_series twin)
         "events_gapfill": events.events_gapfill,
+        # all 2^3 grouping sets over type x dow x hod (rollup generalized;
+        # coarser sets derive from the finest cells, never the data)
+        "events_cube": events.events_cube,
     }
 
 
@@ -487,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": graph.triangles_sql(GATE_SF),
         "events_rollup": events.rollup_sql(),
         "events_gapfill": events.gapfill_sql(),
+        "events_cube": events.cube_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -498,3 +498,24 @@ def test_events_gapfill(ray_session, tmp_path):
     ora = con.sql(gapfill_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_cube(ray_session):
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import cube_sql, events_cube
+
+    eng = to_pandas(events_cube(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(cube_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+    # the 8 grouping sets reconcile: every coarser set sums the finest
+    cells = eng[(eng["event_type"] != "ALL") & (eng["dow"] >= 0) & (eng["hod"] >= 0)]
+    total = eng[(eng["event_type"] == "ALL") & (eng["dow"] == -1) & (eng["hod"] == -1)]
+    assert len(total) == 1 and total.iloc[0]["n"] == cells["n"].sum()
+    by_dow = eng[(eng["event_type"] == "ALL") & (eng["dow"] >= 0) & (eng["hod"] == -1)]
+    assert by_dow["n"].sum() == total.iloc[0]["n"]
+    got = cells.groupby("dow")["n"].sum().to_dict()
+    assert got == by_dow.set_index("dow")["n"].to_dict()

@@ -936,3 +936,112 @@ def gapfill_sql() -> str:
         "SELECT hrs.user_id, hrs.h AS hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
         "FROM hrs LEFT JOIN c USING (user_id, h)"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all 2^d grouping sets in one pass
+# ---------------------------------------------------------------------------
+
+def events_cube(sf_dir: str, num_buckets: int = 64):
+    """GROUP BY CUBE (event_type, dow, hod): count + exact milli-value sum
+    at ALL 8 grouping sets — the full OLAP cube over type x day-of-week x
+    hour-of-day (rollup's generalization: every subset of the dims, not
+    just the prefix hierarchy). Sentinels: 'ALL' / -1, never NULL, so the
+    row set hash-compares.
+
+    Scale shape (same as events_rollup): per-batch Arrow group_by collapses
+    each batch to LOCAL finest cells before the ONE bucket-keyed exchange;
+    the 7 coarser grouping sets re-aggregate the CELL table (at most
+    n_types x 7 x 24 rows, corpus-size independent) on the driver — the
+    cube derives from the cells, never from the data."""
+    import pandas as pd
+
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 3600_000_000
+        # epoch day 0 = Thursday; ISO dow (Mon=1..Sun=7) matches DuckDB
+        dow = ((hour // 24 + 3) % 7 + 1).astype(np.int64)
+        hod = (hour % 24).astype(np.int64)
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pa.array(dow),
+                "hod": pa.array(hod),
+                "vm": pa.array(vm),
+            }
+        )
+        g = t.group_by(["event_type", "dow", "hod"]).aggregate(
+            [("vm", "sum"), ("vm", "count")]
+        )
+        b = ((g["dow"].to_numpy(zero_copy_only=False) * 24
+              + g["hod"].to_numpy(zero_copy_only=False)) % num_buckets)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dow": g["dow"],
+                "hod": g["hod"],
+                "value_milli": g["vm_sum"].cast(pa.int64()),
+                "n": g["vm_count"].cast(pa.int64()),
+                "_b": pa.array(b.astype(np.int32)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "dow", "hod"]).aggregate(
+            [("value_milli", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dow": g["dow"],
+                "hod": g["hod"],
+                "n": g["n_sum"],
+                "value_milli": g["value_milli_sum"],
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # <= n_types x 7 x 24 rows — the cube, not the data
+    )
+    dims = ["event_type", "dow", "hod"]
+    sentinel = {"event_type": "ALL", "dow": np.int64(-1), "hod": np.int64(-1)}
+    levels = []
+    for mask in range(8):          # bit i set -> dim i kept
+        keep = [d for i, d in enumerate(dims) if mask >> i & 1]
+        if len(keep) == 3:
+            lv = cells.copy()
+        elif keep:
+            lv = cells.groupby(keep, as_index=False)[["n", "value_milli"]].sum()
+        else:
+            lv = pd.DataFrame({"n": [cells["n"].sum()],
+                               "value_milli": [cells["value_milli"].sum()]})
+        for d in dims:
+            if d not in keep:
+                lv[d] = sentinel[d]
+        levels.append(lv[dims + ["n", "value_milli"]])
+    out = pd.concat(levels, ignore_index=True)
+    for c in ("dow", "hod", "n", "value_milli"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def cube_sql() -> str:
+    """DuckDB replay of events_cube (GROUP BY CUBE, sentinel coords)."""
+    return (
+        "WITH e AS (SELECT event_type, isodow(ts) AS dow, hour(ts) AS hod, "
+        "CAST(floor(value * 1000) AS BIGINT) AS vm FROM events) "
+        "SELECT coalesce(event_type, 'ALL') AS event_type, "
+        "coalesce(dow, -1) AS dow, coalesce(hod, -1) AS hod, "
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS value_milli "
+        "FROM e GROUP BY CUBE (event_type, dow, hod)"
+    )
