@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all 2^3 grouping sets over type x dow x hod (rollup generalized;
         # coarser sets derive from the finest cells, never the data)
         "events_cube": events.events_cube,
+        # materialized inverted index (term -> df, cf, doc-ordered posting
+        # string) — the reusable IR artifact behind bm25/decontam
+        "doc_inverted_index": docqc.doc_inverted_index,
     }
 
 
@@ -491,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": events.rollup_sql(),
         "events_gapfill": events.gapfill_sql(),
         "events_cube": events.cube_sql(),
+        "doc_inverted_index": docqc.inverted_index_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

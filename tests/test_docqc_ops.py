@@ -970,3 +970,26 @@ def test_graph_triangles(ray_session):
     ora = con.sql(triangles_sql(0.001)).df()
     from tools.check_contract import value_hash
     assert len(eng) == len(ora) and value_hash(eng) == value_hash(ora)
+
+
+def test_doc_inverted_index(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_inverted_index, inverted_index_sql
+
+    # planted: exact postings, doc order, tf, and the min_df gate
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7, 3, 5], type=pa.int64()),
+        "text": pa.array(["b a a", "a b", "a  rare"]),
+    }), d / "documents.parquet")
+    out = _compare(str(d), lambda s: doc_inverted_index(s, min_df=2),
+                   inverted_index_sql(min_df=2)).set_index("term")
+    assert out.loc["a", "postings"] == "3:1,5:1,7:2"   # doc-ordered, tf exact
+    assert out.loc["a", "df"] == 3 and out.loc["a", "cf"] == 4
+    assert out.loc["b", "postings"] == "3:1,7:1"
+    assert "rare" not in out.index                     # df=1 < min_df
+
+    # real corpus vs the string_agg twin
+    _compare("/root/testdata/sf0.001", doc_inverted_index, inverted_index_sql())

@@ -3141,3 +3141,107 @@ def normalize_sql() -> str:
         r"SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) "
         "AS text_norm FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (the IR artifact behind BM25 / decontam probes)
+# ---------------------------------------------------------------------------
+
+INDEX_MIN_DF = 5
+
+
+def doc_inverted_index(sf_dir: str, min_df: int = INDEX_MIN_DF,
+                       num_buckets: int = 64):
+    """(term, df, cf, postings): the classic inverted index over the
+    corpus — per term, document frequency, collection frequency, and the
+    full posting list serialized as 'doc:tf,doc:tf,...' in doc_id order.
+    doc_bm25_topk consumes df/tf implicitly per query; this MATERIALIZES
+    the reusable index artifact itself (what a search/decontam service
+    would ship).
+
+    Scale shape: the documents table holds one row per doc, so each
+    (term, doc, tf) triple is FINAL at the batch that contains the doc —
+    no partial merge, just per-batch tokenize + local (term, doc) counts.
+    ONE term-bucket exchange co-locates every posting of a term; inside a
+    bucket, df/cf and the doc-ordered posting string are per-term final,
+    and the min_df gate is decidable locally. Posting strings are the
+    term's df entries long — vocabulary-distributed rows, never a
+    corpus-sized driver object.
+
+    The DuckDB twin (inverted_index_sql) replays tokenize -> unnest ->
+    string_agg(ORDER BY doc_id) over the literal strings — exact string
+    equality, so the gate hash-matches."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        values = lst.values
+        rid = np.repeat(np.arange(len(texts), dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        words = values.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+        rid = rid[keep]
+        if not len(rid):
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "tf": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
+        codes, uniq_words = pd.factorize(words)
+        key = codes.astype(np.int64) * len(texts) + rid
+        ukey, tf = np.unique(key, return_counts=True)
+        wi = (ukey // len(texts)).astype(np.int64)
+        di = doc[(ukey % len(texts)).astype(np.int64)]
+        terms = uniq_words[wi]
+        b = (pd.util.hash_array(terms.astype(object)) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "doc_id": pa.array(di),
+                "tf": pa.array(tf.astype(np.int64)),
+                "_b": pa.array(b),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "cf": pd.Series([], dtype=np.int64),
+                                 "postings": pd.Series([], dtype=object)})
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        part = df["doc_id"].astype(str) + ":" + df["tf"].astype(str)
+        g = df.groupby("term", sort=False)
+        out = pd.DataFrame(
+            {
+                "df": g.size().astype(np.int64),
+                "cf": g["tf"].sum().astype(np.int64),
+                "postings": part.groupby(df["term"], sort=False).agg(",".join),
+            }
+        ).reset_index()
+        return out[out["df"] >= min_df][["term", "df", "cf", "postings"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda d: per_bucket(d.drop(columns=["_b"])), batch_format="pandas")
+    )
+
+
+def inverted_index_sql(min_df: int = INDEX_MIN_DF) -> str:
+    """DuckDB replay of doc_inverted_index (literal-string terms)."""
+    return (
+        r"WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w "
+        "FROM documents), "
+        "tf AS (SELECT w, doc_id, count(*) AS tf FROM t GROUP BY w, doc_id) "
+        "SELECT w AS term, CAST(count(*) AS BIGINT) AS df, "
+        "CAST(sum(tf) AS BIGINT) AS cf, "
+        "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings "
+        f"FROM tf GROUP BY w HAVING count(*) >= {min_df}"
+    )
