@@ -48,26 +48,57 @@ def doc_pagerank(sf_dir: str, iters: int = PR_ITERS, num_buckets: int = 64):
                                iters=iters, num_buckets=num_buckets)
 
 
-def pagerank_from_pairs(pairs: pa.Table, iters: int = PR_ITERS, num_buckets: int = 64):
-    """PageRank kernel over an undirected pair list (doc_a, doc_b)."""
+def pagerank_from_pairs(pairs, iters: int = PR_ITERS, num_buckets: int = 64):
+    """PageRank kernel over an undirected pair list (doc_a, doc_b) —
+    a pa.Table or a Dataset of pairs; the symmetrized edge list, the
+    out-degree table, and the deg-folded edges are ALL built distributed
+    (per-batch partials + one node-bucket exchange + one hash_join), so no
+    stage of the setup is driver-sized (round-5: the previous driver-numpy
+    edge build capped the operator at driver RAM)."""
     import ray.data as rd
 
     from .joins import hash_join
 
-    a = pairs["doc_a"].to_numpy(zero_copy_only=False)
-    b = pairs["doc_b"].to_numpy(zero_copy_only=False)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    order = np.argsort(src, kind="stable")
-    src, dst = src[order], dst[order]
-    uniq, counts = np.unique(src, return_counts=True)
-    deg = np.repeat(counts, counts)   # out-degree folded into the edge list
-    edges = rd.from_arrow(pa.table(
-        {"s": pa.array(src), "d": pa.array(dst), "deg": pa.array(deg.astype(np.int64))}
-    ))
-    ranks = rd.from_arrow(pa.table(
-        {"s": pa.array(uniq), "r": pa.array(np.full(len(uniq), PR_R, dtype=np.int64))}
-    ))
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(np.concatenate([a, b])),
+                         "d": pa.array(np.concatenate([b, a]))})
+
+    edges0 = pairs.map_batches(sym, batch_format="pyarrow")
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["s"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"s": pa.array(u), "deg": pa.array(c.astype(np.int64)),
+                         "_b": pa.array((u % num_buckets).astype(np.int32))})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("s").aggregate([("deg", "sum")])
+        return pa.table({"s": g["s"], "deg": g["deg_sum"]})
+
+    deg = (
+        edges0.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: deg_merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .materialize()   # node-sized
+    )
+    edges = (
+        hash_join(edges0, deg, on="s", right_cols=("deg",), num_buckets=num_buckets)
+        .map_batches(
+            lambda t: pa.table({"s": t["s"], "d": t["d"], "deg": t["r_deg"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()   # static across rounds: edge-sized, out-deg folded in
+    )
+    ranks = deg.map_batches(
+        lambda t: pa.table(
+            {"s": t["s"], "r": pa.array(np.full(t.num_rows, PR_R, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     def contrib(batch: pa.Table) -> pa.Table:
         c = batch["r_r"].to_numpy(zero_copy_only=False) // batch["deg"].to_numpy(zero_copy_only=False)
