@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # materialized inverted index (term -> df, cf, doc-ordered posting
         # string) — the reusable IR artifact behind bm25/decontam
         "doc_inverted_index": docqc.doc_inverted_index,
+        # long -> wide reshape (one count column per event type; the
+        # per-entity feature-table build), native PIVOT twin
+        "events_pivot": events.events_pivot,
     }
 
 
@@ -495,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": events.gapfill_sql(),
         "events_cube": events.cube_sql(),
         "doc_inverted_index": docqc.inverted_index_sql(),
+        "events_pivot": events.pivot_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -519,3 +519,34 @@ def test_events_cube(ray_session):
     assert by_dow["n"].sum() == total.iloc[0]["n"]
     got = cells.groupby("dow")["n"].sum().to_dict()
     assert got == by_dow.set_index("dow")["n"].to_dict()
+
+
+def test_events_pivot(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_pivot, pivot_sql
+
+    # planted: absent (user, type) combos are zero; columns named by value
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 1, 2], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a"]),
+        "value": pa.array([0.0] * 3),
+        "props": pa.array([""] * 3),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_pivot(str(d))).sort_values("user_id").reset_index(drop=True)
+    assert list(eng.columns) == ["user_id", "a", "b"]
+    assert eng.loc[0].tolist() == [1, 1, 1] and eng.loc[1].tolist() == [2, 1, 0]
+
+    # real corpus vs the native PIVOT twin
+    eng = to_pandas(events_pivot(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(pivot_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

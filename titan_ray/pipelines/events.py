@@ -1045,3 +1045,79 @@ def cube_sql() -> str:
         "CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS value_milli "
         "FROM e GROUP BY CUBE (event_type, dow, hod)"
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: long -> wide (one column per category value)
+# ---------------------------------------------------------------------------
+
+def events_pivot(sf_dir: str, num_buckets: int = 64):
+    """PIVOT events ON event_type USING count(*) GROUP BY user_id — the
+    long-to-wide reshape: one row per user, one int64 column PER EVENT TYPE
+    holding that user's count (absent combinations are 0). The feature-
+    table build every ML pipeline ends with (per-entity behaviour vector);
+    reference analog: the per-provider flag-count summary pivoted to one
+    row per provider (titan.r:254-263).
+
+    Scale shape: a cheap first pass discovers the category set (per-batch
+    distinct -> vocabulary-sized driver list, broadcast into the closure —
+    categories are low-cardinality by definition of a sensible pivot; a
+    guard raises past MAX_PIVOT_COLS rather than building a degenerate
+    10^6-column table). The main pass collapses each batch to (user, type)
+    count partials, then ONE user-bucket exchange scatters each user's
+    counts into the fixed wide row — per-bucket-final, nothing driver-
+    sized. Output columns are named by the category values themselves
+    (DuckDB PIVOT convention), so the twin hash-matches."""
+    MAX_PIVOT_COLS = 10_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["event_type"].to_numpy(zero_copy_only=False).astype(object))
+        return pa.table({"event_type": pa.array(u.astype(str))})
+
+    types = sorted(
+        ds.map_batches(type_partial, batch_format="pyarrow")
+        .unique("event_type")
+    )
+    if len(types) > MAX_PIVOT_COLS:
+        raise ValueError(
+            f"events_pivot: {len(types)} categories exceed MAX_PIVOT_COLS="
+            f"{MAX_PIVOT_COLS}; pivot on a bounded-cardinality column"
+        )
+    t_index = {t: i for i, t in enumerate(types)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        b = pc.cast(pc.bit_wise_and(g["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": g["event_type_count"].cast(pa.int64()),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        users, uidx = np.unique(u, return_inverse=True)
+        ci = np.array([t_index[x] for x in ty], dtype=np.int64)
+        wide = np.zeros((len(users), len(types)), dtype=np.int64)
+        np.add.at(wide, (uidx, ci), n)   # partials from many batches sum
+        cols = {"user_id": pa.array(users)}
+        for j, name in enumerate(types):
+            cols[name] = pa.array(wide[:, j])
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def pivot_sql() -> str:
+    """DuckDB replay of events_pivot (native PIVOT)."""
+    return "PIVOT events ON event_type USING count(*) GROUP BY user_id"
