@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # long -> wide reshape (one count column per event type; the
         # per-entity feature-table build), native PIVOT twin
         "events_pivot": events.events_pivot,
+        # five aggregate classes (count / COUNT DISTINCT / min / max / sum)
+        # fused into one user-bucket exchange
+        "events_user_profile": events.events_user_profile,
     }
 
 
@@ -499,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": events.cube_sql(),
         "doc_inverted_index": docqc.inverted_index_sql(),
         "events_pivot": events.pivot_sql(),
+        "events_user_profile": events.user_profile_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

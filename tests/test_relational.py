@@ -550,3 +550,34 @@ def test_events_pivot(ray_session, tmp_path):
     ora = con.sql(pivot_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_user_profile(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_user_profile, user_profile_sql
+
+    # planted: distinct-type count, min/max, and negative-value floor
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([5, 1, 9, 4], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c"]),
+        "value": pa.array([1.5, -1.2345, 0.0, 2.0]),
+        "props": pa.array([""] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_user_profile(str(d))).set_index("user_id")
+    assert eng.loc[1].tolist() == [3, 2, 1, 9, 1500 + (-1235) + 0]
+    assert eng.loc[2].tolist() == [1, 1, 4, 4, 2000]
+
+    # real corpus vs the fused-aggregate twin
+    eng = to_pandas(events_user_profile(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(user_profile_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

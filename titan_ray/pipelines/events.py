@@ -1121,3 +1121,92 @@ def events_pivot(sf_dir: str, num_buckets: int = 64):
 def pivot_sql() -> str:
     """DuckDB replay of events_pivot (native PIVOT)."""
     return "PIVOT events ON event_type USING count(*) GROUP BY user_id"
+
+
+# ---------------------------------------------------------------------------
+# Fused per-entity profile (the ML feature-table multi-aggregate)
+# ---------------------------------------------------------------------------
+
+def events_user_profile(sf_dir: str, num_buckets: int = 64):
+    """One row per user with count, distinct-type count, first/last event
+    time and exact milli-value sum — five aggregates of different classes
+    (count, COUNT DISTINCT, min, max, sum) FUSED into one exchange: the
+    per-entity profile build that precedes model training, done in a
+    single pass instead of five.
+
+    Scale shape: each batch collapses to (user, type) grain carrying all
+    the partials (count/min/max/sum), so the COUNT DISTINCT rides the same
+    rows as the scalar aggregates; ONE user-bucket exchange makes
+    everything final (distinct type count = per-user distinct keys in the
+    bucket). Rows crossing the wire: users x types x batches, corpus-size
+    independent per batch."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64())
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "us": us,
+                "vm": pa.array(vm),
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("us", "count"), ("us", "min"), ("us", "max"), ("vm", "sum")]
+        )
+        b = pc.cast(pc.bit_wise_and(g["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": g["us_count"].cast(pa.int64()),
+                "mn": g["us_min"],
+                "mx": g["us_max"],
+                "sm": g["vm_sum"].cast(pa.int64()),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # collapse batch partials to (user, type) grain, then to user grain
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max"), ("sm", "sum")]
+        )
+        f = g.group_by("user_id").aggregate(
+            [("n_sum", "sum"), ("event_type", "count"),
+             ("mn_min", "min"), ("mx_max", "max"), ("sm_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "n_events": f["n_sum_sum"].cast(pa.int64()),
+                "n_types": f["event_type_count"].cast(pa.int64()),
+                "first_us": f["mn_min_min"],
+                "last_us": f["mx_max_max"],
+                "sum_milli": f["sm_sum_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def user_profile_sql() -> str:
+    """DuckDB replay of events_user_profile."""
+    return (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, "
+        "epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us, "
+        "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli "
+        "FROM events GROUP BY user_id"
+    )
