@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # five aggregate classes (count / COUNT DISTINCT / min / max / sum)
         # fused into one user-bucket exchange
         "events_user_profile": events.events_user_profile,
+        # frame-pair luma SAD over the real Y4M decode path (temporal video
+        # QC signal), byte-walk SQL twin like media_features
+        "media_scene_cuts": multimodal.media_scene_cuts,
     }
 
 
@@ -513,6 +516,10 @@ def oracle_sql() -> dict[str, str]:
         # WAV/PPM/Y4M feature statistics are exact int64 sums over payload
         # bytes, replayed bit-identically from hex(payload) in DuckDB
         "media_features": multimodal.media_features_sql(
+            f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
+        ),
+        # per-frame-pair luma SAD + cut flag, same byte-walk convention
+        "media_scene_cuts": multimodal.scene_cuts_sql(
             f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
         ),
         "doc_quality_filter": (

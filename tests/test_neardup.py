@@ -649,3 +649,35 @@ def test_levenshtein_kernel_and_pairs(ray_session):
     ora = con.sql(edit_distance_sql(0.001)).df()
     assert len(eng) == len(ora) and value_hash(eng) == value_hash(ora)
     assert (eng["sim_milli"] <= 1000).all() and (eng["edit_dist"] >= 0).all()
+
+
+def test_media_scene_cuts(ray_session):
+    """Frame-pair SAD over real Y4M decode == the hex byte-walk twin, and a
+    planted two-frame clip with a known luma delta lands exactly."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from titan_ray.stages.multimodal import (
+        ensure_media_table,
+        media_scene_cuts,
+        parse_y4m,
+        scene_cuts_sql,
+        y4m_bytes,
+    )
+    from tools.check_contract import value_hash
+
+    # planted: 4x4 C420 clip, frame2 = frame1 + 7 everywhere -> sad = 112
+    y = np.stack([np.full((4, 4), 100, np.uint8), np.full((4, 4), 107, np.uint8)])
+    u = np.full((2, 2, 2), 128, np.uint8)
+    v = np.full((2, 2, 2), 128, np.uint8)
+    payload = y4m_bytes(y, u, v)
+    yy, _, _, _ = parse_y4m(payload)
+    assert int(np.abs(yy[1].astype(int) - yy[0].astype(int)).sum()) == 112
+
+    sf = "/root/testdata/sf0.001"
+    eng = media_scene_cuts(sf).to_pandas()
+    con = duckdb.connect()
+    ora = con.sql(scene_cuts_sql(ensure_media_table(sf))).df()
+    assert len(eng) == len(ora) and len(eng) > 0
+    assert value_hash(eng) == value_hash(ora)

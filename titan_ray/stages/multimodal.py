@@ -886,3 +886,102 @@ def media_pipeline(table: pa.Table | None = None, batch_size: int = 16, concurre
         )
 
     return ds.map_batches(frame_features, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection over Y4M video payloads
+# ---------------------------------------------------------------------------
+
+CUT_THR_PER_PX = 10   # mean |Y-delta| per pixel above this marks a cut
+
+
+def media_scene_cuts(sf_dir: str, batch_size: int = 16,
+                     thr_per_px: int = CUT_THR_PER_PX):
+    """(media_id, frame_idx, sad_y, is_cut) per consecutive frame pair of
+    every VIDEO row: sum of absolute luma differences between frame f and
+    f+1, flagged as a cut where the mean per-pixel delta exceeds
+    ``thr_per_px`` (exact integer compare: sad_y > thr * w * h). The
+    frame-level temporal signal a video QC pipeline gates on (static-clip
+    detection, shot segmentation for frame sampling).
+
+    Ray shape: parquet read with a kind filter and column pruning, small
+    batches for the large binary payloads, real Y4M decode per row (the
+    pure-numpy codec), vectorized int64 SAD over each (nf, h, w) luma
+    stack. The DuckDB twin (scene_cuts_sql) walks the SAME payload bytes:
+    Y4M header/frame offsets in integer arithmetic over hex(payload),
+    per-byte pairing of consecutive frames, exact integer sums —
+    bit-identical."""
+    import ray.data as rd
+
+    path = ensure_media_table(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "kind", "payload"]).filter(
+        expr="kind == 'video'"
+    )
+
+    def cuts(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        out_id, out_f, out_sad, out_cut = [], [], [], []
+        for i in range(len(ids)):
+            y, _u, _v, _fps = parse_y4m(pay[i].as_py())
+            if y.shape[0] < 2:
+                continue
+            d = np.abs(y[1:].astype(np.int64) - y[:-1].astype(np.int64)).sum(axis=(1, 2))
+            out_id.append(np.full(len(d), ids[i], dtype=np.int64))
+            out_f.append(np.arange(len(d), dtype=np.int64))
+            out_sad.append(d)
+            out_cut.append(d > thr_per_px * y.shape[1] * y.shape[2])
+        if not out_id:
+            return pa.table(
+                {
+                    "media_id": pa.array([], type=pa.int64()),
+                    "frame_idx": pa.array([], type=pa.int64()),
+                    "sad_y": pa.array([], type=pa.int64()),
+                    "is_cut": pa.array([], type=pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id)),
+                "frame_idx": pa.array(np.concatenate(out_f)),
+                "sad_y": pa.array(np.concatenate(out_sad)),
+                "is_cut": pa.array(np.concatenate(out_cut)),
+            }
+        )
+
+    return ds.map_batches(cuts, batch_format="pyarrow", batch_size=batch_size)
+
+
+def scene_cuts_sql(media_path: str, thr_per_px: int = CUT_THR_PER_PX) -> str:
+    """DuckDB replay of media_scene_cuts over the same payload bytes.
+
+    y4m_bytes writes 'YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\\n', so
+    the header is 37 + digits(w) + digits(h) bytes; each frame is
+    'FRAME\\n' (6) + w*h luma + 2*(w/2)*(h/2) chroma. Byte k of frame f's
+    luma sits at header + f*frame + 6 + k (0-indexed) -> hex substr
+    2*off+1. Consecutive frames pair per byte; |delta| sums exactly."""
+    return f"""
+WITH media AS (SELECT * FROM read_parquet('{media_path}/*.parquet')),
+v AS (
+  SELECT media_id, width::BIGINT AS w, height::BIGINT AS h,
+         octet_length(payload) AS nb, hex(payload) AS hx,
+         37 + length(width::VARCHAR) + length(height::VARCHAR) AS hl,
+         width::BIGINT * height::BIGINT AS ysz,
+         6 + (3 * width::BIGINT * height::BIGINT) // 2 AS fsz
+  FROM media WHERE kind = 'video'
+),
+vf AS (SELECT *, (nb - hl) // fsz AS nf FROM v),
+pairs AS (SELECT media_id, hl, ysz, fsz, hx,
+                 unnest(range(0, nf - 1)) AS f FROM vf WHERE nf >= 2),
+b AS (
+  SELECT media_id, f, ysz,
+    ('0x' || substr(hx, (2 * (hl + f * fsz + 6 + k) + 1)::BIGINT, 2))::BIGINT AS b0,
+    ('0x' || substr(hx, (2 * (hl + (f + 1) * fsz + 6 + k) + 1)::BIGINT, 2))::BIGINT AS b1
+  FROM (SELECT media_id, hl, ysz, fsz, hx, f, unnest(range(0, ysz)) AS k FROM pairs)
+)
+SELECT media_id, f AS frame_idx, CAST(sum(abs(b1 - b0)) AS BIGINT) AS sad_y,
+       sum(abs(b1 - b0)) > {thr_per_px} * ysz AS is_cut
+FROM b GROUP BY media_id, f, ysz
+"""
