@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frame-pair luma SAD over the real Y4M decode path (temporal video
         # QC signal), byte-walk SQL twin like media_features
         "media_scene_cuts": multimodal.media_scene_cuts,
+        # unbounded-preceding prefix-sum window (running per-user total)
+        "events_cumsum": events.events_cumsum,
     }
 
 
@@ -506,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_inverted_index": docqc.inverted_index_sql(),
         "events_pivot": events.pivot_sql(),
         "events_user_profile": events.user_profile_sql(),
+        "events_cumsum": events.cumsum_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -581,3 +581,33 @@ def test_events_user_profile(ray_session, tmp_path):
     ora = con.sql(user_profile_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_cumsum(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import cumsum_sql, events_cumsum
+
+    # planted: per-user rebase and (ts, event_id) tie-break order
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([1, 1, 2, 1, 3], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["x"] * 5),
+        "value": pa.array([1.0, 2.0, 4.0, 10.0, 0.5]),
+        "props": pa.array([""] * 5),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_cumsum(str(d))).set_index("event_id")["cum_milli"]
+    assert eng.to_dict() == {0: 1000, 1: 3000, 2: 7000, 3: 10000, 4: 10500}
+
+    # real corpus vs the window twin
+    eng = to_pandas(events_cumsum(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(cumsum_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -1210,3 +1210,83 @@ def user_profile_sql() -> str:
         "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli "
         "FROM events GROUP BY user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative sum (unbounded-preceding window frame)
+# ---------------------------------------------------------------------------
+
+def events_cumsum(sf_dir: str, num_buckets: int = 64):
+    """(event_id, user_id, cum_milli): running exact-integer value total
+    per user in (ts, event_id) order — SUM(...) OVER (PARTITION BY user
+    ORDER BY ts ROWS UNBOUNDED PRECEDING), the classic prefix-sum window
+    (balance/usage accumulation). Complements events_sliding_rate's
+    bounded trailing frame with the unbounded one.
+
+    Scale shape: one user-bucket exchange; inside a bucket ONE lexsort
+    over (user, ts, event_id) then a single np.cumsum with per-user rebase
+    (subtract the running total at each user's first row) — whole-bucket
+    vectorized, no per-user loop. Milli-scaling makes the sum exact int64,
+    so any partition order gives the identical result and the window twin
+    hash-matches."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "vm": pa.array(vm),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "cum_milli": pa.array([], type=pa.int64())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tsc = t["ts"]
+        if isinstance(tsc, pa.ChunkedArray):
+            tsc = tsc.combine_chunks()
+        ts = tsc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vm = t["vm"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, vm_s = uid[order], vm[order]
+        csum = np.cumsum(vm_s)
+        new_u = np.r_[True, u_s[1:] != u_s[:-1]]
+        # running total just BEFORE each user's first row, spread per row
+        base = np.where(new_u, csum - vm_s, 0)
+        base = base[np.flatnonzero(new_u)][np.cumsum(new_u) - 1]
+        cum = csum - base
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u_s),
+                "cum_milli": pa.array(cum.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def cumsum_sql() -> str:
+    """DuckDB replay of events_cumsum (window prefix sum)."""
+    return (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_milli "
+        "FROM events"
+    )
