@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_scene_cuts": multimodal.media_scene_cuts,
         # unbounded-preceding prefix-sum window (running per-user total)
         "events_cumsum": events.events_cumsum,
+        # argmax row per group (top revenue line of every order; winners,
+        # not lineitems, cross the one exchange)
+        "tpch_top_lineitem": relational.tpch_top_lineitem,
     }
 
 
@@ -509,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": events.pivot_sql(),
         "events_user_profile": events.user_profile_sql(),
         "events_cumsum": events.cumsum_sql(),
+        "tpch_top_lineitem": relational.top_lineitem_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

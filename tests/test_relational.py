@@ -611,3 +611,40 @@ def test_events_cumsum(ray_session, tmp_path):
     ora = con.sql(cumsum_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_top_lineitem(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import top_lineitem_sql, tpch_top_lineitem
+
+    # planted: revenue argmax with a tie broken by the lower line number
+    t = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "l_partkey": pa.array([0] * 5, type=pa.int64()),
+        "l_suppkey": pa.array([0] * 5, type=pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1, 2], type=pa.int32()),
+        "l_quantity": pa.array([1.0] * 5),
+        "l_extendedprice": pa.array([10.0, 20.0, 20.0, 5.0, 5.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.10, 0.0]),
+        "l_tax": pa.array([0.0] * 5),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array([0] * 5, type=pa.timestamp("us")),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    eng = to_pandas(tpch_top_lineitem(str(d))).set_index("l_orderkey")
+    assert eng.loc[1, "l_linenumber"] == 2          # tie 20.0/20.0 -> line 2
+    assert eng.loc[2, "l_linenumber"] == 2          # 500*100 > 500*90
+    assert eng.loc[2, "revenue_1e4"] == 500 * 100
+
+    # real corpus vs the row_number twin
+    eng = to_pandas(tpch_top_lineitem(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(top_lineitem_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -438,3 +438,82 @@ def cust_no_orders_sql(since: str = DORMANT_SINCE) -> str:
         f"AND o.o_orderdate >= DATE '{since}') "
         "GROUP BY nationkey ORDER BY nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Argmax row per group (top-1 line per order)
+# ---------------------------------------------------------------------------
+
+def tpch_top_lineitem(sf_dir: str, num_buckets: int = 64):
+    """(l_orderkey, l_linenumber, revenue_1e4): the single highest-revenue
+    line of every order (revenue = exact integer cents x (100 - disc_pct);
+    ties break to the lowest line number) — the ARGMAX-ROW-PER-GROUP shape
+    (row_number() = 1), which plain aggregates can't express because the
+    winner's OTHER columns must ride along with the max.
+
+    Scale shape: argmax is associative, so each batch keeps only its local
+    winner per order (one lexsort + first-per-group), the ONE orderkey-
+    bucket exchange moves winners not lineitems, and the per-bucket rerun
+    of the same kernel is final. The deterministic tie-break makes the
+    result partition-invariant and the window twin hash-matches."""
+    from ..sources.reader import read_parquet_clean
+
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def _winners(ok: np.ndarray, ln: np.ndarray, rev: np.ndarray) -> tuple:
+        order = np.lexsort((ln, -rev, ok))
+        ok_s = ok[order]
+        first = np.r_[True, ok_s[1:] != ok_s[:-1]]
+        keep = order[first]
+        return ok[keep], ln[keep], rev[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = _disc_1e4(batch)
+        ok, ln, rev = _winners(ok, ln, rev)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln),
+                "revenue_1e4": pa.array(rev),
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ok, ln, rev = _winners(
+            t["l_orderkey"].to_numpy(zero_copy_only=False),
+            t["l_linenumber"].to_numpy(zero_copy_only=False),
+            t["revenue_1e4"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln),
+                "revenue_1e4": pa.array(rev),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def top_lineitem_sql() -> str:
+    """DuckDB replay of tpch_top_lineitem (row_number window, same exact
+    integer revenue)."""
+    return (
+        "WITH l AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev FROM lineitem), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey "
+        "ORDER BY rev DESC, l_linenumber) AS rn FROM l) "
+        "SELECT l_orderkey, l_linenumber, rev AS revenue_1e4 FROM r WHERE rn = 1"
+    )
