@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmax row per group (top revenue line of every order; winners,
         # not lineitems, cross the one exchange)
         "tpch_top_lineitem": relational.tpch_top_lineitem,
+        # late-event detection vs the per-user high-water mark (streaming
+        # watermark primitive; shifted-window-max twin)
+        "events_out_of_order": events.events_out_of_order,
     }
 
 
@@ -513,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_profile": events.user_profile_sql(),
         "events_cumsum": events.cumsum_sql(),
         "tpch_top_lineitem": relational.top_lineitem_sql(),
+        "events_out_of_order": events.out_of_order_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

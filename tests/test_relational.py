@@ -648,3 +648,36 @@ def test_tpch_top_lineitem(ray_session, tmp_path):
     ora = con.sql(top_lineitem_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_out_of_order(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_out_of_order, out_of_order_sql
+
+    # planted: arrival order (event_id) disagrees with ts for events 2, 4;
+    # lateness measured against the running per-user max, not the previous
+    # row (event 4 is 7us behind the high-water mark set by event 1)
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([10, 20, 15, 21, 13], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["x"] * 5),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array([""] * 5),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_out_of_order(str(d))).set_index("event_id")
+    assert eng["lateness_us"].to_dict() == {0: 0, 1: 0, 2: 5, 3: 0, 4: 8}
+    assert eng["is_late"].to_dict() == {0: False, 1: False, 2: True, 3: False, 4: True}
+
+    # real corpus vs the shifted-window-max twin
+    eng = to_pandas(events_out_of_order(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(out_of_order_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -1290,3 +1290,87 @@ def cumsum_sql() -> str:
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_milli "
         "FROM events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order detection (the streaming watermark primitive)
+# ---------------------------------------------------------------------------
+
+def events_out_of_order(sf_dir: str, num_buckets: int = 64):
+    """(event_id, user_id, lateness_us, is_late): for each event, how far
+    its timestamp sits BEHIND the running per-user maximum over earlier
+    arrivals (arrival order = event_id), and whether it is late at all —
+    the watermark / late-data primitive every streaming ingest needs
+    (reference analog: metadata_check's stale-timestamp screen,
+    titan.r:117-121, lifted from a static bound to the per-stream high-
+    water mark).
+
+    Scale shape: one user-bucket exchange; inside a bucket a single sort
+    by (user, event_id) and a per-user running-max (grouped cummax, C-
+    vectorized) — no Python loop, nothing driver-sided. Exact int64
+    microsecond arithmetic, so the window twin hash-matches."""
+    import pandas as pd
+
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": ts.cast(pa.int64()),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "lateness_us": pa.array([], type=pa.int64()),
+                             "is_late": pa.array([], type=pa.bool_())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        u_s, us_s = uid[order], us[order]
+        # running max over PRECEDING rows only: cummax shifted one row down
+        # within each user (first arrival has no watermark -> lateness 0)
+        cm = pd.Series(us_s).groupby(pd.Series(u_s), sort=False).cummax().to_numpy()
+        prev = np.empty_like(cm)
+        prev[1:] = cm[:-1]
+        new_u = np.r_[True, u_s[1:] != u_s[:-1]]
+        prev[new_u] = us_s[new_u]   # no watermark before the first arrival
+        late = np.maximum(prev - us_s, 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u_s),
+                "lateness_us": pa.array(late.astype(np.int64)),
+                "is_late": pa.array(late > 0),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def out_of_order_sql() -> str:
+    """DuckDB replay of events_out_of_order (shifted window max)."""
+    return (
+        "WITH w AS (SELECT event_id, user_id, epoch_us(ts) AS us, "
+        "max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(greatest(coalesce(hwm - us, 0), 0) AS BIGINT) AS lateness_us, "
+        "coalesce(hwm - us, 0) > 0 AS is_late FROM w"
+    )
