@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-event detection vs the per-user high-water mark (streaming
         # watermark primitive; shifted-window-max twin)
         "events_out_of_order": events.events_out_of_order,
+        # asymmetric set containment over the candidate pairs (subset-dup
+        # signal Jaccard dilutes away)
+        "neardup_containment": neardup.neardup_containment,
     }
 
 
@@ -517,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cumsum": events.cumsum_sql(),
         "tpch_top_lineitem": relational.top_lineitem_sql(),
         "events_out_of_order": events.out_of_order_sql(),
+        "neardup_containment": neardup.containment_sql(GATE_SF),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

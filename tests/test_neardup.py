@@ -681,3 +681,43 @@ def test_media_scene_cuts(ray_session):
     ora = con.sql(scene_cuts_sql(ensure_media_table(sf))).df()
     assert len(eng) == len(ora) and len(eng) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_neardup_containment(ray_session, tmp_path):
+    """Asymmetric containment: a short doc fully embedded in a long one
+    scores ~1.0 even where Jaccard is tiny; engine == least-size twin."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.neardup import (
+        containment_sql,
+        neardup_containment,
+        verify_candidate_pairs,
+    )
+    from tools.check_contract import value_hash
+
+    # planted: doc 1 is a verbatim slice of doc 0 (an 80-char core inside
+    # 400 chars of distinct filler) -> containment ~1, jaccard far below
+    import pandas as pd
+    core = "the quick brown fox jumps over the lazy dog while the cat watches from the fence"
+    filler = " ".join(f"w{i}x{i * 7 % 91}" for i in range(60))
+    pairs = pd.DataFrame({"doc_a": [0], "doc_b": [1]})
+    d = tmp_path / "sf0.5017"     # unique sf key so the candidate cache misses
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([filler + " " + core, core]),
+    }), d / "documents.parquet")
+    cont = verify_candidate_pairs(str(d), pairs, 0.5, score="containment")
+    jac = verify_candidate_pairs(str(d), pairs, 0.0, score="jaccard")
+    assert len(cont) == 1 and cont.iloc[0]["containment"] > 0.95
+    assert jac.iloc[0]["jaccard"] < 0.5
+
+    # real corpus vs the SQL twin over the persisted candidate list
+    eng = neardup_containment("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    ora = con.sql(containment_sql(0.001)).df()
+    assert len(eng) == len(ora) and len(eng) > 0
+    assert value_hash(eng) == value_hash(ora)

@@ -497,8 +497,11 @@ def minhash_lsh_sql() -> str:
 
 
 def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0.2,
-                           num_buckets: int = 64) -> pd.DataFrame:
-    """Exact Jaccard over CANDIDATE pairs only (the LSH scale path).
+                           num_buckets: int = 64, score: str = "jaccard") -> pd.DataFrame:
+    """Exact set similarity over CANDIDATE pairs only (the LSH scale path).
+    ``score``: "jaccard" = inter/union (symmetric near-dup), "containment"
+    = inter/min(|A|,|B|) (ASYMMETRIC — catches a small doc embedded inside
+    a bigger one, which Jaccard dilutes toward 0 as the size gap grows).
 
     The candidate list is the SMALL side (bounded by the in-bucket cap) and
     is broadcast; each involved doc's distinct-shingle set is emitted once
@@ -507,9 +510,10 @@ def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0
     merge. No driver-side read of the documents table."""
     import ray
 
+    assert score in ("jaccard", "containment")
     if len(cand) == 0:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b")}).assign(
-            jaccard=pd.Series([], dtype=float)
+            **{score: pd.Series([], dtype=float)}
         )
     cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pair_of_doc: dict[int, list[int]] = {}
@@ -572,7 +576,7 @@ def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0
         lexsort + neighbour compare yields every intersection size."""
         empty = pa.table(
             {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
+             score: pa.array([], type=pa.float64())}
         )
         if t.num_rows == 0:
             return empty
@@ -592,16 +596,19 @@ def verify_candidate_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float = 0
         dup = (pi[1:] == pi[:-1]) & (si[1:] == si[:-1])
         inter = np.bincount(pi[1:][dup], minlength=len(u))
         union = n_tot - inter
-        jac = inter / np.maximum(union, 1)
+        if score == "jaccard":
+            val = inter / np.maximum(union, 1)
+        else:
+            val = inter / np.maximum(np.minimum(n_min, n_max), 1)
         # both sides present (a missing side was filtered upstream)
-        flag = (dmin != dmax) & (n_min > 0) & (n_max > 0) & (union > 0) & (jac > threshold)
+        flag = (dmin != dmax) & (n_min > 0) & (n_max > 0) & (union > 0) & (val > threshold)
         if not flag.any():
             return empty
         return pa.table(
             {
                 "doc_a": pa.array(dmin[flag]),
                 "doc_b": pa.array(dmax[flag]),
-                "jaccard": pa.array(jac[flag]),
+                score: pa.array(val[flag]),
             }
         )
 
@@ -1206,4 +1213,54 @@ def edit_distance_sql(sf: float = 0.01) -> str:
         "// greatest(length(da.text), length(db.text)) ELSE 1000 END AS BIGINT) AS sim_milli "
         "FROM pairs p JOIN documents da ON da.doc_id = p.doc_a "
         "JOIN documents db ON db.doc_id = p.doc_b"
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def neardup_containment(sf_dir: str, threshold: float = CONTAINMENT_THRESHOLD):
+    """(doc_a, doc_b, containment) over the LSH candidate pairs:
+    containment = |A∩B| / min(|A|, |B|) over distinct 5-byte shingles —
+    the ASYMMETRIC near-dup metric. A short doc pasted inside a long one
+    scores containment ≈ 1 while its Jaccard shrinks with the size gap, so
+    this catches subset-duplication (boilerplate embedding, quote-reply
+    chains) that the symmetric verify misses. Same scale shape as
+    ngram_jaccard_pairs: broadcast pair map, pair-bucket co-location, one
+    lexsort per bucket."""
+    import pyarrow.parquet as pq
+
+    from .ann import round_half_away
+
+    cand = pq.read_table(ensure_candidates(sf_dir)).to_pandas()
+    v = verify_candidate_pairs(sf_dir, cand, threshold, score="containment")
+    return pa.table(
+        {
+            "doc_a": pa.array(v["doc_a"].to_numpy(), type=pa.int64()),
+            "doc_b": pa.array(v["doc_b"].to_numpy(), type=pa.int64()),
+            "containment": pa.array(
+                round_half_away(v["containment"].to_numpy(dtype=np.float64), 4)
+            ),
+        }
+    )
+
+
+def containment_sql(sf: float = 0.01, threshold: float = CONTAINMENT_THRESHOLD) -> str:
+    """DuckDB replay of neardup_containment (same shingle/base CTEs as the
+    Jaccard twin, least-size denominator)."""
+    path = candidates_path(sf)
+    return (
+        f"WITH cand AS (SELECT doc_a, doc_b FROM read_parquet('{path}')), "
+        "inv AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand), "
+        "d AS (SELECT doc_id, text AS bb FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM inv)), "
+        f"sh AS (SELECT DISTINCT doc_id, substring(bb, p, {SHINGLE}) AS s "
+        f"FROM (SELECT doc_id, bb, unnest(range(1, CAST(strlen(bb) AS BIGINT) - {SHINGLE - 2})) AS p FROM d)), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "ix AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c "
+        "JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s "
+        "GROUP BY c.doc_a, c.doc_b), "
+        "co AS (SELECT ix.doc_a, ix.doc_b, CAST(i AS DOUBLE) / least(za.n, zb.n) AS c "
+        "FROM ix JOIN sz za ON za.doc_id = ix.doc_a JOIN sz zb ON zb.doc_id = ix.doc_b) "
+        f"SELECT doc_a, doc_b, round(c, 4) AS containment FROM co WHERE c > {threshold!r}"
     )
