@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asymmetric set containment over the candidate pairs (subset-dup
         # signal Jaccard dilutes away)
         "neardup_containment": neardup.neardup_containment,
+        # multi-source BFS hop distance from template hubs (frontier
+        # iteration — third iterative graph shape after pagerank/components)
+        "graph_bfs_depth": graph.graph_bfs_depth,
     }
 
 
@@ -521,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_lineitem": relational.top_lineitem_sql(),
         "events_out_of_order": events.out_of_order_sql(),
         "neardup_containment": neardup.containment_sql(GATE_SF),
+        "graph_bfs_depth": graph.bfs_sql(GATE_SF),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

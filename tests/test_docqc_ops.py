@@ -993,3 +993,21 @@ def test_doc_inverted_index(ray_session, tmp_path):
 
     # real corpus vs the string_agg twin
     _compare("/root/testdata/sf0.001", doc_inverted_index, inverted_index_sql())
+
+
+def test_graph_bfs_depth(ray_session):
+    import duckdb as _duck
+
+    from titan_ray.stages.graph import bfs_sql, graph_bfs_depth
+
+    # real corpus: K relax rounds == the unrolled min-merge CTE twin
+    eng = graph_bfs_depth("/root/testdata/sf0.001").to_pandas()
+    con = _duck.connect()
+    ora = con.sql(bfs_sql(0.001)).df()
+    from tools.check_contract import value_hash
+    assert len(eng) == len(ora) and len(eng) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # BFS invariants: seeds at 0, monotone frontier shrink past dist 1
+    vc = eng["dist"].value_counts()
+    assert 0 in vc.index and vc.loc[0] > 0
+    assert eng["dist"].max() <= 4 and eng["dist"].min() == 0

@@ -319,3 +319,116 @@ def triangles_sql(sf: float = 0.01) -> str:
         "UNION ALL SELECT c FROM tri) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS depth (frontier iteration)
+# ---------------------------------------------------------------------------
+
+BFS_HUB_DEG = 4    # seed set: nodes with degree >= this (template hubs)
+BFS_ITERS = 4
+
+
+def graph_bfs_depth(sf_dir: str, hub_deg: int = BFS_HUB_DEG,
+                    iters: int = BFS_ITERS, num_buckets: int = 64):
+    """(doc_id, dist): hop distance from the nearest HUB (degree >=
+    ``hub_deg``) for every node within ``iters`` hops, over the symmetrized
+    candidate graph — multi-source BFS, the third canonical iterative
+    graph shape after PageRank (value propagation) and components (label
+    propagation). Distance-to-hub stratifies a duplicate neighbourhood:
+    dist 0 = the template cores, dist 1 = their direct variants, deeper =
+    chain-connected drift.
+
+    Scale shape: same loop skeleton as pagerank_from_pairs — the static
+    edge list co-partitions with the node-sized distance table via ONE
+    hash_join per round; relaxed distances merge with a groupby-min; K
+    rounds = K narrow exchanges, state never driver-sized. Exact integer
+    min-semantics, so round order is irrelevant and the unrolled-CTE twin
+    (bfs_sql) hash-matches."""
+    import ray.data as rd
+
+    from .joins import hash_join
+    from .neardup import ensure_candidates
+
+    pairs = rd.read_parquet(ensure_candidates(sf_dir), columns=["doc_a", "doc_b"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(np.concatenate([a, b])),
+                         "d": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["s"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"s": pa.array(u), "deg": pa.array(c.astype(np.int64)),
+                         "_b": pa.array((u % num_buckets).astype(np.int32))})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("s").aggregate([("deg", "sum")])
+        return pa.table({"s": g["s"], "deg": g["deg_sum"]})
+
+    dists = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: deg_merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .filter(expr=f"deg >= {hub_deg}")
+        .map_batches(
+            lambda t: pa.table(
+                {"s": t["s"], "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()   # the seed frontier (node-sized)
+    )
+
+    def relax(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["d"],
+                         "dist": pa.array(batch["r_dist"].to_numpy(zero_copy_only=False) + 1)})
+
+    for _ in range(iters):
+        relaxed = hash_join(edges, dists, on="s", right_cols=("dist",),
+                            num_buckets=num_buckets).map_batches(relax, batch_format="pyarrow")
+        dists = (
+            dists.union(relaxed)
+            .groupby("s")
+            .min("dist")
+            .map_batches(
+                lambda t: pa.table({"s": t["s"], "dist": t["min(dist)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()   # node-sized state per round
+        )
+
+    return dists.map_batches(
+        lambda t: pa.table({"doc_id": t["s"], "dist": t["dist"]}),
+        batch_format="pyarrow",
+    )
+
+
+def bfs_sql(sf: float = 0.01, hub_deg: int = BFS_HUB_DEG,
+            iters: int = BFS_ITERS) -> str:
+    """DuckDB replay of graph_bfs_depth: the K relax rounds unrolled as
+    chained min-merge CTEs (pagerank_sql convention)."""
+    from .neardup import candidates_path
+
+    path = candidates_path(sf)
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM read_parquet('{path}'))",
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        f"r0 AS (SELECT s AS v, CAST(0 AS BIGINT) AS dist FROM deg WHERE deg >= {hub_deg})",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT v, min(dist) AS dist FROM ("
+            f"SELECT v, dist FROM r{k-1} "
+            f"UNION ALL SELECT e.d AS v, r.dist + 1 AS dist "
+            f"FROM edges e JOIN r{k-1} r ON r.v = e.s) GROUP BY v)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT v AS doc_id, dist FROM r{iters}"
+    )
