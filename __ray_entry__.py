@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
+        # C4-style cross-document segment dedup with text REASSEMBLY (the
+        # value-mutating complement of doc_dup_spans' marking): narrow
+        # (hash, key) winner election + counted broadcast or co-partition
+        # join-back
+        "doc_segment_dedup": docqc.doc_segment_dedup,
         # round-5-final rotation counterparts (promoted: doc_pagerank,
         # doc_vocab_hll, doc_cms_wordcounts, tpch_cust_no_orders; these
         # four retire past the window but keep oracles + pytest):
@@ -512,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_normalize": docqc.normalize_sql(),
         "events_props_extract": events.props_extract_sql(),
         "neardup_edit_distance": neardup.edit_distance_sql(GATE_SF),
+        "doc_segment_dedup": docqc.segment_dedup_sql(),
         "doc_pagerank": graph.pagerank_sql(GATE_SF),
         "graph_triangles": graph.triangles_sql(GATE_SF),
         "events_rollup": events.rollup_sql(),

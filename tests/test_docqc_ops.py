@@ -1011,3 +1011,59 @@ def test_graph_bfs_depth(ray_session):
     vc = eng["dist"].value_counts()
     assert 0 in vc.index and vc.loc[0] > 0
     assert eng["dist"].max() <= 4 and eng["dist"].min() == 0
+
+
+def test_doc_segment_dedup_oracle(ray_session, edge_docs):
+    """C4-style segment dedup: SQL parity on the edge corpus (empty docs,
+    whitespace runs, sub-width docs) + on sf0.001, and the broadcast /
+    distributed join-back paths are bit-identical."""
+    from titan_ray.pipelines.docqc import doc_segment_dedup, segment_dedup_sql
+
+    eng = _compare(edge_docs, doc_segment_dedup, segment_dedup_sql())
+    # the empty doc (doc_id 2) has no segments and must disappear
+    assert 2 not in set(eng["doc_id"])
+    # every other doc here is under one segment wide and unique -> kept whole
+    assert (eng["n_kept"] == eng["n_segs"]).all()
+
+
+def test_doc_segment_dedup_paths_identical(ray_session):
+    from titan_ray.pipelines.docqc import doc_segment_dedup, segment_dedup_sql
+
+    sf = "/root/testdata/sf0.001"
+    eng = _compare(sf, doc_segment_dedup, segment_dedup_sql())
+    # the sf corpus repeats seeded sentences across docs -> real dedup
+    assert int(eng["n_kept"].sum()) < int(eng["n_segs"].sum())
+    dist = doc_segment_dedup(sf, max_broadcast=0).to_pandas()
+    key = ["doc_id"]
+    assert dist.sort_values(key).reset_index(drop=True).equals(
+        eng.sort_values(key)[dist.columns].reset_index(drop=True)
+    )
+
+
+def test_doc_segment_dedup_first_occurrence_wins(ray_session, tmp_path):
+    """A segment duplicated across docs survives only at min (doc_id,
+    seg_idx); a doc that is ENTIRELY duplicate text disappears."""
+    import pyarrow.parquet as pq
+
+    words = " ".join(f"w{i}" for i in range(10))     # exactly one segment
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    words + " unique tail zero",      # segment 0 + short tail
+                    words,                            # pure duplicate -> drops
+                    "fresh content only here",        # untouched
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    from titan_ray.pipelines.docqc import doc_segment_dedup, segment_dedup_sql
+
+    eng = _compare(str(tmp_path), doc_segment_dedup, segment_dedup_sql()).set_index("doc_id")
+    assert list(eng.index) == [0, 2]
+    assert eng.loc[0, "text_dedup"] == words + " unique tail zero"
+    assert eng.loc[2, "text_dedup"] == "fresh content only here"

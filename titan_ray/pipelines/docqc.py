@@ -3245,3 +3245,275 @@ def inverted_index_sql(min_df: int = INDEX_MIN_DF) -> str:
         "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings "
         f"FROM tf GROUP BY w HAVING count(*) >= {min_df}"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document segment dedup (value-mutating, with reassembly)
+# ---------------------------------------------------------------------------
+# The C4 / RefinedWeb cleanup step the surface still lacked: drop every
+# REPEATED fixed-width word segment corpus-wide (first occurrence by
+# (doc_id, seg_idx) survives) and REASSEMBLE the surviving text — unlike
+# doc_dup_spans, which only MARKS duplicated n-gram runs, this mutates the
+# value, so the output is a cleaned corpus, not a signal column. Reference
+# analog: the value-mutating scrub contract of rr_windcorr (SURVEY.md §2.7)
+# applied to cross-document state instead of a rule chain.
+SEG_W = 10                       # words per segment (trailing segment shorter)
+_MAX_SEG_IDX = 1 << 20           # composite winner key = doc_id * 2^20 + seg_idx
+# broadcast bound on the winner table (distinct segments): 5M entries =
+# two int64 arrays = 80 MB per worker heap; above it the operator degrades
+# to the distributed join path (same pattern as dedup_broadcast/lm_fluency).
+MAX_SEG_WINNERS_BROADCAST = 5_000_000
+
+
+def _segments_of(texts: pa.Array, w: int):
+    """Vectorized fixed-width word segmentation of every row.
+
+    Returns (words, wrid, wcounts, g, srid, sidx, slen, sstart): the
+    empty-filtered word array + its row ids / per-row counts, and per
+    segment a 64-bit FNV chain over its words' hashes (the grouping key —
+    two segments share g iff they share the word sequence, modulo 64-bit
+    collisions, which the driver gate would surface as a hash mismatch
+    since the SQL oracle groups by the literal segment string), the row,
+    the within-row segment index, length and first-word offset."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    lst = pc.split_pattern_regex(texts, r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    off = np.asarray(lst.offsets, dtype=np.int64)
+    values = lst.values
+    wrid = np.repeat(np.arange(n_rows, dtype=np.int64), off[1:] - off[:-1])
+    keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+    words = values.filter(pa.array(keep))
+    wrid = wrid[keep]
+    wcounts = np.bincount(wrid, minlength=n_rows).astype(np.int64)
+
+    # per-word FNV (same construction as _word_gram_hashes)
+    data, woff, _ = string_view(words)
+    starts = woff[:-1]
+    lens = woff[1:] - starts
+    nw = len(wrid)
+    h = np.full(nw, _WORD_HASH_SEED, dtype=np.uint64)
+    for j in range(int(lens.max(initial=0))):
+        m = lens > j
+        hm = h[m] * _WORD_HASH_MULT
+        np.add(hm, data[starts[m] + j], out=hm, casting="unsafe")
+        h[m] = hm
+
+    n_segs = (wcounts + w - 1) // w
+    srid = np.repeat(np.arange(n_rows, dtype=np.int64), n_segs)
+    sidx = multi_arange(np.zeros(len(n_segs), dtype=np.int64), n_segs)
+    row_start = np.cumsum(wcounts) - wcounts
+    sstart = row_start[srid] + sidx * w
+    slen = np.minimum(w, wcounts[srid] - sidx * w)
+    g = np.full(len(srid), _WORD_HASH_SEED, dtype=np.uint64)
+    for k in range(w):
+        m = slen > k
+        gm = g[m] * _WORD_HASH_MULT
+        np.add(gm, h[sstart[m] + k], out=gm, casting="unsafe")
+        g[m] = gm
+    return words, wrid, wcounts, g, srid, sidx, slen, sstart
+
+
+def _reassemble(batch: pa.Table, w: int, keep_seg_fn):
+    """Shared reassembly kernel: recompute segments of a document batch,
+    keep those keep_seg_fn(g, composite_key) approves, join the surviving
+    words back to single-space text. Output rows with >= 1 kept segment."""
+    import pyarrow.compute as pc
+
+    did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    words, wrid, wcounts, g, srid, sidx, slen, sstart = _segments_of(batch["text"], w)
+    n_rows = len(did)
+    composite = did[srid] * _MAX_SEG_IDX + sidx
+    keep = keep_seg_fn(g, composite)
+    kw = np.zeros(len(wrid), dtype=bool)
+    kw[multi_arange(sstart[keep], slen[keep])] = True
+    kept_per_row = np.bincount(wrid[kw], minlength=n_rows)
+    offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets), words.filter(pa.array(kw)))
+    joined = pc.binary_join(lst, " ")
+    n_kept = np.bincount(srid[keep], minlength=n_rows).astype(np.int64)
+    n_segs_row = np.bincount(srid, minlength=n_rows).astype(np.int64)
+    nz = n_kept > 0
+    return pa.table(
+        {
+            "doc_id": pa.array(did[nz]),
+            "text_dedup": joined.filter(pa.array(nz)),
+            "n_kept": pa.array(n_kept[nz]),
+            "n_segs": pa.array(n_segs_row[nz]),
+        }
+    )
+
+
+def doc_segment_dedup(sf_dir: str, w: int = SEG_W, num_buckets: int = 64,
+                      max_broadcast: int = MAX_SEG_WINNERS_BROADCAST):
+    """(doc_id, text_dedup, n_kept, n_segs): C4-style global segment-level
+    dedup. Text is split into fixed windows of ``w`` words; a segment
+    survives iff it is the corpus-wide FIRST occurrence of its word
+    sequence (min (doc_id, seg_idx)); surviving segments re-join to the
+    cleaned text. Documents whose every segment loses disappear (C4 drops
+    them too).
+
+    Scale shape: pass 1 ships only (segment_hash, composite_key) partials —
+    per-batch local min per hash first, so the 64-way hash-bucket exchange
+    carries at most one 16-byte entry per distinct segment per batch; a
+    per-bucket min yields the winner table. Pass 2: winner table counted —
+    under ``max_broadcast`` it is ray.put ONCE and a stateless map_batches
+    reassembles (text never crosses the wire); above it, the per-segment
+    stream probes the winners via stages.joins.hash_join on the hash and
+    the kept (doc_id, seg_idx) pairs co-partition with the documents on a
+    doc-bucket groupby (text crosses exactly one exchange). Both paths are
+    bit-identical (unit-tested, same contract as dedup_clusters)."""
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def winner_partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert did.max(initial=0) < (1 << 42), "doc_id overflows composite key"
+        _, _, _, g, srid, sidx, _, _ = _segments_of(batch["text"], w)
+        assert len(sidx) == 0 or sidx.max() < _MAX_SEG_IDX, "seg_idx overflows composite key"
+        key = did[srid] * _MAX_SEG_IDX + sidx
+        hv = g.view(np.int64)
+        order = np.lexsort((key, hv))
+        hs, ks = hv[order], key[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return pa.table(
+            {
+                "h": pa.array(hs[first]),
+                "key": pa.array(ks[first]),
+                "_b": pa.array((hs[first] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_min(t: pa.Table) -> pa.Table:
+        hv = t["h"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, hv))
+        hs, ks = hv[order], key[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return pa.table({"h": pa.array(hs[first]), "wkey": pa.array(ks[first])})
+
+    winners = (
+        ds.map_batches(winner_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: bucket_min(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .materialize()
+    )
+
+    if winners.count() <= max_broadcast:
+        wtab = winners.to_pandas()
+        wh = wtab["h"].to_numpy(dtype=np.int64)
+        wk = wtab["wkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(wh, kind="stable")
+        ref = ray.put((wh[order], wk[order]))
+
+        def keep_broadcast(g: np.ndarray, composite: np.ndarray) -> np.ndarray:
+            bh, bk = ray.get(ref)
+            hv = g.view(np.int64)
+            idx = np.searchsorted(bh, hv)
+            idx_safe = np.clip(idx, 0, max(len(bh) - 1, 0))
+            found = (idx < len(bh)) & (len(bh) > 0)
+            found &= bh[idx_safe] == hv
+            # a segment absent from the winner table cannot exist (every
+            # segment elected a winner); keep defensively if it happens
+            return ~found | (bk[idx_safe] == composite)
+
+        return ds.map_batches(
+            lambda b: _reassemble(b, w, keep_broadcast), batch_format="pyarrow"
+        )
+
+    # distributed fallback: probe winners by hash, co-partition kept pairs
+    # with the documents on a doc-bucket exchange (text crosses once)
+    from ..stages.joins import hash_join
+
+    def seg_stream(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, _, _, g, srid, sidx, _, _ = _segments_of(batch["text"], w)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[srid]),
+                "seg_idx": pa.array(sidx),
+                "h": pa.array(g.view(np.int64)),
+            }
+        )
+
+    segs = ds.map_batches(seg_stream, batch_format="pyarrow")
+    joined = hash_join(segs, winners, on="h", right_cols=("wkey",),
+                       num_buckets=num_buckets)
+
+    def kept_pairs(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sidx = batch["seg_idx"].to_numpy(zero_copy_only=False)
+        wkey = batch["r_wkey"].to_numpy(zero_copy_only=False)
+        keep = did * _MAX_SEG_IDX + sidx == wkey
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "seg_idx": pa.array(sidx[keep]),
+                "text": pa.nulls(int(keep.sum()), type=pa.string()),
+                "_side": pa.array(np.full(int(keep.sum()), 1, dtype=np.int8)),
+                "_b": pa.array((did[keep] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "seg_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": batch["text"],
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "_b": pa.array((did % num_buckets).astype(np.int32)),
+            }
+        )
+
+    unioned = joined.map_batches(kept_pairs, batch_format="pyarrow").union(
+        ds.map_batches(doc_side, batch_format="pyarrow")
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        docs = t.filter(pa.array(side == 0)).select(["doc_id", "text"])
+        pairs = t.filter(pa.array(side == 1))
+        pk = (
+            pairs["doc_id"].to_numpy(zero_copy_only=False) * _MAX_SEG_IDX
+            + pairs["seg_idx"].to_numpy(zero_copy_only=False)
+        )
+        pk = np.sort(pk)
+
+        def keep_member(g: np.ndarray, composite: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(pk, composite)
+            idx_safe = np.clip(idx, 0, max(len(pk) - 1, 0))
+            return (idx < len(pk)) & (len(pk) > 0) & (pk[idx_safe] == composite)
+
+        return _reassemble(docs, w, keep_member)
+
+    return unioned.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def segment_dedup_sql(w: int = SEG_W) -> str:
+    """DuckDB replay of doc_segment_dedup (groups by the literal segment
+    string; the engine's 64-bit segment hash stands in for it, so any
+    collision surfaces as a driver-gate hash mismatch)."""
+    return (
+        r"WITH w AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "s AS (SELECT doc_id, CAST(g AS BIGINT) AS seg_idx, "
+        f"array_to_string(ws[CAST(g*{w}+1 AS BIGINT) : CAST(g*{w}+{w} AS BIGINT)], ' ') AS seg "
+        f"FROM w, UNNEST(range(CAST(ceil(len(ws)/{w}.0) AS BIGINT))) AS t(g)), "
+        "r AS (SELECT doc_id, seg_idx, seg, "
+        f"min(doc_id * {_MAX_SEG_IDX} + seg_idx) OVER (PARTITION BY seg) AS wkey, "
+        "count(*) OVER (PARTITION BY doc_id) AS n_segs FROM s) "
+        "SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup, "
+        "count(*) AS n_kept, CAST(max(n_segs) AS BIGINT) AS n_segs "
+        f"FROM r WHERE doc_id * {_MAX_SEG_IDX} + seg_idx = wkey GROUP BY doc_id"
+    )
