@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmax row per group (top revenue line of every order; winners,
         # not lineitems, cross the one exchange)
         "tpch_top_lineitem": relational.tpch_top_lineitem,
+        # Q2-shape correlated-min decorrelation: aggregate-then-join-back
+        # with ALL ties emitted (the complement of argmax's single winner);
+        # two narrow exchanges, detail rows never cross the wire
+        "tpch_min_cost_supplier": relational.tpch_min_cost_supplier,
         # late-event detection vs the per-user high-water mark (streaming
         # watermark primitive; shifted-window-max twin)
         "events_out_of_order": events.events_out_of_order,
@@ -528,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_profile": events.user_profile_sql(),
         "events_cumsum": events.cumsum_sql(),
         "tpch_top_lineitem": relational.top_lineitem_sql(),
+        "tpch_min_cost_supplier": relational.min_cost_supplier_sql(),
         "events_out_of_order": events.out_of_order_sql(),
         "neardup_containment": neardup.containment_sql(GATE_SF),
         "graph_bfs_depth": graph.bfs_sql(GATE_SF),

@@ -681,3 +681,38 @@ def test_events_out_of_order(ray_session, tmp_path):
     ora = con.sql(out_of_order_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_min_cost_supplier(ray_session, tmp_path):
+    """Q2-shape correlated-min decorrelation: ALL tied suppliers emitted,
+    duplicates collapsed, SQL parity on the planted table and the corpus."""
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import (
+        min_cost_supplier_sql,
+        tpch_min_cost_supplier,
+    )
+
+    # part 1: suppliers 10 and 20 TIE at the min (both emitted), supplier 30
+    # above it (dropped); supplier 10 hits the min twice (collapsed to one
+    # row). part 2: single supplier.
+    t = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "l_suppkey": pa.array([10, 20, 30, 10, 40], type=pa.int64()),
+        "l_extendedprice": pa.array([5.0, 5.0, 7.5, 5.0, 9.99]),
+    })
+    d = tmp_path / "q2"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    eng = to_pandas(tpch_min_cost_supplier(str(d))).sort_values(
+        ["l_partkey", "l_suppkey"]
+    ).reset_index(drop=True)
+    assert eng.values.tolist() == [[1, 10, 500], [1, 20, 500], [2, 40, 999]]
+
+    eng = to_pandas(tpch_min_cost_supplier(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(min_cost_supplier_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -517,3 +517,134 @@ def top_lineitem_sql() -> str:
         "ORDER BY rev DESC, l_linenumber) AS rn FROM l) "
         "SELECT l_orderkey, l_linenumber, rev AS revenue_1e4 FROM r WHERE rn = 1"
     )
+
+
+def tpch_min_cost_supplier(sf_dir: str, num_buckets: int = 64):
+    """(l_partkey, l_suppkey, min_price_cents): every supplier selling a
+    part at that part's corpus-wide MINIMUM price — the TPC-H Q2 shape
+    (correlated scalar min subquery), decorrelated: aggregate once, join
+    the detail stream back against its own aggregate, emit ALL tied rows
+    (unlike tpch_top_lineitem's argmax, which elects exactly one winner).
+
+    Scale shape: exactly TWO narrow exchanges and no generic join. Pass 1
+    elects per-part global mins via per-batch min partials + one
+    partkey-bucket exchange. Pass 2 re-buckets per-batch-DISTINCT
+    (part, supplier, local_min_cents) triples on the same key and unions
+    them with the mins, so one co-partition groupby puts a part's mins row
+    and all its candidate suppliers in the same group; the per-bucket
+    filter + distinct is final — lineitem detail never crosses the wire,
+    only collapsed triples."""
+    from ..sources.reader import read_parquet_clean
+
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["l_extendedprice"])
+        order = np.lexsort((cents, pk))
+        pk_s, c_s = pk[order], cents[order]
+        first = np.r_[True, pk_s[1:] != pk_s[:-1]]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk_s[first]),
+                "min_price_cents": pa.array(c_s[first]),
+                "_b": pa.array((pk_s[first] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_min(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        c = t["min_price_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, pk))
+        pk_s, c_s = pk[order], c[order]
+        first = np.r_[True, pk_s[1:] != pk_s[:-1]]
+        n = int(first.sum())
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk_s[first]),
+                "l_suppkey": pa.array(np.full(n, -1, dtype=np.int64)),
+                "min_price_cents": pa.array(c_s[first]),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "_b": pa.array((pk_s[first] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    mins = (
+        ds.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: bucket_min(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(batch["l_extendedprice"])
+        # local min per (part, supplier): a pair whose local min exceeds the
+        # part's global min is filtered in the bucket; the exchange carries
+        # at most one triple per distinct pair per batch
+        order = np.lexsort((cents, sk, pk))
+        pk_s, sk_s, c_s = pk[order], sk[order], cents[order]
+        first = np.r_[True, (pk_s[1:] != pk_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk_s[first]),
+                "l_suppkey": pa.array(sk_s[first]),
+                "min_price_cents": pa.array(c_s[first]),
+                "_side": pa.array(np.zeros(int(first.sum()), dtype=np.int8)),
+                "_b": pa.array((pk_s[first] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    unioned = ds.map_batches(cand_partial, batch_format="pyarrow").union(mins)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        c = t["min_price_cents"].to_numpy(zero_copy_only=False)
+        m = side == 1
+        mpk, mc = pk[m], c[m]
+        order = np.argsort(mpk, kind="stable")
+        mpk, mc = mpk[order], mc[order]
+        cpk, csk, cc = pk[~m], sk[~m], c[~m]
+        idx = np.searchsorted(mpk, cpk)
+        idx_safe = np.clip(idx, 0, max(len(mpk) - 1, 0))
+        hit = (len(mpk) > 0) & (idx < len(mpk))
+        hit &= mpk[idx_safe] == cpk
+        keep = hit & (cc == mc[idx_safe])
+        cpk, csk, cmc = cpk[keep], csk[keep], mc[idx_safe][keep]
+        # distinct (part, supplier) across this bucket's batches — lexsort +
+        # run flags, no composite key (a pk*2^32+sk composite would overflow
+        # int64 at extreme-scale partkeys)
+        order2 = np.lexsort((csk, cpk))
+        cpk, csk, cmc = cpk[order2], csk[order2], cmc[order2]
+        first = np.r_[True, (cpk[1:] != cpk[:-1]) | (csk[1:] != csk[:-1])] if len(cpk) else np.zeros(0, dtype=bool)
+        return pa.table(
+            {
+                "l_partkey": pa.array(cpk[first]),
+                "l_suppkey": pa.array(csk[first]),
+                "min_price_cents": pa.array(cmc[first]),
+            }
+        )
+
+    return (
+        unioned.groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def min_cost_supplier_sql() -> str:
+    """DuckDB replay of tpch_min_cost_supplier (decorrelated min subquery,
+    all ties emitted, same exact integer cents)."""
+    return (
+        "WITH m AS (SELECT l_partkey, "
+        "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents "
+        "FROM lineitem GROUP BY l_partkey) "
+        "SELECT DISTINCT l.l_partkey, CAST(l.l_suppkey AS BIGINT) AS l_suppkey, "
+        "m.min_price_cents FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey "
+        "AND CAST(round(l.l_extendedprice * 100) AS BIGINT) = m.min_price_cents"
+    )
