@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_linreg_words_chars": docqc.doc_linreg_words_chars,
         # distributed variance from associative integer moments
         "events_value_stats": events.events_value_stats,
+        # exact order statistic over an UNBOUNDED value domain: driver-
+        # coordinated iterative histogram refinement (distributed
+        # selection) — log_256(range) streaming passes, <=257 rows/batch
+        "events_value_median": events.events_value_median,
         # flat_map/unnest surface: corpus exploded to token-position rows
         "doc_explode_tokens": docqc.doc_explode_tokens,
         # Bloom-filter membership probe (the third sketch after CMS/HLL):
@@ -515,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_per_lang": docqc.bottomk_per_lang_sql(),
         "doc_linreg_words_chars": docqc.linreg_sql(),
         "events_value_stats": events.value_stats_sql(),
+        "events_value_median": events.value_median_sql(),
         "doc_explode_tokens": docqc.explode_tokens_sql(),
         "doc_bloom_probe": docqc.bloom_probe_sql(),
         "doc_sample_lenprop": docqc.sample_lenprop_sql(),

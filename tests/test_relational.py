@@ -716,3 +716,22 @@ def test_tpch_min_cost_supplier(ray_session, tmp_path):
     ora = con.sql(min_cost_supplier_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_value_median_refinement(ray_session):
+    """Distributed exact selection: SQL parity across quantiles, and the
+    adaptive bracket converges through MULTIPLE refinement passes when the
+    final-exact threshold is tight (exact_below=8 forces ~log_256 walks)."""
+    from tools.check_contract import value_hash
+    from titan_ray.pipelines.events import events_value_median, value_median_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    for q in (0.25, 0.5, 0.99):
+        eng = events_value_median(SF, q=q)
+        ora = con.sql(value_median_sql(q)).df()
+        assert value_hash(eng) == value_hash(ora), q
+    # tight bracket: same exact answer through many more passes
+    tight = events_value_median(SF, q=0.5, exact_below=8)
+    wide = events_value_median(SF, q=0.5)
+    assert tight.values.tolist() == wide.values.tolist()

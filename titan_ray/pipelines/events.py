@@ -1374,3 +1374,95 @@ def out_of_order_sql() -> str:
         "CAST(greatest(coalesce(hwm - us, 0), 0) AS BIGINT) AS lateness_us, "
         "coalesce(hwm - us, 0) > 0 AS is_late FROM w"
     )
+
+
+def events_value_median(sf_dir: str, q: float = 0.5, num_bins: int = 256,
+                        exact_below: int = 4096, max_passes: int = 8):
+    """(n, median_vm): the EXACT q-th order statistic (quantile_disc rule:
+    sorted[ceil(q*n) - 1]) of the integer-milli event value — over an
+    UNBOUNDED value domain, where the bounded-histogram trick behind
+    doc_length_quantiles / doc_quantile_filter does not apply.
+
+    Machine class the surface lacked: driver-COORDINATED adaptive
+    refinement (distributed selection). Pass 0 streams (min, max, count)
+    partials; each refinement pass histograms the current [lo, hi] bracket
+    into ``num_bins`` equal-width bins plus a below-bracket count, the
+    driver walks the tiny cumulative histogram to re-bracket the target
+    rank, and the loop repeats until the bracket is narrow enough for one
+    exact per-value count. Convergence: bracket width shrinks x num_bins
+    per pass, so passes = ceil(log_256(range)) + 1 — a 2^63 domain is 8
+    streaming scans of ONE pruned int64 column, each reducing to <= 257
+    rows per batch; nothing data-sized ever reaches the driver."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def extent_partial(batch: pa.Table) -> pa.Table:
+        vm = _vm(batch)
+        if len(vm) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([int(vm.min())]),
+                         "hi": pa.array([int(vm.max())]),
+                         "n": pa.array([np.int64(len(vm))])})
+
+    ext = ds.map_batches(extent_partial, batch_format="pyarrow").to_pandas()
+    if ext.empty or ext["n"].sum() == 0:
+        return pd.DataFrame([{"n": np.int64(0), "median_vm": np.int64(0)}])
+    n = int(ext["n"].sum())
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    rank = max(1, int(np.ceil(q * n)))  # 1-based target rank: ceil(q*n)
+
+    def hist_pass(lo_: int, hi_: int, width: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            vm = _vm(batch)
+            below = np.int64((vm < lo_).sum())
+            sel = vm[(vm >= lo_) & (vm <= hi_)]
+            b = (sel - lo_) // width
+            cnt = np.bincount(b, minlength=0).astype(np.int64)
+            nz = np.nonzero(cnt)[0]
+            bins = np.concatenate([[-1], nz]).astype(np.int64)
+            cs = np.concatenate([[below], cnt[nz]]).astype(np.int64)
+            keep = cs != 0
+            return pa.table({"bin": pa.array(bins[keep]), "cnt": pa.array(cs[keep])})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return parts.groupby("bin")["cnt"].sum()  # <= num_bins+1 rows
+
+    passes = 0
+    while hi - lo + 1 > exact_below:
+        assert passes < max_passes, "selection bracket failed to converge"
+        width = (hi - lo) // num_bins + 1
+        agg = hist_pass(lo, hi, width)
+        below = int(agg.get(-1, 0))
+        t = rank - below
+        cum = 0
+        for b in sorted(k for k in agg.index if k >= 0):
+            cum += int(agg[b])
+            if cum >= t:
+                lo, hi = lo + int(b) * width, min(hi, lo + (int(b) + 1) * width - 1)
+                break
+        passes += 1
+
+    # exact per-value count inside the final bracket (width 1 bins)
+    agg = hist_pass(lo, hi, 1)
+    below = int(agg.get(-1, 0))
+    t = rank - below
+    cum = 0
+    med = lo
+    for b in sorted(k for k in agg.index if k >= 0):
+        cum += int(agg[b])
+        if cum >= t:
+            med = lo + int(b)
+            break
+    return pd.DataFrame([{"n": np.int64(n), "median_vm": np.int64(med)}])
+
+
+def value_median_sql(q: float = 0.5) -> str:
+    """DuckDB replay of events_value_median."""
+    return (
+        "SELECT count(*) AS n, "
+        f"quantile_disc(CAST(round(value*1000) AS BIGINT), {q}) AS median_vm "
+        "FROM events"
+    )
