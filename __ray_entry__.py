@@ -147,7 +147,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_fluency": docqc.doc_lm_fluency,
         "doc_scrub": docqc.doc_scrub,
         "doc_langid": docqc.doc_langid,
-        "doc_repetition": docqc.doc_repetition,
         "doc_length_quantiles": docqc.doc_length_quantiles,
         "doc_decontaminate": docqc.doc_decontaminate,
         "doc_top_tfidf": docqc.doc_top_tfidf,
@@ -182,7 +181,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": neardup.doc_winnow_fingerprints,
         "minhash_dedup_docs": neardup.minhash_dedup_docs,
         "dedup_clusters": neardup.dedup_clusters,
-        "simhash_docs": neardup.simhash_docs,
+        # round-5 continuation rotation (same machine-class rule as the
+        # prior rotations; retirees stay registered + oracle-backed below):
+        # C4-style segment dedup WITH REASSEMBLY — the value-mutating
+        # global-dedup class the window lacked — takes simhash_docs' slot
+        # (a row-local sketch whose exchange-side machinery the in-window
+        # minhash_lsh_candidates row already drives); the distributed-
+        # selection class (events_value_median) takes doc_repetition's
+        # (row-local text stats, same class as in-window doc_quality_scores)
+        "doc_segment_dedup": docqc.doc_segment_dedup,
+        "events_value_median": events.events_value_median,
         # round-4: the LSH candidate sketch is deterministic integer math,
         # so it too replays exactly in DuckDB (neardup.minhash_lsh_sql)
         "minhash_lsh_candidates": neardup.minhash_lsh_candidates,
@@ -275,10 +283,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_linreg_words_chars": docqc.doc_linreg_words_chars,
         # distributed variance from associative integer moments
         "events_value_stats": events.events_value_stats,
-        # exact order statistic over an UNBOUNDED value domain: driver-
-        # coordinated iterative histogram refinement (distributed
-        # selection) — log_256(range) streaming passes, <=257 rows/batch
-        "events_value_median": events.events_value_median,
         # flat_map/unnest surface: corpus exploded to token-position rows
         "doc_explode_tokens": docqc.doc_explode_tokens,
         # Bloom-filter membership probe (the third sketch after CMS/HLL):
@@ -296,11 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OLAP ROLLUP hierarchy in one pass (cells exchange, levels derive
         # from the cube, never the data)
         "events_rollup": events.events_rollup,
-        # C4-style cross-document segment dedup with text REASSEMBLY (the
-        # value-mutating complement of doc_dup_spans' marking): narrow
-        # (hash, key) winner election + counted broadcast or co-partition
-        # join-back
-        "doc_segment_dedup": docqc.doc_segment_dedup,
+        # rotated-out round-5 rows (registered + oracle-backed, pytest-green)
+        "simhash_docs": neardup.simhash_docs,
+        "doc_repetition": docqc.doc_repetition,
         # round-5-final rotation counterparts (promoted: doc_pagerank,
         # doc_vocab_hll, doc_cms_wordcounts, tpch_cust_no_orders; these
         # four retire past the window but keep oracles + pytest):
