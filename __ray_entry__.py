@@ -358,6 +358,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS hop distance from template hubs (frontier
         # iteration — third iterative graph shape after pagerank/components)
         "graph_bfs_depth": graph.graph_bfs_depth,
+        # Pareto skyline (dominance frontier): the anti-chain class — local
+        # frontiers merge associatively, NOT EXISTS dominance SQL twin
+        "doc_skyline": docqc.doc_skyline,
+        # market-basket type co-occurrence (frequent-itemset support):
+        # distinct (user,type) collapse, per-user pair explosion inside
+        # user buckets, catalogue-sized pair merge
+        "events_cooccurrence": events.events_cooccurrence,
     }
 
 
@@ -543,6 +550,8 @@ def oracle_sql() -> dict[str, str]:
         "events_out_of_order": events.out_of_order_sql(),
         "neardup_containment": neardup.containment_sql(GATE_SF),
         "graph_bfs_depth": graph.bfs_sql(GATE_SF),
+        "doc_skyline": docqc.skyline_sql(),
+        "events_cooccurrence": events.cooccurrence_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

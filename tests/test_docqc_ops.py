@@ -1067,3 +1067,28 @@ def test_doc_segment_dedup_first_occurrence_wins(ray_session, tmp_path):
     assert list(eng.index) == [0, 2]
     assert eng.loc[0, "text_dedup"] == words + " unique tail zero"
     assert eng.loc[2, "text_dedup"] == "fresh content only here"
+
+
+def test_doc_skyline(ray_session, tmp_path, edge_docs):
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.docqc import _skyline2d_mask, doc_skyline, skyline_sql
+
+    # kernel tie semantics: identical points both survive; equal-c at
+    # higher u dominates (strict in u); equal-u at lower c dominates
+    u = np.array([5, 5, 3, 3, 4], dtype=np.int64)
+    c = np.array([10, 10, 10, 9, 9], dtype=np.int64)
+    # (5,10)x2: frontier duplicates. (3,10): dominated by (5,10) and (4,9).
+    # (3,9): dominated by (4,9). (4,9): frontier.
+    assert _skyline2d_mask(u, c).tolist() == [True, True, False, False, True]
+
+    # edge corpus: frontier = docs {0,1,2,4,6}; hash-identical to NOT EXISTS
+    eng = _compare(edge_docs, doc_skyline, skyline_sql())
+    assert sorted(eng["doc_id"].tolist()) == [0, 1, 2, 4, 6]
+
+    # real corpus: hash-green (asserted inside _compare), frontier strict
+    eng = _compare("/root/testdata/sf0.001", doc_skyline, skyline_sql())
+    assert 0 < len(eng)
+    # every pair on the returned frontier is mutually non-dominated
+    uu = eng["token_count"].to_numpy()
+    cc = eng["n_chars"].to_numpy()
+    assert _skyline2d_mask(uu.astype(np.int64), cc.astype(np.int64)).all()

@@ -735,3 +735,39 @@ def test_events_value_median_refinement(ray_session):
     tight = events_value_median(SF, q=0.5, exact_below=8)
     wide = events_value_median(SF, q=0.5)
     assert tight.values.tolist() == wide.values.tolist()
+
+
+def test_events_cooccurrence(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import cooccurrence_sql, events_cooccurrence
+
+    # planted: repeated (user, type) rows collapse to DISTINCT before the
+    # pair count; single-type users emit no pairs; pair order is binary
+    # string order (type_a < type_b)
+    t = pa.table({
+        "event_id": pa.array(list(range(8)), type=pa.int64()),
+        "ts": pa.array([1] * 8, type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], type=pa.int64()),
+        "event_type": pa.array(
+            ["view", "click", "view", "click",     # u1: {click, view} (dups)
+             "view", "purchase",                   # u2: {purchase, view}
+             "view", "view"]),                     # u3: {view} — no pair
+        "value": pa.array([0.0] * 8),
+        "props": pa.array([""] * 8),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_cooccurrence(str(d)))
+    got = {(r.type_a, r.type_b): r.n_users for r in eng.itertuples()}
+    assert got == {("click", "view"): 1, ("purchase", "view"): 1}
+
+    # real corpus vs the self-join twin
+    eng = to_pandas(events_cooccurrence(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(cooccurrence_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -3517,3 +3517,92 @@ def segment_dedup_sql(w: int = SEG_W) -> str:
         "count(*) AS n_kept, CAST(max(n_segs) AS BIGINT) AS n_segs "
         f"FROM r WHERE doc_id * {_MAX_SEG_IDX} + seg_idx = wkey GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (dominance frontier) — the anti-chain machine class: no
+# aggregate, no window, no join reproduces it; the result is the set of
+# rows not dominated by any other row. Reference analog: TITAN's "best
+# observation wins inside a neighbourhood" election generalized to a global
+# multi-criteria election (titan.r plausibility/priority interplay).
+# ---------------------------------------------------------------------------
+
+
+def _skyline2d_mask(u: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier: maximize ``u``, minimize
+    ``c``.  q dominates p iff q.u >= p.u and q.c <= p.c with at least one
+    strict; ties (identical points) do not dominate each other, so every
+    duplicate of a frontier point survives — the exact NOT EXISTS semantics
+    of the SQL twin.  One lexsort + grouped min + running min: O(n log n).
+    """
+    if len(u) == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((c, -u))          # u desc, c asc within equal u
+    us, cs = u[order], c[order]
+    grp_new = np.r_[True, us[1:] != us[:-1]]
+    gid = np.cumsum(grp_new) - 1
+    gmin = cs[np.flatnonzero(grp_new)]   # per-u-group min c (c asc in group)
+    # min c over all STRICTLY greater u = cummin of gmin shifted one group
+    prev = np.r_[np.int64(2**62), np.minimum.accumulate(gmin)[:-1]]
+    ok = (cs < prev[gid]) & (cs == gmin[gid])
+    mask = np.zeros(len(u), dtype=bool)
+    mask[order[ok]] = True
+    return mask
+
+
+def doc_skyline(sf_dir: str):
+    """Documents on the Pareto frontier of (token_count maximize,
+    n_chars minimize) — the densest-information-per-byte frontier, the
+    skyline/dominance primitive (curation shortlists, "no strictly better
+    document exists" gates).
+
+    Scale shape: the skyline operator is ASSOCIATIVE under union —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each batch
+    collapses to its LOCAL frontier first (vectorized lexsort kernel,
+    never O(n²)) and only frontier candidates reach the driver; for n
+    random points the expected 2-D frontier is O(log n) per batch, and the
+    final pass re-runs the same kernel over ≤ Σ local frontiers. The
+    candidate count is logged so a pathological anti-chain corpus is
+    visible, and nothing text-sized crosses the exchange — each candidate
+    is 3 int64s."""
+    import logging
+
+    ds = _read(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray) else batch["text"]
+        tc = token_count(texts).astype(np.int64)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline2d_mask(tc, nc)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(pa.array(np.flatnonzero(keep))) if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"].take(pa.array(np.flatnonzero(keep))),
+                "token_count": pa.array(tc[keep]),
+                "n_chars": pa.array(nc[keep]),
+            }
+        )
+
+    cand = ds.map_batches(local_frontier, batch_format="pyarrow").to_pandas()
+    logging.getLogger("titan_ray.docqc").info(
+        "doc_skyline: %d frontier candidates collected", len(cand)
+    )
+    u = cand["token_count"].to_numpy(dtype=np.int64)
+    c = cand["n_chars"].to_numpy(dtype=np.int64)
+    keep = _skyline2d_mask(u, c)
+    return cand.loc[keep].reset_index(drop=True)
+
+
+def skyline_sql() -> str:
+    """DuckDB replay: literal NOT EXISTS dominance over the same two
+    integer dimensions (quadratic in SQL — the point of the engine's
+    associative local-frontier shape)."""
+    return (
+        f"WITH d AS (SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        f"'{_TOKEN_PATTERN}')) AS BIGINT) AS token_count, n_chars "
+        "FROM documents) "
+        "SELECT doc_id, token_count, n_chars FROM d p WHERE NOT EXISTS ("
+        "SELECT 1 FROM d q WHERE q.token_count >= p.token_count "
+        "AND q.n_chars <= p.n_chars AND (q.token_count > p.token_count "
+        "OR q.n_chars < p.n_chars))"
+    )

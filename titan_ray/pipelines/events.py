@@ -1466,3 +1466,100 @@ def value_median_sql(q: float = 0.5) -> str:
         f"quantile_disc(CAST(round(value*1000) AS BIGINT), {q}) AS median_vm "
         "FROM events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (frequent-itemset support) — the itemset
+# machine class: for every unordered pair of event types, how many users
+# emitted BOTH. Order-free set co-occurrence, the complement of
+# conv_role_transitions' ordered bigrams and graph_triangles' closure.
+# ---------------------------------------------------------------------------
+
+
+def events_cooccurrence(sf_dir: str, num_buckets: int = 64):
+    """(type_a, type_b, n_users) for every unordered event-type pair with
+    type_a < type_b (binary string order — the SQL join predicate), counting
+    users whose stream contains both types.
+
+    Scale shape: per-batch Arrow group_by collapses the stream to DISTINCT
+    (user_id, event_type) partials before the exchange — event volume never
+    crosses the wire, only ≤ n_users × n_types pairs.  ONE user-bucket
+    groupby co-locates each user's whole type set, so per-bucket pair
+    supports are over disjoint user populations; the driver merge sums
+    ≤ num_buckets × C(n_types, 2) tiny rows (n_types is a catalogue-sized
+    enum — 5 in the driver tables, bounded ~100s in practice; the pair
+    stream is C(n_types,2) ints per bucket, never user-sized)."""
+    from ..functions.strings import multi_arange
+
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0, \
+        "events_cooccurrence: num_buckets must be a power of two"
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "_b": pc.cast(pc.bit_wise_and(g["user_id"], num_buckets - 1),
+                              pa.int32()),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        # re-distinct across batch partials, then emit each user's sorted
+        # type-code pairs: np.unique sorts the row pairs, so each user's
+        # codes are ascending — pair (i, j>i) satisfies type_a < type_b
+        # because codes come from the sorted type vocabulary
+        types, codes = np.unique(
+            np.asarray(t["event_type"].to_pandas(), dtype=object),
+            return_inverse=True)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        uc = np.unique(np.stack([uid, codes.astype(np.int64)]), axis=1)
+        u, code = uc[0], uc[1]
+        seg_new = np.r_[True, u[1:] != u[:-1]]
+        seg_id = np.cumsum(seg_new) - 1
+        ends = np.r_[np.flatnonzero(seg_new)[1:], len(u)]  # per-seg end idx
+        n = len(u)
+        reps = (ends[seg_id] - np.arange(n) - 1).astype(np.int64)
+        a = np.repeat(np.arange(n), reps)                   # first of pair
+        b = multi_arange((np.arange(n) + 1).astype(np.int64), reps)
+        if len(a) == 0:
+            return pa.table({"type_a": pa.array([], type=pa.string()),
+                             "type_b": pa.array([], type=pa.string()),
+                             "n_users": pa.array([], type=pa.int64())})
+        pair_key = code[a] * len(types) + code[b]
+        keys, counts = np.unique(pair_key, return_counts=True)
+        ta = types[(keys // len(types)).astype(np.int64)]
+        tb = types[(keys % len(types)).astype(np.int64)]
+        return pa.table(
+            {
+                "type_a": pa.array(ta, type=pa.string()),
+                "type_b": pa.array(tb, type=pa.string()),
+                "n_users": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    part = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: bucket_pairs(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+        .to_pandas()  # <= num_buckets x C(n_types, 2) rows
+    )
+    out = (
+        part.groupby(["type_a", "type_b"], sort=False, as_index=False)["n_users"]
+        .sum()
+    )
+    return out
+
+
+def cooccurrence_sql() -> str:
+    """DuckDB replay: distinct (user, type) self-join with type_a < type_b."""
+    return (
+        "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "count(*) AS n_users FROM ut a JOIN ut b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type GROUP BY 1, 2"
+    )
