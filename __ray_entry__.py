@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct (user,type) collapse, per-user pair explosion inside
         # user buckets, catalogue-sized pair merge
         "events_cooccurrence": events.events_cooccurrence,
+        # windowed COUNT(DISTINCT) over the trailing RANGE frame — distinct
+        # is not subtractable, so this is its own window class: per-type
+        # prefix counts x searchsorted frame bounds, catalogue-sized loop
+        "events_window_distinct": events.events_window_distinct,
     }
 
 
@@ -552,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_depth": graph.bfs_sql(GATE_SF),
         "doc_skyline": docqc.skyline_sql(),
         "events_cooccurrence": events.cooccurrence_sql(),
+        "events_window_distinct": events.window_distinct_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -771,3 +771,43 @@ def test_events_cooccurrence(ray_session, tmp_path):
     ora = con.sql(cooccurrence_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_window_distinct(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import (
+        events_window_distinct,
+        window_distinct_sql,
+    )
+
+    # planted: duplicate timestamps are RANGE peers (both included in each
+    # other's frame); the frame drops a type once it ages past W; distinct
+    # collapses repeats of the same type inside the frame
+    W = 100  # microseconds
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([0, 0, 50, 200, 250, 250], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "b", "c", "c", "a"]),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array([""] * 6),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_window_distinct(str(d), window_us=W)) \
+        .set_index("event_id")["n_types_win"]
+    # e0/e1 at ts=0: peers {a,b} -> 2 each. e2 at 50: {a,b} still in frame
+    # -> 2. e3 at 200: frame [100,200] -> only itself {c} -> 1. e4/e5 at
+    # 250: u1 frame [150,250] = {c,c} -> 1; u2 has only itself -> 1.
+    assert eng.to_dict() == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 1}
+
+    # real corpus vs the windowed-DISTINCT twin
+    eng = to_pandas(events_window_distinct(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(window_distinct_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -1563,3 +1563,82 @@ def cooccurrence_sql() -> str:
         "count(*) AS n_users FROM ut a JOIN ut b ON a.user_id = b.user_id "
         "AND a.event_type < b.event_type GROUP BY 1, 2"
     )
+
+
+def events_window_distinct(sf_dir: str, window_us: int = SLIDE_WINDOW_US,
+                           num_buckets: int = 64):
+    """Per event: how many DISTINCT event types the SAME user emitted in the
+    trailing ``window_us`` RANGE frame [ts - W, ts] — the windowed
+    COUNT(DISTINCT) class: unlike the sliding count/sum, distinct is not
+    subtractable, so no prefix-difference of one array reproduces it.
+
+    Scale shape: same narrow stream + ONE user-bucket exchange as
+    events_sliding_rate; the per-bucket kernel factorizes the type
+    catalogue (enum-sized — 5 in the driver tables, bounded ~100s in
+    practice) and loops over TYPES, not rows: one per-type prefix-count
+    array + the two whole-bucket searchsorted frame boundaries turn each
+    type into a vectorized presence test, O(n_types) passes of O(rows)
+    work and O(rows) scratch — never an O(rows x types) matrix. RANGE
+    frames include ts-peers regardless of row order, and the boundaries
+    are value-based, so the result is well-defined under duplicate
+    timestamps with no tiebreaker."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        if len(eid) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_types_win": pa.array([], pa.int64())})
+        types, codes = np.unique(
+            np.asarray(t["event_type"].to_pandas(), dtype=object),
+            return_inverse=True)
+        order = np.lexsort((ts, uid))
+        eid, uid, ts, codes = eid[order], uid[order], ts[order], codes[order]
+        rel = ts - ts.min()
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        uidx = np.cumsum(new) - 1
+        stride = int(rel.max()) + window_us + 1
+        assert int(uidx[-1]) * stride < 2**63, "window-distinct stride overflow"
+        adj = rel + uidx * stride
+        hi = np.searchsorted(adj, adj, side="right")
+        lo = np.searchsorted(adj, adj - window_us, side="left")
+        n = np.zeros(len(eid), dtype=np.int64)
+        for tcode in range(len(types)):          # catalogue-sized loop
+            pref = np.r_[0, np.cumsum(codes == tcode)]
+            n += pref[hi] > pref[lo]             # type present in frame?
+        return pa.table({"event_id": pa.array(eid), "n_types_win": pa.array(n)})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+    )
+
+
+def window_distinct_sql(window_us: int = SLIDE_WINDOW_US) -> str:
+    """DuckDB replay: count(DISTINCT) over the same RANGE-INTERVAL frame."""
+    return (
+        "SELECT event_id, CAST(count(DISTINCT event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL {window_us} MICROSECONDS PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS n_types_win FROM events"
+    )
