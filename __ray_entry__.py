@@ -369,6 +369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is not subtractable, so this is its own window class: per-type
         # prefix counts x searchsorted frame bounds, catalogue-sized loop
         "events_window_distinct": events.events_window_distinct,
+        # sequence-pattern histogram: each user's ordered first-K type path
+        # as a value (associative local first-k prune; users collapse to
+        # base-(T+1) integer keys inside buckets, only distinct keys decode)
+        "events_top_paths": events.events_top_paths,
     }
 
 
@@ -557,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_skyline": docqc.skyline_sql(),
         "events_cooccurrence": events.cooccurrence_sql(),
         "events_window_distinct": events.window_distinct_sql(),
+        "events_top_paths": events.top_paths_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

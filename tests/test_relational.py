@@ -811,3 +811,37 @@ def test_events_window_distinct(ray_session, tmp_path):
     ora = con.sql(window_distinct_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_top_paths(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_top_paths, top_paths_sql
+
+    # planted: ts tie broken by event_id; short-history users keep a short
+    # path ('a' != 'a>a>a'); path order is the ORDERED prefix, not a set
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "ts": pa.array([5, 5, 10, 99, 1, 2, 3, 1], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 3], type=pa.int64()),
+        "event_type": pa.array(["b", "a", "c", "zzz",   # u1: b(id0)>a>c
+                                "c", "a", "b",          # u2: c>a>b
+                                "a"]),                  # u3: a
+        "value": pa.array([0.0] * 8),
+        "props": pa.array([""] * 8),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_top_paths(str(d)))
+    got = dict(zip(eng["path"], eng["n_users"]))
+    assert got == {"b>a>c": 1, "c>a>b": 1, "a": 1}
+
+    # real corpus vs the string_agg twin
+    eng = to_pandas(events_top_paths(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(top_paths_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -1642,3 +1642,110 @@ def window_distinct_sql(window_us: int = SLIDE_WINDOW_US) -> str:
         f"RANGE BETWEEN INTERVAL {window_us} MICROSECONDS PRECEDING AND CURRENT ROW) "
         "AS BIGINT) AS n_types_win FROM events"
     )
+
+
+PATH_K = 3          # first-K event types form the path signature
+
+
+def events_top_paths(sf_dir: str, k: int = PATH_K, num_buckets: int = 64):
+    """(path, n_users): the frequency histogram of each user's ordered
+    first-``k`` event-type sequence ('signup>click>purchase') — the
+    sequence-pattern-mining class: the funnel gates unordered first-touch
+    mins and the transition matrix sees only bigrams; this is the full
+    ordered prefix as a value.
+
+    Scale shape: per-batch local first-k pruning (rank-within-user via one
+    lexsort — the first k of a union is the first k of each side's first
+    k, so the prune is ASSOCIATIVE and event volume never crosses the
+    wire: ≤ k rows per (user, batch)); ONE user-bucket exchange
+    co-locates each user's survivors; inside a bucket users collapse to
+    base-(n_types+1) integer path keys (sentinel 0 pads users with < k
+    events, so 'a' ≠ 'a>a'), np.unique counts them, and ONLY the ≤
+    (n_types+1)^k distinct keys are decoded to strings — per-bucket
+    output is catalogue-sized, the driver merge sums B × |paths| tiny
+    rows. Ties inside a timestamp break by event_id (the SQL ORDER BY)."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+
+    def first_k_local(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts64 = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts64, uid))
+        u = uid[order]
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(u)) - starts[np.cumsum(new) - 1]
+        keep = np.sort(order[rank < k])
+        t = batch.take(pa.array(keep))
+        tts = t["ts"]
+        if isinstance(tts, pa.ChunkedArray):
+            tts = tts.combine_chunks()
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": tts.cast(pa.int64()),
+                "event_type": t["event_type"],
+                "_b": pc.cast(pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def bucket_paths(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        types, codes = np.unique(
+            np.asarray(t["event_type"].to_pandas(), dtype=object),
+            return_inverse=True)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order].astype(np.int64)
+        new = np.r_[True, u[1:] != u[:-1]]
+        uidx = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(u)) - starts[uidx]
+        base = len(types) + 1
+        # key = sum over positions of (code+1) * base^(k-1-rank); sentinel 0
+        m = rank < k
+        weights = base ** (k - 1 - rank[m])
+        key = np.zeros(int(uidx[-1]) + 1, dtype=np.int64)
+        np.add.at(key, uidx[m], (c[m] + 1) * weights)
+        ukeys, counts = np.unique(key, return_counts=True)
+        # decode the catalogue-sized distinct keys to path strings
+        paths = []
+        for kk in ukeys:
+            digs = []
+            for p in range(k - 1, -1, -1):
+                d = (kk // base**p) % base
+                if d > 0:
+                    digs.append(str(types[d - 1]))
+            paths.append(">".join(digs))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "n_users": pa.array(counts.astype(np.int64))})
+
+    part = (
+        ds.map_batches(first_k_local, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: bucket_paths(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+        .to_pandas()  # <= num_buckets x (n_types+1)^k rows
+    )
+    return part.groupby("path", sort=False, as_index=False)["n_users"].sum()
+
+
+def top_paths_sql(k: int = PATH_K) -> str:
+    """DuckDB replay: row_number first-k prefix, ordered string_agg, count."""
+    return (
+        "SELECT path, count(*) AS n_users FROM ("
+        "SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+        "FROM (SELECT user_id, ts, event_id, event_type, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        f"WHERE rn <= {k} GROUP BY user_id) GROUP BY path"
+    )
