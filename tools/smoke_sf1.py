@@ -139,7 +139,17 @@ def main() -> None:
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivfpq": cluster.ann_topk_ivfpq,
+        # round-5 closing session ops: dominance frontier, itemset pairs,
+        # windowed COUNT DISTINCT, ordered path histogram — all claim
+        # catalogue-/frontier-sized driver state; verify flat RSS at 10x
+        "doc_skyline": docqc.doc_skyline,
+        "events_cooccurrence": events.events_cooccurrence,
+        "events_window_distinct": events.events_window_distinct,
+        "events_top_paths": events.events_top_paths,
     }
+    only = set(sys.argv[1:])
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only}
     out = {}
     for name, fn in ops.items():
         rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024  # MiB
