@@ -373,6 +373,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as a value (associative local first-k prune; users collapse to
         # base-(T+1) integer keys inside buckets, only distinct keys decode)
         "events_top_paths": events.events_top_paths,
+        # interval-union coverage: total merged length of each user's event
+        # ranges (grouped cummax over range geometry — neither a frame nor
+        # a gap threshold expresses it); n_runs = overlap-defined sessions
+        "events_interval_coverage": events.events_interval_coverage,
+        # Manku-style SimHash near-dup pairs: 16-bit fingerprint-slice
+        # blocking made EXHAUSTIVE by pigeonhole (bands > max_hamming), so
+        # the O(n^2) bit_count self-join SQL twin matches exactly
+        "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
     }
 
 
@@ -562,6 +570,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cooccurrence": events.cooccurrence_sql(),
         "events_window_distinct": events.window_distinct_sql(),
         "events_top_paths": events.top_paths_sql(),
+        "events_interval_coverage": events.interval_coverage_sql(),
+        "simhash_neardup_pairs": neardup.simhash_pairs_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

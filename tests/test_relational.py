@@ -845,3 +845,82 @@ def test_events_top_paths(ray_session, tmp_path):
     ora = con.sql(top_paths_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_interval_coverage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import (
+        events_interval_coverage,
+        interval_coverage_sql,
+    )
+
+    # planted: value SECONDS -> exact-us durations; overlapping intervals
+    # merge into one run; a zero-duration event is its own (empty) run; a
+    # CONTAINED interval adds neither coverage nor a run; negative values
+    # clamp to empty
+    t = pa.table({
+        "event_id": pa.array(list(range(7)), type=pa.int64()),
+        "ts": pa.array([0, 50_000, 300_000,      # u1
+                        0, 20_000,               # u2
+                        0, 10_000], type=pa.timestamp("us")),  # u3
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3], type=pa.int64()),
+        "event_type": pa.array(["x"] * 7),
+        "value": pa.array([0.1, 0.1, 0.0,        # u1: [0,100k]+[50k,150k] merge; zero run
+                           0.01, 0.01,           # u2: two disjoint 10k runs
+                           0.1, -1.0]),          # u3: [0,100k]; negative -> empty run
+        "props": pa.array([""] * 7),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_interval_coverage(str(d))).set_index("user_id")
+    assert eng.loc[1].to_dict() == {"covered_us": 150_000, "n_runs": 2, "n_events": 3}
+    assert eng.loc[2].to_dict() == {"covered_us": 20_000, "n_runs": 2, "n_events": 2}
+    assert eng.loc[3].to_dict() == {"covered_us": 100_000, "n_runs": 1, "n_events": 2}
+
+    # real corpus vs the grouped-cummax window twin
+    eng = to_pandas(events_interval_coverage(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(interval_coverage_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+
+def test_simhash_neardup_pairs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.stages.neardup import simhash_neardup_pairs, simhash_pairs_sql
+
+    # planted: exact duplicates are hamming-0 pairs; a one-char edit of a
+    # long text stays within the ball; unrelated texts (~32-bit distance)
+    # never pair
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([base, base,
+                          base.replace("lazy", "hazy", 1),
+                          "completely different content about ray data engines " * 10]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = to_pandas(simhash_neardup_pairs(str(d)))
+    got = {(r.doc_a, r.doc_b): r.hamming for r in eng.itertuples()}
+    assert got[(0, 1)] == 0
+    assert (2, 3) not in got and (0, 3) not in got and (1, 3) not in got
+
+    # real corpus vs the UNBLOCKED O(n^2) bit_count self-join (valid oracle
+    # because bands > max_hamming makes the engine's blocking exhaustive)
+    eng = to_pandas(simhash_neardup_pairs(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(simhash_pairs_sql()).df()
+    assert len(eng) == len(ora)
+    if len(ora):
+        assert value_hash(eng) == value_hash(ora)

@@ -1749,3 +1749,106 @@ def top_paths_sql(k: int = PATH_K) -> str:
         "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
         f"WHERE rn <= {k} GROUP BY user_id) GROUP BY path"
     )
+
+
+def events_interval_coverage(sf_dir: str, num_buckets: int = 64):
+    """(user_id, covered_us, n_runs, n_events): total length of the UNION of
+    each user's event intervals [ts, ts + value seconds], overlaps merged —
+    the interval-union machine class: unlike every windowed/sessionized
+    aggregate above, the quantity is defined over the merged geometry of
+    ranges, not over rows, so neither a frame nor a gap threshold expresses
+    it. `n_runs` counts the disjoint merged runs (a session analog where the
+    session is defined by range overlap, not inter-arrival gap).
+
+    Scale shape: one narrow projection (user_id, start_us, end_us, event_id
+    — durations in EXACT integer microseconds via the shared milli-scaling,
+    negatives clamped to empty) + ONE user-bucket exchange; the per-bucket
+    kernel is one lexsort + a per-user running max of interval ends
+    (maximum.accumulate over group-offset values — no Python loop) + one
+    reduceat. Nothing user-catalogue-sized ever reaches the driver.
+    """
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        s = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.maximum(_vm(batch), 0) * 1000  # value sec -> exact us
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "s": pa.array(s),
+                "e": pa.array(s + dur),
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "covered_us": pa.array([], pa.int64()),
+                             "n_runs": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        uidx = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # per-user cummax of e without a loop: offset each user's values into
+        # a disjoint band, accumulate globally, then strip the band. Values
+        # are made small relative to int64 by rebasing on the bucket min.
+        base = s.min()
+        e_rel = e - base
+        stride = int(e_rel.max()) + 1
+        assert int(uidx[-1]) * stride < 2**62, "interval-coverage stride overflow"
+        cm = np.maximum.accumulate(uidx * stride + e_rel) - uidx * stride
+        prev = np.empty_like(cm)
+        prev[1:] = cm[:-1]
+        prev[starts] = np.iinfo(np.int64).min  # no predecessor in user
+        s_rel = s - base
+        run_start = s_rel > prev  # group starts qualify via the sentinel
+        contrib = e_rel - np.maximum(s_rel, prev)
+        contrib[run_start] = (e_rel - s_rel)[run_start]
+        np.maximum(contrib, 0, out=contrib)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "covered_us": pa.array(np.add.reduceat(contrib, starts)),
+                "n_runs": pa.array(np.add.reduceat(run_start.astype(np.int64), starts)),
+                "n_events": pa.array(np.diff(np.r_[starts, len(uid)]).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+    )
+
+
+def interval_coverage_sql() -> str:
+    """DuckDB replay: grouped cummax over the previous rows of the same
+    (s, e, event_id) order, gap/overlap CASE, exact integer us."""
+    return (
+        "WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + GREATEST(CAST(floor(abs(value)*1000 + 0.5) AS BIGINT)"
+        " * CAST(sign(value) AS BIGINT), 0) * 1000 AS e FROM events), "
+        "w AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+        "ORDER BY s, e, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING) AS pm FROM iv) "
+        "SELECT user_id, "
+        "CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN e - s "
+        "WHEN e > pm THEN e - pm ELSE 0 END) AS BIGINT) AS covered_us, "
+        "CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) AS BIGINT) AS n_runs, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM w GROUP BY user_id"
+    )

@@ -1264,3 +1264,147 @@ def containment_sql(sf: float = 0.01, threshold: float = CONTAINMENT_THRESHOLD) 
         "FROM ix JOIN sz za ON za.doc_id = ix.doc_a JOIN sz zb ON zb.doc_id = ix.doc_b) "
         f"SELECT doc_a, doc_b, round(c, 4) AS containment FROM co WHERE c > {threshold!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (Manku et al., WWW'07 — band blocking + Hamming verify)
+# ---------------------------------------------------------------------------
+
+SIMHASH_MAX_HAMMING = 3     # with 4 x 16-bit bands, pigeonhole GUARANTEES
+SIMHASH_BANDS = 4           # every pair at distance <= 3 shares a band
+SIMHASH_MAX_BUCKET = 4096   # pathological same-band-key group cap (logged)
+
+
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING,
+                          num_buckets: int = 64):
+    """(doc_a, doc_b, hamming): all UNORDERED doc pairs whose 64-bit SimHash
+    fingerprints differ in <= ``max_hamming`` bits — the Manku-et-al
+    Hamming-ball dedup class, distinct from MinHash/LSH (whose candidate
+    criterion is banded MinHash equality, a Jaccard proxy): here the
+    blocking key is a CONTIGUOUS 16-bit slice of the fingerprint itself,
+    and with bands > max_hamming the pigeonhole principle makes the
+    blocking EXHAUSTIVE, not probabilistic — the SQL twin can therefore
+    verify against the full O(n^2) self-join and match exactly.
+
+    Scale shape: per-batch fingerprints (the shared vectorized
+    simhash_signatures kernel), explode x4 band rows (doc_id, sig, band,
+    key — 24 B/row, text never crosses the wire), ONE (band,key)-bucket
+    exchange, per-group triu pair expansion + vectorized popcount verify,
+    then a pair-keyed min-merge to dedup pairs found in several bands.
+    Same-key groups above ``SIMHASH_MAX_BUCKET`` are star-reduced and
+    logged (run exact dedup first), the identical escape valve as
+    _bucket_pairs.
+
+    Reference analog: duplicate_check's epsilon-radius near-dup removal at
+    read (read_data_to_check.r:121-143) — this is the fingerprint-space
+    variant of the same 'too close to both keep' relation.
+    """
+    from ..sources.reader import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sig = simhash_signatures(texts)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc = np.repeat(did, SIMHASH_BANDS)
+        s = np.repeat(sig, SIMHASH_BANDS)
+        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.uint64), len(did))
+        key = ((s >> (band * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "sig": pa.array(s.view(np.int64)),
+                "band": pa.array(band.astype(np.int8)),
+                "key": pa.array(key),
+                "_b": pa.array(((key ^ (band.astype(np.int32) * 0x9E37)) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        import logging
+
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int32)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "ham": pa.array([], pa.int64())})
+        if len(did) == 0:
+            return empty
+        order = np.lexsort((did, key, band))
+        did, sig, band, key = did[order], sig[order], band[order], key[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        starts = np.flatnonzero(np.r_[new, True])
+        out_a, out_b, out_h = [], [], []
+        capped = 0
+        for i in range(len(starts) - 1):
+            lo, hi = starts[i], starts[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            if m > SIMHASH_MAX_BUCKET:
+                capped += 1
+                ia = np.zeros(m - 1, dtype=np.int64)
+                ib = np.arange(1, m, dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+            a, b = did[lo + ia], did[lo + ib]
+            h = hamming_distance(sig[lo + ia], sig[lo + ib]).astype(np.int64)
+            keep = h <= max_hamming
+            out_a.append(a[keep]); out_b.append(b[keep]); out_h.append(h[keep])
+        if capped:
+            logging.getLogger("titan_ray.neardup").warning(
+                "simhash: %d band buckets larger than %d star-reduced "
+                "(run exact dedup first)", capped, SIMHASH_MAX_BUCKET)
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a); b = np.concatenate(out_b); h = np.concatenate(out_h)
+        swap = a > b
+        a2 = np.where(swap, b, a); b2 = np.where(swap, a, b)
+        return pa.table({"doc_a": pa.array(a2), "doc_b": pa.array(b2),
+                         "ham": pa.array(h)})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return t.append_column("_pb", pa.array(((a ^ b) % num_buckets).astype(np.int32)))
+
+    def dedup_bands(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        h = t["ham"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(np.stack([a, b]), axis=1, return_index=True)
+        return pa.table({"doc_a": pa.array(a[first]), "doc_b": pa.array(b[first]),
+                         "hamming": pa.array(h[first])})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: bucket_pairs(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+        # a pair found in several bands carries the same hamming everywhere;
+        # one narrow pair-bucket exchange co-locates a pair's band copies
+        # and a vectorized unique keeps the first (no per-pair Python call)
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(lambda t: dedup_bands(t.drop_columns(["_pb"])),
+                    batch_format="pyarrow")
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """DuckDB replay: the FULL O(n^2) self-join over the bit-exact simhash
+    replay — valid as the oracle precisely because bands > max_hamming
+    makes the engine's blocking exhaustive (pigeonhole), so blocked engine
+    == unblocked SQL."""
+    return (
+        f"WITH sig AS ({simhash_sql()}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )

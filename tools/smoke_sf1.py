@@ -146,6 +146,10 @@ def main() -> None:
         "events_cooccurrence": events.events_cooccurrence,
         "events_window_distinct": events.events_window_distinct,
         "events_top_paths": events.events_top_paths,
+        # final-session ops: interval-union coverage (per-user cummax kernel),
+        # simhash Hamming-ball pairs (band-bucket exchange + pair dedup)
+        "events_interval_coverage": events.events_interval_coverage,
+        "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
     }
     only = set(sys.argv[1:])
     if only:
