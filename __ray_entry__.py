@@ -381,6 +381,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocking made EXHAUSTIVE by pigeonhole (bands > max_hamming), so
         # the O(n^2) bit_count self-join SQL twin matches exactly
         "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
+        # TPC-H Q4 shape: the EXISTS SEMI-join (membership keeps), the
+        # positive complement of tpch_cust_no_orders' anti-join
+        "tpch_order_priority": relational.tpch_order_priority,
+        # gaps-and-islands on value changes: longest same-type run per user
+        # (row_number-difference island construction as the SQL twin)
+        "events_streaks": events.events_streaks,
+        # zlib redundancy signal (Gopher-family quality feature) — rows-only:
+        # DuckDB has no zlib surface; pytest oracle recomputes with stdlib
+        "doc_compression_ratio": docqc.doc_compression_ratio,
     }
 
 
@@ -572,6 +581,9 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": events.top_paths_sql(),
         "events_interval_coverage": events.interval_coverage_sql(),
         "simhash_neardup_pairs": neardup.simhash_pairs_sql(),
+        "tpch_order_priority": relational.order_priority_sql(),
+        "events_streaks": events.streaks_sql(),
+        # doc_compression_ratio: intentionally no SQL twin (rows-only)
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

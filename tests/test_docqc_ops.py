@@ -1092,3 +1092,34 @@ def test_doc_skyline(ray_session, tmp_path, edge_docs):
     uu = eng["token_count"].to_numpy()
     cc = eng["n_chars"].to_numpy()
     assert _skyline2d_mask(uu.astype(np.int64), cc.astype(np.int64)).all()
+
+
+def test_doc_compression_ratio(ray_session, tmp_path):
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas
+    from titan_ray.pipelines.docqc import doc_compression_ratio
+
+    texts = ["abc " * 200,                  # highly repetitive -> low ratio
+             "the quick brown fox jumps",   # short natural text
+             "",                            # empty -> raw 0, ratio 0/1
+             "纯Unicode多字节文本" * 3]       # multi-byte utf-8
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = to_pandas(doc_compression_ratio(str(d))).set_index("doc_id").sort_index()
+    for i, txt in enumerate(texts):
+        b = txt.encode("utf-8")
+        assert eng.loc[i, "raw_bytes"] == len(b)
+        assert eng.loc[i, "zlib_bytes"] == len(zlib.compress(b, 6))
+        assert eng.loc[i, "ratio_milli"] == (1000 * len(zlib.compress(b, 6))) // max(len(b), 1)
+    # the repetitive doc compresses far better than the short natural one
+    assert eng.loc[0, "ratio_milli"] < eng.loc[1, "ratio_milli"]

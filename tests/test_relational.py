@@ -924,3 +924,92 @@ def test_simhash_neardup_pairs(ray_session, tmp_path):
     assert len(eng) == len(ora)
     if len(ora):
         assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_order_priority(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import (
+        order_priority_sql,
+        tpch_order_priority,
+    )
+
+    # planted: o1 in-window with a returned line -> counted; o2 in-window,
+    # lines but none returned -> dropped; o3 returned line but outside the
+    # window -> dropped; o4 in-window, no lines at all -> dropped
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0] * 4),
+        "o_orderdate": pa.array(
+            np.array(["1996-02-01", "1996-03-01", "1995-01-01", "1996-04-01"],
+                     dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT", "5-LOW"]),
+    })
+    line = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_partkey": pa.array([0] * 4, type=pa.int64()),
+        "l_suppkey": pa.array([0] * 4, type=pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1], type=pa.int64()),
+        "l_quantity": pa.array([1.0] * 4),
+        "l_extendedprice": pa.array([1.0] * 4),
+        "l_discount": pa.array([0.0] * 4),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["R", "N", "N", "R"]),
+        "l_linestatus": pa.array(["O"] * 4),
+        "l_shipdate": pa.array(np.array(["1996-02-05"] * 4, dtype="datetime64[us]")),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(orders, d / "orders.parquet")
+    pq.write_table(line, d / "lineitem.parquet")
+    eng = to_pandas(tpch_order_priority(str(d)))
+    assert dict(zip(eng["o_orderpriority"], eng["order_count"])) == {"1-URGENT": 1}
+
+    # real corpus vs the EXISTS twin
+    eng = to_pandas(tpch_order_priority(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(order_priority_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_streaks(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import events_streaks, streaks_sql
+
+    # planted: u1 has runs a,a,a | b | a,a -> max 3 'a'; u2 ties 2-2
+    # between 'x' (earlier) and 'y' -> earliest run wins; u3 single event
+    t = pa.table({
+        "event_id": pa.array(list(range(11)), type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5, 6,          # u1
+                        1, 2, 3, 4,                # u2
+                        9], type=pa.timestamp("us")),  # u3
+        "user_id": pa.array([1] * 6 + [2] * 4 + [3], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "a", "a",
+                                "x", "x", "y", "y",
+                                "z"]),
+        "value": pa.array([0.0] * 11),
+        "props": pa.array([""] * 11),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_streaks(str(d))).set_index("user_id")
+    assert eng.loc[1].to_dict() == {"max_streak": 3, "streak_type": "a"}
+    assert eng.loc[2].to_dict() == {"max_streak": 2, "streak_type": "x"}
+    assert eng.loc[3].to_dict() == {"max_streak": 1, "streak_type": "z"}
+
+    # real corpus vs the islands twin
+    eng = to_pandas(events_streaks(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(streaks_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -3606,3 +3606,43 @@ def skyline_sql() -> str:
         "AND q.n_chars <= p.n_chars AND (q.token_count > p.token_count "
         "OR q.n_chars < p.n_chars))"
     )
+
+
+def doc_compression_ratio(sf_dir: str, level: int = 6):
+    """(doc_id, raw_bytes, zlib_bytes, ratio_milli): per-document zlib
+    compression ratio in integer milli-units — the Gopher-family
+    redundancy/quality signal (highly compressible text = repetitive
+    boilerplate or degenerate generation; incompressible = possibly
+    binary/garbled). floor(1000 * compressed / max(raw, 1)), level fixed
+    so the byte counts are deterministic for a given zlib.
+
+    No SQL twin (DuckDB has no zlib surface) -> rows-only in the driver
+    gate; the pytest oracle recomputes per-doc with the stdlib directly.
+    Scale shape: stateless per-batch map (zlib is a per-string C call —
+    the one row loop is inside the codec, not Python arithmetic), no
+    shuffle, no driver state.
+    """
+    import zlib
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.to_pylist()):
+            b = (t or "").encode("utf-8", "surrogatepass")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "raw_bytes": pa.array(raw),
+                "zlib_bytes": pa.array(comp),
+                "ratio_milli": pa.array((1000 * comp) // np.maximum(raw, 1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

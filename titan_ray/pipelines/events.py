@@ -1852,3 +1852,90 @@ def interval_coverage_sql() -> str:
         "CAST(count(*) AS BIGINT) AS n_events "
         "FROM w GROUP BY user_id"
     )
+
+
+def events_streaks(sf_dir: str, num_buckets: int = 64):
+    """(user_id, max_streak, streak_type): each user's LONGEST run of
+    consecutive identical event types in (ts, event_id) order, with the
+    type that achieved it (ties -> the earliest run) — the gaps-and-islands
+    class on VALUE CHANGES: sessions cut runs by inter-arrival gaps and
+    dup-spans by content hashes; this cuts by adjacent-value inequality,
+    the row_number-difference island construction.
+
+    Scale shape: ONE user-bucket exchange of the narrow (user, ts,
+    event_id, type) stream; the per-bucket kernel is one lexsort + one
+    run-boundary diff (runs = rows where user or type changes) + one
+    argmax-per-user lexsort over the RUN table (<= rows, usually far
+    fewer). Nothing reaches the driver."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "max_streak": pa.array([], pa.int64()),
+                             "streak_type": pa.array([], pa.string())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        types, codes = np.unique(
+            np.asarray(t["event_type"].to_pandas(), dtype=object),
+            return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, codes = uid[order], codes[order]
+        new_run = np.r_[True, (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        run_uid = uid[starts]
+        run_code = codes[starts]
+        # argmax per user: longest first, earliest (per-user time-ordered
+        # position) breaks ties
+        o2 = np.lexsort((starts, -run_len, run_uid))
+        first = np.r_[True, run_uid[o2][1:] != run_uid[o2][:-1]]
+        w = o2[first]
+        return pa.table(
+            {
+                "user_id": pa.array(run_uid[w]),
+                "max_streak": pa.array(run_len[w]),
+                "streak_type": pa.array(types[run_code[w]], type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+    )
+
+
+def streaks_sql() -> str:
+    """DuckDB replay: the row_number-difference island construction, argmax
+    run per user with earliest-run tie-break."""
+    return (
+        "WITH o AS (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn2 "
+        "FROM events), "
+        "runs AS (SELECT user_id, event_type, count(*) AS len, min(rn) AS pos "
+        "FROM o GROUP BY user_id, event_type, rn - rn2) "
+        "SELECT user_id, CAST(len AS BIGINT) AS max_streak, "
+        "event_type AS streak_type FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY len DESC, pos) AS r FROM runs) WHERE r = 1"
+    )

@@ -648,3 +648,100 @@ def min_cost_supplier_sql() -> str:
         "m.min_price_cents FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey "
         "AND CAST(round(l.l_extendedprice * 100) AS BIGINT) = m.min_price_cents"
     )
+
+
+Q4_FROM, Q4_TO = "1996-01-01", "1997-01-01"
+
+
+def tpch_order_priority(sf_dir: str, date_from: str = Q4_FROM,
+                        date_to: str = Q4_TO, num_buckets: int = 64):
+    """(o_orderpriority, order_count): orders inside a date window that
+    HAVE at least one returned lineitem (l_returnflag = 'R'), counted per
+    priority — the TPC-H Q4 SEMI-join shape (EXISTS), the positive
+    complement of tpch_cust_no_orders' anti-join: membership keeps rather
+    than drops. (The driver's lineitem table carries no commit/receipt
+    dates, so the Q4 late-delivery predicate is recast onto the returned
+    flag — same machine, same EXISTS decorrelation.)
+
+    Scale shape mirrors the anti-join exactly: per-batch DISTINCT returned
+    orderkeys (narrow int64s) + date-pruned order rows co-partition by
+    orderkey % B in ONE exchange; each bucket keeps order rows present in
+    the key set via one sorted np.isin and pre-collapses to per-priority
+    counts, so the driver merges <= B x |priorities| partial rows.
+    """
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"],
+    )
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d < hi)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "side": pa.array(np.zeros(len(ok), dtype=np.int8)),
+                "prio": pa.array(prio, type=pa.string()),
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        ok = np.unique(batch["l_orderkey"].to_numpy(zero_copy_only=False)[rf == "R"])
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "prio": pa.array([""] * len(ok), type=pa.string()),
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        line.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def semi(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ok = t["orderkey"].to_numpy(zero_copy_only=False)
+        have = np.unique(ok[side == 1])
+        keep = (side == 0) & np.isin(ok, have)
+        prio = t["prio"].to_numpy(zero_copy_only=False)[keep]
+        u, cnt = np.unique(prio, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(u, type=pa.string()),
+                "order_count": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        both.groupby("_b")
+        .map_groups(lambda t: semi(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # <= num_buckets x |priorities| partial rows
+    )
+    if parts.empty:
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                             "order_count": pd.Series(dtype=np.int64)})
+    out = parts.groupby("o_orderpriority", as_index=False)["order_count"].sum()
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def order_priority_sql(date_from: str = Q4_FROM, date_to: str = Q4_TO) -> str:
+    """DuckDB replay of tpch_order_priority (EXISTS semi-join, Q4 shape)."""
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+        f"FROM orders WHERE o_orderdate >= DATE '{date_from}' "
+        f"AND o_orderdate < DATE '{date_to}' AND EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_returnflag = 'R') GROUP BY o_orderpriority"
+    )
