@@ -390,6 +390,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib redundancy signal (Gopher-family quality feature) — rows-only:
         # DuckDB has no zlib surface; pytest oracle recomputes with stdlib
         "doc_compression_ratio": docqc.doc_compression_ratio,
+        # TPC-H Q13: histogram-of-aggregates (second GROUP BY over a first
+        # keyed aggregate's VALUE, zero-order customers kept — LEFT shape)
+        "tpch_cust_order_dist": relational.tpch_cust_order_dist,
     }
 
 
@@ -584,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_order_priority": relational.order_priority_sql(),
         "events_streaks": events.streaks_sql(),
         # doc_compression_ratio: intentionally no SQL twin (rows-only)
+        "tpch_cust_order_dist": relational.cust_order_dist_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1013,3 +1013,39 @@ def test_events_streaks(ray_session, tmp_path):
     ora = con.sql(streaks_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_cust_order_dist(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import (
+        cust_order_dist_sql,
+        tpch_cust_order_dist,
+    )
+
+    # planted: c1 has 2 orders, c2 has 1, c3 has 0 (LEFT semantics keep it)
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3], type=pa.int64())})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array(np.array(["1996-02-01"] * 3, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(cust, d / "customer.parquet")
+    pq.write_table(orders, d / "orders.parquet")
+    eng = to_pandas(tpch_cust_order_dist(str(d)))
+    assert dict(zip(eng["c_count"], eng["custdist"])) == {0: 1, 1: 1, 2: 1}
+
+    # real corpus vs the Q13 LEFT-join twin
+    eng = to_pandas(tpch_cust_order_dist(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    ora = con.sql(cust_order_dist_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

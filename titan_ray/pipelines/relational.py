@@ -745,3 +745,92 @@ def order_priority_sql(date_from: str = Q4_FROM, date_to: str = Q4_TO) -> str:
         "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
         "AND l_returnflag = 'R') GROUP BY o_orderpriority"
     )
+
+
+def tpch_cust_order_dist(sf_dir: str, num_buckets: int = 64):
+    """(c_count, custdist): the distribution of per-customer order counts,
+    ZERO-order customers included — the TPC-H Q13 histogram-of-aggregates
+    class: a second GROUP BY over the VALUE of a first keyed aggregate
+    (LEFT-join semantics — the outer side survives with count 0), which
+    neither the plain aggregates nor the joins above compose into.
+
+    Scale shape: per-batch partial order counts per custkey (narrow
+    (custkey, n) int64 pairs) union customer keys, ONE custkey % B
+    co-partition; each bucket sums partials per key, zero-fills customers
+    with no orders, and pre-collapses to (c_count, n_cust) partials, so
+    the driver merges <= B x |distinct counts| rows — the data rows never
+    leave the buckets.
+    """
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": pa.array(ck),
+                "n": pa.array(np.zeros(len(ck), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(ck), dtype=np.int8)),
+                "_b": pa.array((ck % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        return pa.table(
+            {
+                "custkey": pa.array(u),
+                "n": pa.array(cnt.astype(np.int64)),
+                "side": pa.array(np.ones(len(u), dtype=np.int8)),
+                "_b": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        cust_keys = ck[side == 0]
+        u, inv = np.unique(ck, return_inverse=True)
+        per_key = np.bincount(inv, weights=n).astype(np.int64)
+        # LEFT semantics: only customer-side keys produce a row; order
+        # counts for keys with no customer row (none in a consistent DB)
+        # are dropped, zero-order customers get per_key 0
+        is_cust = np.zeros(len(u), dtype=bool)
+        is_cust[np.searchsorted(u, np.unique(cust_keys))] = True
+        counts = per_key[is_cust]
+        cu, cc = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(cu),
+                "custdist": pa.array(cc.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        both.groupby("_b")
+        .map_groups(lambda t: hist(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # <= num_buckets x |distinct counts| partial rows
+    )
+    if parts.empty:
+        return pd.DataFrame({"c_count": pd.Series(dtype=np.int64),
+                             "custdist": pd.Series(dtype=np.int64)})
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def cust_order_dist_sql() -> str:
+    """DuckDB replay of tpch_cust_order_dist (Q13 LEFT-join two-level
+    aggregation)."""
+    return (
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey) GROUP BY c_count"
+    )
