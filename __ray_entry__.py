@@ -393,6 +393,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q13: histogram-of-aggregates (second GROUP BY over a first
         # keyed aggregate's VALUE, zero-order customers kept — LEFT shape)
         "tpch_cust_order_dist": relational.tpch_cust_order_dist,
+        # per-language Simpson diversity: exact second moment of the
+        # (lang, word) count table — the hash-checkable concentration
+        # signal (entropy needs logs; the second moment doesn't)
+        "doc_simpson_diversity": docqc.doc_simpson_diversity,
+        # TPC-H Q17: correlated-AVG scalar subquery decorrelated to a
+        # join-back INEQUALITY gate (integer cross-multiply, exact cents)
+        "tpch_small_qty_revenue": relational.tpch_small_qty_revenue,
     }
 
 
@@ -588,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": events.streaks_sql(),
         # doc_compression_ratio: intentionally no SQL twin (rows-only)
         "tpch_cust_order_dist": relational.cust_order_dist_sql(),
+        "doc_simpson_diversity": docqc.simpson_sql(),
+        "tpch_small_qty_revenue": relational.small_qty_revenue_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1123,3 +1123,35 @@ def test_doc_compression_ratio(ray_session, tmp_path):
         assert eng.loc[i, "ratio_milli"] == (1000 * len(zlib.compress(b, 6))) // max(len(b), 1)
     # the repetitive doc compresses far better than the short natural one
     assert eng.loc[0, "ratio_milli"] < eng.loc[1, "ratio_milli"]
+
+
+def test_doc_simpson_diversity(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.docqc import doc_simpson_diversity, simpson_sql
+
+    # planted: en has counts {a:3, b:1} -> num = 3*2 + 0 = 6, N = 4;
+    # fr has {x:2, y:2} -> num = 2 + 2 = 4, N = 4
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a a b", "a", "x y  x y"]),
+        "lang": pa.array(["en", "en", "fr"]),
+        "source": pa.array(["s"] * 3),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = to_pandas(doc_simpson_diversity(str(d))).set_index("lang")
+    assert eng.loc["en"].to_dict() == {"simpson_num": 6, "n_tokens": 4}
+    assert eng.loc["fr"].to_dict() == {"simpson_num": 4, "n_tokens": 4}
+
+    # real corpus vs the second-moment twin
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_simpson_diversity(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(simpson_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

@@ -1049,3 +1049,43 @@ def test_tpch_cust_order_dist(ray_session, tmp_path):
     ora = con.sql(cust_order_dist_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_small_qty_revenue(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.relational import (
+        small_qty_revenue_sql,
+        tpch_small_qty_revenue,
+    )
+
+    # planted: part 1 has qty {1, 10, 10} -> avg 7, 0.2*avg = 1.4: the
+    # qty-1 line (price 5.00) passes; part 2 has one line (qty == avg,
+    # never < 0.2*avg) -> dropped
+    line = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "l_suppkey": pa.array([0] * 4, type=pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1], type=pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 4.0]),
+        "l_extendedprice": pa.array([5.0, 100.0, 100.0, 40.0]),
+        "l_discount": pa.array([0.0] * 4),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["N"] * 4),
+        "l_linestatus": pa.array(["O"] * 4),
+        "l_shipdate": pa.array(np.array(["1996-02-05"] * 4, dtype="datetime64[us]")),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(line, d / "lineitem.parquet")
+    eng = to_pandas(tpch_small_qty_revenue(str(d)))
+    assert eng.iloc[0].to_dict() == {"revenue_cents": 500, "n_lines": 1}
+
+    # real corpus vs the decorrelated-AVG twin
+    eng = to_pandas(tpch_small_qty_revenue(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(small_qty_revenue_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

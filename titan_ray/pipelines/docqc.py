@@ -3646,3 +3646,105 @@ def doc_compression_ratio(sf_dir: str, level: int = 6):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_simpson_diversity(sf_dir: str, num_buckets: int = 64):
+    """(lang, simpson_num, n_tokens): per-language vocabulary concentration
+    as EXACT integer moments — Simpson's index numerator sum_w c_w*(c_w-1)
+    and the token total (the index itself is num / (N*(N-1)); emitting the
+    integer pieces keeps the oracle bit-exact, the OLS/variance
+    convention). Low num/N^2 = diverse vocabulary, high = a few words
+    dominate — a corpus-health signal the entropy op approximates but
+    cannot hash-check (logs); the second moment CAN.
+
+    Scale shape: the top_words combiner (per-batch (lang, word) dictionary
+    counts — per-batch DISTINCT words cross the wire, not tokens) + ONE
+    word-hash-bucket exchange; each (lang, word)'s global count finishes
+    inside its bucket (the second moment is NOT associative over partial
+    counts, so the moment is taken only after the per-bucket sum), and
+    buckets emit |langs| partial rows. Driver merges <= B x |langs| rows.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(langs)), np.diff(offs))
+        values = lst.values
+        keep = pc.not_equal(values, "").fill_null(False)
+        km = keep.to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(values.filter(keep))
+        widx = np.asarray(enc.indices, dtype=np.int64)
+        lu, lcode = np.unique(langs, return_inverse=True)
+        lrow = lcode[row_of[km]]
+        nv = len(enc.dictionary)
+        comb = lrow * nv + widx
+        cnt = np.bincount(comb, minlength=len(lu) * nv)
+        nz = np.flatnonzero(cnt)
+        words = enc.dictionary.take(pa.array(nz % nv))
+        # deterministic cross-process hash (Python hash() is per-process
+        # seeded and would split a word across buckets)
+        wh = pd.util.hash_array(np.asarray(words.to_pylist(), dtype=object))
+        return pa.table(
+            {
+                "lang": pa.array(lu[nz // nv], type=pa.string()),
+                "word": words,
+                "n": pa.array(cnt[nz].astype(np.int64)),
+                "_b": pa.array((wh % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def moments(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "word"]).aggregate([("n", "sum")])
+        lang = np.asarray(g["lang"].to_pandas(), dtype=object)
+        c = g["n_sum"].to_numpy(zero_copy_only=False)
+        assert c.max(initial=0) < 3_037_000_499, "simpson second moment overflow"
+        lu, inv = np.unique(lang, return_inverse=True)
+        # EXACT int64 accumulation (bincount weights are float64 and lose
+        # exactness above 2^53); int(sum) of the python-object path would
+        # be exact but slow — np.add.at on int64 is both
+        num = np.zeros(len(lu), dtype=np.int64)
+        tot = np.zeros(len(lu), dtype=np.int64)
+        np.add.at(num, inv, c * (c - 1))
+        np.add.at(tot, inv, c)
+        return pa.table(
+            {
+                "lang": pa.array(lu, type=pa.string()),
+                "simpson_num": pa.array(num),
+                "n_tokens": pa.array(tot),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: moments(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # <= num_buckets x |langs| rows
+    )
+    if parts.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "simpson_num": pd.Series(dtype=np.int64),
+                             "n_tokens": pd.Series(dtype=np.int64)})
+    out = parts.groupby("lang", as_index=False)[["simpson_num", "n_tokens"]].sum()
+    out["simpson_num"] = out["simpson_num"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def simpson_sql() -> str:
+    """DuckDB replay of doc_simpson_diversity (exact second moment of the
+    per-(lang, word) count table)."""
+    return (
+        r"WITH w AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS word "
+        "FROM documents), "
+        "c AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word) "
+        "SELECT lang, CAST(sum(c*(c-1)) AS BIGINT) AS simpson_num, "
+        "CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY lang"
+    )

@@ -834,3 +834,102 @@ def cust_order_dist_sql() -> str:
         "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_custkey) GROUP BY c_count"
     )
+
+
+def tpch_small_qty_revenue(sf_dir: str, num_buckets: int = 64):
+    """(revenue_cents, n_lines): total extended price (exact cents) and
+    count of lineitems whose quantity is BELOW 20% of their part's average
+    quantity — the TPC-H Q17 correlated-AVG-subquery shape: a scalar
+    aggregate per key joined back as an INEQUALITY gate on the detail rows
+    (tpch_min_cost_supplier decorrelates a correlated MIN with an equality
+    join-back; the mean gate needs the integer cross-multiply qty*5*n <
+    sum to stay float-free: qty < 0.2 * sum/n  <=>  5*qty*n < sum).
+
+    Scale shape: pass 1 per-batch (partkey, n, sum_qty_centi) partials +
+    detail rows (partkey, qty_centi, price_cents) co-partition by
+    partkey % B in ONE exchange; each bucket finishes its parts' global
+    (n, sum), gates its detail rows vectorized, and emits ONE partial
+    (revenue, count) row — the driver merges B rows.
+    """
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def sides(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = _cents(batch["l_quantity"])     # centi-units, exact
+        price = _cents(batch["l_extendedprice"])
+        u, inv = np.unique(pk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sq = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        agg = pa.table(
+            {
+                "partkey": pa.array(u),
+                "a": pa.array(n),          # count partial
+                "b": pa.array(sq),         # sum-qty partial
+                "side": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "_b": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+        det = pa.table(
+            {
+                "partkey": pa.array(pk),
+                "a": pa.array(qty),        # detail qty
+                "b": pa.array(price),      # detail price
+                "side": pa.array(np.ones(len(pk), dtype=np.int8)),
+                "_b": pa.array((pk % num_buckets).astype(np.int32)),
+            }
+        )
+        return pa.concat_tables([agg, det])
+
+    def gate(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        pk = t["partkey"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        agg = side == 0
+        u, inv = np.unique(pk, return_inverse=True)
+        n = np.zeros(len(u), dtype=np.int64)
+        sq = np.zeros(len(u), dtype=np.int64)
+        np.add.at(n, inv[agg], a[agg])
+        np.add.at(sq, inv[agg], b[agg])
+        det = ~agg
+        di = inv[det]
+        qty, price = a[det], b[det]
+        assert qty.max(initial=0) * 5 * n.max(initial=0) < 2**62, "q17 cross-multiply overflow"
+        keep = qty * 5 * n[di] < sq[di]
+        return pa.table(
+            {
+                "revenue_cents": pa.array([int(price[keep].sum())]),
+                "n_lines": pa.array([int(keep.sum())]),
+            }
+        )
+
+    parts = (
+        line.map_batches(sides, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: gate(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()   # num_buckets rows
+    )
+    return pd.DataFrame(
+        {
+            "revenue_cents": pd.Series([int(parts["revenue_cents"].sum())], dtype=np.int64),
+            "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype=np.int64),
+        }
+    )
+
+
+def small_qty_revenue_sql() -> str:
+    """DuckDB replay of tpch_small_qty_revenue (decorrelated AVG gate,
+    integer cross-multiply, exact cents)."""
+    return (
+        "WITH a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, "
+        "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq "
+        "FROM lineitem GROUP BY l_partkey) "
+        "SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))"
+        ", 0) AS BIGINT) AS revenue_cents, CAST(count(*) AS BIGINT) AS n_lines "
+        "FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey "
+        "WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * a.n < a.sq"
+    )
