@@ -400,6 +400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q17: correlated-AVG scalar subquery decorrelated to a
         # join-back INEQUALITY gate (integer cross-multiply, exact cents)
         "tpch_small_qty_revenue": relational.tpch_small_qty_revenue,
+        # order-insensitive whole-corpus content checksum (migration
+        # validation): sum mod 2^64 of per-doc FNV byte chains, the
+        # sequential chain vectorized as a polynomial in M
+        "corpus_checksum": docqc.corpus_checksum,
     }
 
 
@@ -597,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_cust_order_dist": relational.cust_order_dist_sql(),
         "doc_simpson_diversity": docqc.simpson_sql(),
         "tpch_small_qty_revenue": relational.small_qty_revenue_sql(),
+        "corpus_checksum": docqc.corpus_checksum_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1155,3 +1155,62 @@ def test_doc_simpson_diversity(ray_session, tmp_path):
     ora = con.sql(simpson_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_corpus_checksum(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.docqc import corpus_checksum, corpus_checksum_sql
+
+    OFF, M, T = 1469598103934665603, 1099511628211, 1 << 64
+
+    def chain(s: str) -> int:
+        h = OFF
+        for b in s.encode():
+            h = (h * M + b) % T
+        return h
+
+    # planted: the vectorized polynomial == the sequential chain; empty doc
+    # hashes to OFF; the total is order-insensitive (sum mod 2^64)
+    texts = ["abc", "", "hello world", "abc"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = to_pandas(corpus_checksum(str(d)))
+    want = sum(chain(s) for s in texts) % T
+    want = want - T if want >= (1 << 63) else want
+    assert eng.iloc[0].to_dict() == {"n_docs": 4, "checksum": want}
+    assert chain("") == OFF
+
+    # real corpus vs the recursive-CTE polynomial twin
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(corpus_checksum(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(corpus_checksum_sql()).df()
+    assert len(eng) == len(ora) == 1
+    assert value_hash(eng) == value_hash(ora)
+
+    # the invariance that makes it a migration validator: a shuffled copy
+    # of the same corpus checksums identically
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(texts))
+    t2 = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array([texts[i] for i in perm]),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pq.write_table(t2, d2 / "documents.parquet")
+    eng2 = to_pandas(corpus_checksum(str(d2)))
+    assert eng2.iloc[0]["checksum"] == want

@@ -3748,3 +3748,104 @@ def simpson_sql() -> str:
         "SELECT lang, CAST(sum(c*(c-1)) AS BIGINT) AS simpson_num, "
         "CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY lang"
     )
+
+
+FNV_OFF = np.uint64(1469598103934665603)
+FNV_M = np.uint64(1099511628211)
+
+
+def corpus_checksum(sf_dir: str):
+    """(n_docs, checksum): an ORDER-INSENSITIVE whole-corpus content
+    checksum — the sum mod 2^64 of each document's byte-chain hash
+    h_0 = OFF, h_{i+1} = h_i * M + b_i (the winnowing/simhash FNV chain,
+    whole-doc length) — the migration-validation primitive: two pipelines
+    (or two copies of a corpus, or pre/post a rewrite that must be a
+    no-op) agree iff (n_docs, checksum) agree, with no sort, no pairwise
+    compare, and one 16-byte partial per batch crossing the wire.
+
+    The sequential chain vectorizes as a polynomial: h(doc) =
+    OFF*M^n + sum_i b_i * M^(n-1-i) (mod 2^64 via native uint64 wrap), so
+    the kernel is one power-table gather + one reduceat per batch — no
+    per-byte Python. The SQL twin builds M^k with a recursive CTE and
+    replays the same polynomial per position (ASCII corpora: substring ==
+    byte, the winnow_sql convention).
+
+    Scale shape: embarrassingly parallel per-batch partials, a single
+    one-row driver merge. Zero shuffles.
+    """
+    import pandas as pd
+
+    from ..functions.strings import string_view
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        data, offsets, valid = string_view(texts)
+        offsets = offsets.astype(np.int64)
+        n = (offsets[1:] - offsets[:-1])
+        max_n = int(n.max(initial=0))
+        pw = np.empty(max_n + 1, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        for k in range(1, max_n + 1):        # max-doc-len iterations, not rows
+            pw[k] = pw[k - 1] * FNV_M
+        # exponent of byte at global index g in doc d: (end_d - 1) - g
+        ends = np.repeat(offsets[1:], n)
+        with np.errstate(over="ignore"):
+            contrib = data.astype(np.uint64) * pw[ends - 1 - np.arange(len(data), dtype=np.int64)]
+            starts = offsets[:-1]
+            per_doc = np.zeros(len(n), dtype=np.uint64)
+            nz = n > 0
+            sums = np.add.reduceat(contrib, starts[nz]) if nz.any() else np.array([], dtype=np.uint64)
+            per_doc[nz] = sums
+            per_doc += pw[n] * FNV_OFF       # the OFF * M^n head term
+            per_doc[~valid] = np.uint64(0)   # nulls contribute nothing
+        return pa.table(
+            {
+                "checksum_part": pa.array([int(per_doc.sum(dtype=np.uint64))], type=pa.uint64()),
+                "n_docs": pa.array([int(valid.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = 0
+    for v in parts["checksum_part"].to_numpy(dtype=np.uint64):
+        total = (total + int(v)) % (1 << 64)
+    signed = total - (1 << 64) if total >= (1 << 63) else total
+    return pd.DataFrame({"n_docs": pd.Series([int(parts["n_docs"].sum())], dtype=np.int64),
+                         "checksum": pd.Series([signed], dtype=np.int64)})
+
+
+def corpus_checksum_sql() -> str:
+    """DuckDB replay of corpus_checksum: recursive-CTE power table M^k mod
+    2^64, per-position polynomial terms, HUGEINT mod-2^64 sums, signed
+    BIGINT two's-complement mapping (the simhash_sql convention)."""
+    T = 1 << 64
+    M = 1099511628211
+    OFF = 1469598103934665603
+    return (
+        "WITH RECURSIVE pw(k, v) AS ("
+        "SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT k + 1, (v * {M}) % {T} FROM pw "
+        "WHERE k < (SELECT COALESCE(max(strlen(text)), 0) FROM documents)), "
+        "pos AS (SELECT doc_id, text, strlen(text) AS n, "
+        "unnest(generate_series(1, strlen(text))) AS p FROM documents "
+        "WHERE text IS NOT NULL), "
+        "terms AS (SELECT pos.doc_id, "
+        "(CAST(ascii(substring(pos.text, p, 1)) AS HUGEINT) * pw.v) % "
+        f"{T} AS t FROM pos JOIN pw ON pw.k = pos.n - pos.p), "
+        "heads AS (SELECT d.doc_id, "
+        f"(CAST({OFF} AS HUGEINT) * pw.v) % {T} AS h "
+        "FROM documents d JOIN pw ON pw.k = strlen(d.text) "
+        "WHERE d.text IS NOT NULL), "
+        f"tsum AS (SELECT doc_id, sum(t) % {T} AS st FROM terms GROUP BY doc_id), "
+        "per_doc AS (SELECT h.doc_id, "
+        f"(h.h + COALESCE(s.st, 0)) % {T} AS hd "
+        "FROM heads h LEFT JOIN tsum s ON s.doc_id = h.doc_id), "
+        f"tot AS (SELECT sum(hd) % {T} AS u, count(*) AS n FROM per_doc) "
+        "SELECT CAST(n AS BIGINT) AS n_docs, "
+        f"CAST(CASE WHEN u >= {1 << 63} THEN u - {T} ELSE u END AS BIGINT) AS checksum "
+        "FROM tot"
+    )
