@@ -1089,3 +1089,14 @@ def test_tpch_small_qty_revenue(ray_session, tmp_path):
     ora = con.sql(small_qty_revenue_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_small_qty_revenue_paths_identical(ray_session):
+    """Broadcast and co-partition paths agree bit-for-bit (lowered cap
+    forces the fallback)."""
+    from tools.check_contract import to_pandas
+    from titan_ray.pipelines.relational import tpch_small_qty_revenue
+
+    a = to_pandas(tpch_small_qty_revenue(SF))
+    b = to_pandas(tpch_small_qty_revenue(SF, max_broadcast_parts=1))
+    assert a.iloc[0].to_dict() == b.iloc[0].to_dict()

@@ -836,7 +836,11 @@ def cust_order_dist_sql() -> str:
     )
 
 
-def tpch_small_qty_revenue(sf_dir: str, num_buckets: int = 64):
+MAX_Q17_BROADCAST_PARTS = 5_000_000
+
+
+def tpch_small_qty_revenue(sf_dir: str, num_buckets: int = 64,
+                           max_broadcast_parts: int = MAX_Q17_BROADCAST_PARTS):
     """(revenue_cents, n_lines): total extended price (exact cents) and
     count of lineitems whose quantity is BELOW 20% of their part's average
     quantity — the TPC-H Q17 correlated-AVG-subquery shape: a scalar
@@ -845,58 +849,127 @@ def tpch_small_qty_revenue(sf_dir: str, num_buckets: int = 64):
     join-back; the mean gate needs the integer cross-multiply qty*5*n <
     sum to stay float-free: qty < 0.2 * sum/n  <=>  5*qty*n < sum).
 
-    Scale shape: pass 1 per-batch (partkey, n, sum_qty_centi) partials +
-    detail rows (partkey, qty_centi, price_cents) co-partition by
-    partkey % B in ONE exchange; each bucket finishes its parts' global
-    (n, sum), gates its detail rows vectorized, and emits ONE partial
-    (revenue, count) row — the driver merges B rows.
+    Scale shape: ONLY the vocabulary-sized aggregate crosses the wire —
+    per-batch (partkey, n, sum_qty_centi) partials (per-batch DISTINCT
+    partkeys, not lines) merge in one partkey-bucket exchange; the part
+    table is then COUNTED: at or below ``max_broadcast_parts`` it
+    broadcasts (sorted arrays + searchsorted) and the 6x-larger detail
+    stream is gated STATELESSLY with no shuffle at all; above the bound
+    both sides co-partition by partkey % B (the dedup_broadcast counted-
+    fallback pattern — both paths bit-identical, unit-tested at a lowered
+    cap). Driver merges B one-row partials either way.
     """
+    import logging
+
+    import ray
+
     line = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
 
-    def sides(batch: pa.Table) -> pa.Table:
+    def agg_partial(batch: pa.Table) -> pa.Table:
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
         qty = _cents(batch["l_quantity"])     # centi-units, exact
-        price = _cents(batch["l_extendedprice"])
         u, inv = np.unique(pk, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
         sq = np.zeros(len(u), dtype=np.int64)
         np.add.at(sq, inv, qty)
-        agg = pa.table(
+        return pa.table(
             {
                 "partkey": pa.array(u),
-                "a": pa.array(n),          # count partial
-                "b": pa.array(sq),         # sum-qty partial
-                "side": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "n": pa.array(n),
+                "sq": pa.array(sq),
                 "_b": pa.array((u % num_buckets).astype(np.int32)),
             }
         )
-        det = pa.table(
+
+    def merge_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("partkey").aggregate([("n", "sum"), ("sq", "sum")])
+        return pa.table({"partkey": g["partkey"], "n": g["n_sum"], "sq": g["sq_sum"]})
+
+    agg_ds = (
+        # batch_size=None => whole-block batches: the combiner collapses a
+        # block's lines to its DISTINCT parts (Ray's 1024-row default would
+        # emit ~one partial row per line, nullifying the pre-aggregation)
+        line.map_batches(agg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(lambda t: merge_agg(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .materialize()   # vocabulary-sized: distinct parts, not lines
+    )
+
+    def final(parts: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_cents": pd.Series([int(parts["revenue_cents"].sum())], dtype=np.int64),
+                "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype=np.int64),
+            }
+        )
+
+    if agg_ds.count() <= max_broadcast_parts:
+        adf = agg_ds.to_pandas()
+        pk_s = adf["partkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(pk_s, kind="stable")
+        ref = ray.put((pk_s[order], adf["n"].to_numpy(dtype=np.int64)[order],
+                       adf["sq"].to_numpy(dtype=np.int64)[order]))
+
+        def gate_stream(batch: pa.Table) -> pa.Table:
+            keys, n, sq = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = _cents(batch["l_quantity"])
+            price = _cents(batch["l_extendedprice"])
+            i = np.searchsorted(keys, pk)   # every line's part exists
+            assert qty.max(initial=0) * 5 * n.max(initial=0) < 2**62, "q17 cross-multiply overflow"
+            keep = qty * 5 * n[i] < sq[i]
+            return pa.table(
+                {
+                    "revenue_cents": pa.array([int(price[keep].sum())]),
+                    "n_lines": pa.array([int(keep.sum())]),
+                }
+            )
+
+        return final(line.map_batches(gate_stream, batch_format="pyarrow").to_pandas())
+
+    logging.getLogger("titan_ray.relational").warning(
+        "q17: %d distinct parts exceed the broadcast bound %d -> "
+        "co-partition fallback", agg_ds.count(), max_broadcast_parts)
+
+    def det_side(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "partkey": pa.array(pk),
-                "a": pa.array(qty),        # detail qty
-                "b": pa.array(price),      # detail price
+                "n": pa.array(_cents(batch["l_quantity"])),       # qty slot
+                "sq": pa.array(_cents(batch["l_extendedprice"])),  # price slot
                 "side": pa.array(np.ones(len(pk), dtype=np.int8)),
                 "_b": pa.array((pk % num_buckets).astype(np.int32)),
             }
         )
-        return pa.concat_tables([agg, det])
+
+    def agg_side(batch: pa.Table) -> pa.Table:
+        pk = batch["partkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        ).append_column("_b", pa.array((pk % num_buckets).astype(np.int32)))
+
+    both = agg_ds.map_batches(agg_side, batch_format="pyarrow").union(
+        line.map_batches(det_side, batch_format="pyarrow")
+    )
 
     def gate(t: pa.Table) -> pa.Table:
         side = t["side"].to_numpy(zero_copy_only=False)
         pk = t["partkey"].to_numpy(zero_copy_only=False)
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
+        a = t["n"].to_numpy(zero_copy_only=False)
+        b = t["sq"].to_numpy(zero_copy_only=False)
         agg = side == 0
-        u, inv = np.unique(pk, return_inverse=True)
+        u = np.unique(pk[agg])
+        pos = np.searchsorted(u, pk)
         n = np.zeros(len(u), dtype=np.int64)
         sq = np.zeros(len(u), dtype=np.int64)
-        np.add.at(n, inv[agg], a[agg])
-        np.add.at(sq, inv[agg], b[agg])
+        n[pos[agg]] = a[agg]
+        sq[pos[agg]] = b[agg]
         det = ~agg
-        di = inv[det]
+        di = pos[det]
         qty, price = a[det], b[det]
         assert qty.max(initial=0) * 5 * n.max(initial=0) < 2**62, "q17 cross-multiply overflow"
         keep = qty * 5 * n[di] < sq[di]
@@ -908,17 +981,11 @@ def tpch_small_qty_revenue(sf_dir: str, num_buckets: int = 64):
         )
 
     parts = (
-        line.map_batches(sides, batch_format="pyarrow")
-        .groupby("_b")
+        both.groupby("_b")
         .map_groups(lambda t: gate(t.drop_columns(["_b"])), batch_format="pyarrow")
         .to_pandas()   # num_buckets rows
     )
-    return pd.DataFrame(
-        {
-            "revenue_cents": pd.Series([int(parts["revenue_cents"].sum())], dtype=np.int64),
-            "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype=np.int64),
-        }
-    )
+    return final(parts)
 
 
 def small_qty_revenue_sql() -> str:

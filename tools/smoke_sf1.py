@@ -150,6 +150,14 @@ def main() -> None:
         # simhash Hamming-ball pairs (band-bucket exchange + pair dedup)
         "events_interval_coverage": events.events_interval_coverage,
         "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
+        # closing batch: islands, semi-join, Q13/Q17, second moment, checksum
+        "events_streaks": events.events_streaks,
+        "tpch_order_priority": relational.tpch_order_priority,
+        "tpch_cust_order_dist": relational.tpch_cust_order_dist,
+        "tpch_small_qty_revenue": relational.tpch_small_qty_revenue,
+        "doc_simpson_diversity": docqc.doc_simpson_diversity,
+        "doc_compression_ratio": docqc.doc_compression_ratio,
+        "corpus_checksum": docqc.corpus_checksum,
     }
     only = set(sys.argv[1:])
     if only:
