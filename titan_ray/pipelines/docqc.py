@@ -3789,8 +3789,9 @@ def corpus_checksum(sf_dir: str):
         max_n = int(n.max(initial=0))
         pw = np.empty(max_n + 1, dtype=np.uint64)
         pw[0] = np.uint64(1)
-        for k in range(1, max_n + 1):        # max-doc-len iterations, not rows
-            pw[k] = pw[k - 1] * FNV_M
+        with np.errstate(over="ignore"):     # wraparound mod 2**64 is the hash
+            for k in range(1, max_n + 1):    # max-doc-len iterations, not rows
+                pw[k] = pw[k - 1] * FNV_M
         # exponent of byte at global index g in doc d: (end_d - 1) - g
         ends = np.repeat(offsets[1:], n)
         with np.errstate(over="ignore"):
