@@ -404,6 +404,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # validation): sum mod 2^64 of per-doc FNV byte chains, the
         # sequential chain vectorized as a polynomial in M
         "corpus_checksum": docqc.corpus_checksum,
+        # shared-scan multi-target selection: |groups| x |quantiles| exact
+        # order statistics refined by the SAME streaming passes
+        "events_value_quartiles": events.events_value_quartiles,
+        # dependent selection: median absolute deviation — the second
+        # selection's transform is a function of the first's result
+        "events_value_mad": events.events_value_mad,
     }
 
 
@@ -602,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simpson_diversity": docqc.simpson_sql(),
         "tpch_small_qty_revenue": relational.small_qty_revenue_sql(),
         "corpus_checksum": docqc.corpus_checksum_sql(),
+        "events_value_quartiles": events.value_quartiles_sql(),
+        "events_value_mad": events.value_mad_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

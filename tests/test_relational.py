@@ -1100,3 +1100,41 @@ def test_tpch_small_qty_revenue_paths_identical(ray_session):
     a = to_pandas(tpch_small_qty_revenue(SF))
     b = to_pandas(tpch_small_qty_revenue(SF, max_broadcast_parts=1))
     assert a.iloc[0].to_dict() == b.iloc[0].to_dict()
+
+
+def test_events_value_quartiles(ray_session):
+    """Shared-scan multi-target selection: per-group p25/p50/p75/p95 match
+    DuckDB quantile_disc, and a tiny num_bins forces multiple shared
+    refinement passes without changing the exact answers."""
+    from tools.check_contract import value_hash
+    from titan_ray.pipelines.events import (
+        events_value_quartiles,
+        value_quartiles_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    eng = events_value_quartiles(SF)
+    ora = con.sql(value_quartiles_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+    # tiny bins -> many passes, same exact result (allow the deeper walk)
+    tight = events_value_quartiles(SF, num_bins=4, max_passes=32)
+    assert tight.reset_index(drop=True).values.tolist() == \
+        eng.reset_index(drop=True).values.tolist()
+
+
+def test_events_value_mad(ray_session):
+    """Dependent selection: exact MAD matches the DuckDB quantile_disc
+    pair, including the driver-held scalar handoff between stages."""
+    from tools.check_contract import value_hash
+    from titan_ray.pipelines.events import events_value_mad, value_mad_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    eng = events_value_mad(SF)
+    ora = con.sql(value_mad_sql()).df()
+    assert value_hash(eng) == value_hash(ora)
+    # MAD is a genuine second stage: it differs from the plain median
+    row = eng.iloc[0]
+    assert row["mad_vm"] != row["median_vm"]

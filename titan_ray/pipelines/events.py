@@ -1939,3 +1939,236 @@ def streaks_sql() -> str:
         "SELECT *, row_number() OVER (PARTITION BY user_id "
         "ORDER BY len DESC, pos) AS r FROM runs) WHERE r = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared-scan multi-selection and dependent selection — two compositions of
+# the distributed-selection machine events_value_median introduced:
+#   * events_value_quartiles: K exact order statistics PER GROUP, all
+#     brackets refined inside the SAME streaming pass (one scan serves
+#     |groups| x |quantiles| selections, instead of one scan each);
+#   * events_value_mad: the median absolute deviation — a SECOND selection
+#     whose value transform depends on the FIRST selection's result
+#     (nested order statistics; not expressible as one histogram pass).
+# Reference analog: the per-provider admissible bands in titan.r are
+# quantile cuts over each provider's value stream — at scale that is
+# exactly the grouped multi-quantile shape.
+# ---------------------------------------------------------------------------
+
+
+def _rank_from_hist(agg, rank: int, lo: int, width: int):
+    """Walk a merged (bin -> count) histogram (bin -1 = below-bracket) and
+    return the sub-bracket [lo', hi'] containing the 1-based target rank."""
+    below = int(agg.get(-1, 0))
+    t = rank - below
+    cum = 0
+    for b in sorted(k for k in agg.index if k >= 0):
+        cum += int(agg[b])
+        if cum >= t:
+            return lo + int(b) * width, lo + (int(b) + 1) * width - 1
+    raise AssertionError("rank outside bracket")  # pragma: no cover
+
+
+def events_value_quartiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95),
+                           num_bins: int = 256, max_passes: int = 8):
+    """One row per event_type: count plus the EXACT p25/p50/p75/p95 of the
+    integer-milli value (quantile_disc rule sorted[ceil(q*n)-1]).
+
+    Machine class: SHARED-SCAN multi-target selection. Every still-open
+    (group, quantile) bracket is refined by the SAME map_batches pass —
+    each batch emits, per target, a below-bracket count plus <=256 in-
+    bracket bin counts keyed by target id; the driver merges the tiny
+    (tid, bin) table and re-brackets all targets at once. Passes are
+    bounded by the WIDEST bracket (ceil(log_256(range)) + 1), not by the
+    number of targets, so |groups| x |quantiles| exact quantiles cost the
+    same number of corpus scans as ONE median. Nothing data-sized reaches
+    the driver: pass partials are <= targets x 257 rows per batch."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def extent_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+        vm = _vm(batch)
+        types, codes = np.unique(et, return_inverse=True)
+        lo = np.full(len(types), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(types), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, codes, vm)
+        np.maximum.at(hi, codes, vm)
+        n = np.bincount(codes, minlength=len(types)).astype(np.int64)
+        return pa.table({"g": pa.array(types, type=pa.string()),
+                         "lo": pa.array(lo), "hi": pa.array(hi),
+                         "n": pa.array(n)})
+
+    ext = ds.map_batches(extent_partial, batch_format="pyarrow").to_pandas()
+    if ext.empty:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)}
+        for q in qs:
+            cols[f"p{int(q * 100)}_vm"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(cols)
+    gext = ext.groupby("g").agg(lo=("lo", "min"), hi=("hi", "max"),
+                                n=("n", "sum"))
+
+    # one target per (group, quantile): [g, q, rank, lo, hi, result]
+    targets = []
+    for g, row in gext.iterrows():
+        for q in qs:
+            rank = max(1, int(np.ceil(q * int(row["n"]))))
+            targets.append({"g": g, "q": q, "rank": rank,
+                            "lo": int(row["lo"]), "hi": int(row["hi"]),
+                            "done": None})
+
+    def hist_pass(open_targets):
+        """ONE scan refining every open target; spec is a tiny broadcast
+        (|groups| x |quantiles| entries) captured in the task closure."""
+        spec = [(t["g"], t["lo"], t["hi"],
+                 (t["hi"] - t["lo"]) // num_bins + 1) for t in open_targets]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+            vm = _vm(batch)
+            tids, bins, cnts = [], [], []
+            for tid, (g, lo_, hi_, width) in enumerate(spec):
+                gv = vm[et == g]
+                below = np.int64((gv < lo_).sum())
+                sel = gv[(gv >= lo_) & (gv <= hi_)]
+                cnt = np.bincount((sel - lo_) // width).astype(np.int64)
+                nz = np.nonzero(cnt)[0]
+                b = np.concatenate([[-1], nz]).astype(np.int64)
+                c = np.concatenate([[below], cnt[nz]]).astype(np.int64)
+                keep = c != 0
+                tids.append(np.full(int(keep.sum()), tid, dtype=np.int64))
+                bins.append(b[keep])
+                cnts.append(c[keep])
+            if not tids:
+                return pa.table({"tid": pa.array([], type=pa.int64()),
+                                 "bin": pa.array([], type=pa.int64()),
+                                 "cnt": pa.array([], type=pa.int64())})
+            return pa.table({"tid": pa.array(np.concatenate(tids)),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return parts.groupby(["tid", "bin"])["cnt"].sum(), spec
+
+    # refine until every bracket fits in one width-1 histogram (<= num_bins
+    # values), so the closing pass pins all targets exactly in one scan
+    passes = 0
+    while True:
+        open_t = [t for t in targets
+                  if t["done"] is None and t["hi"] - t["lo"] + 1 > num_bins]
+        if not open_t:
+            break
+        assert passes < max_passes, "selection brackets failed to converge"
+        agg, spec = hist_pass(open_t)
+        for tid, t in enumerate(open_t):
+            lo2, hi2 = _rank_from_hist(agg.loc[tid], t["rank"],
+                                       spec[tid][1], spec[tid][3])
+            t["lo"], t["hi"] = lo2, min(t["hi"], hi2)
+        passes += 1
+
+    # final exact pass: every bracket <= num_bins wide -> width 1 for all
+    open_t = [t for t in targets if t["done"] is None]
+    if open_t:
+        agg, spec = hist_pass(open_t)
+        for tid, t in enumerate(open_t):
+            lo2, _ = _rank_from_hist(agg.loc[tid], t["rank"],
+                                     spec[tid][1], spec[tid][3])
+            t["done"] = lo2
+
+    rows = {}
+    for t in targets:
+        r = rows.setdefault(t["g"], {"event_type": t["g"],
+                                     "n": np.int64(gext.loc[t["g"], "n"])})
+        r[f"p{int(t['q'] * 100)}_vm"] = np.int64(t["done"])
+    return pd.DataFrame(sorted(rows.values(), key=lambda r: r["event_type"]))
+
+
+def value_quartiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
+    """DuckDB replay of events_value_quartiles."""
+    cols = ", ".join(
+        f"quantile_disc(vm, {q}) AS p{int(q * 100)}_vm" for q in qs)
+    return (
+        "SELECT event_type, count(*) AS n, " + cols +
+        " FROM (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS vm "
+        "FROM events) GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def events_value_mad(sf_dir: str, num_bins: int = 256,
+                     exact_below: int = 4096, max_passes: int = 8):
+    """(n, median_vm, mad_vm): the exact median absolute deviation of the
+    integer-milli event value — median over |vm - median(vm)|.
+
+    Machine class: DEPENDENT selection — the second selection's value
+    transform (absolute deviation) is a function of the first selection's
+    RESULT, so the two cannot share a scan; this is the minimal form of
+    iterative statistics (trimmed/winsorized moments, Tukey fences) where
+    each stage re-streams the corpus under a driver-held scalar from the
+    previous stage. Both stages are the bounded-pass histogram-refinement
+    selection (passes = ceil(log_256(range)) + 1 each); the only state
+    carried between them is ONE int64."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def select_rank(transform, q: float):
+        def extent(batch: pa.Table) -> pa.Table:
+            x = transform(_vm(batch))
+            if len(x) == 0:
+                return pa.table({"lo": pa.array([], type=pa.int64()),
+                                 "hi": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64())})
+            return pa.table({"lo": pa.array([int(x.min())]),
+                             "hi": pa.array([int(x.max())]),
+                             "n": pa.array([np.int64(len(x))])})
+
+        ext = ds.map_batches(extent, batch_format="pyarrow").to_pandas()
+        n = int(ext["n"].sum())
+        if n == 0:
+            return 0, 0
+        lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+        rank = max(1, int(np.ceil(q * n)))
+
+        def hist(lo_, hi_, width):
+            def partial(batch: pa.Table) -> pa.Table:
+                x = transform(_vm(batch))
+                below = np.int64((x < lo_).sum())
+                sel = x[(x >= lo_) & (x <= hi_)]
+                cnt = np.bincount((sel - lo_) // width).astype(np.int64)
+                nz = np.nonzero(cnt)[0]
+                b = np.concatenate([[-1], nz]).astype(np.int64)
+                c = np.concatenate([[below], cnt[nz]]).astype(np.int64)
+                keep = c != 0
+                return pa.table({"bin": pa.array(b[keep]),
+                                 "cnt": pa.array(c[keep])})
+
+            parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            return parts.groupby("bin")["cnt"].sum()
+
+        passes = 0
+        while hi - lo + 1 > exact_below:
+            assert passes < max_passes, "selection bracket failed to converge"
+            width = (hi - lo) // num_bins + 1
+            lo, hi2 = _rank_from_hist(hist(lo, hi, width), rank, lo, width)
+            hi = min(hi, hi2)
+            passes += 1
+        med, _ = _rank_from_hist(hist(lo, hi, 1), rank, lo, 1)
+        return n, med
+
+    n, med = select_rank(lambda vm: vm, 0.5)
+    _, mad = select_rank(lambda vm: np.abs(vm - med), 0.5)
+    return pd.DataFrame([{"n": np.int64(n), "median_vm": np.int64(med),
+                          "mad_vm": np.int64(mad)}])
+
+
+def value_mad_sql() -> str:
+    """DuckDB replay of events_value_mad (dependent quantile_disc pair)."""
+    return (
+        "WITH v AS (SELECT CAST(round(value*1000) AS BIGINT) AS vm "
+        "FROM events), m AS (SELECT quantile_disc(vm, 0.5) AS med FROM v) "
+        "SELECT count(*) AS n, max(m.med) AS median_vm, "
+        "quantile_disc(abs(v.vm - m.med), 0.5) AS mad_vm FROM v, m"
+    )
