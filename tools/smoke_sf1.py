@@ -158,6 +158,10 @@ def main() -> None:
         "doc_simpson_diversity": docqc.doc_simpson_diversity,
         "doc_compression_ratio": docqc.doc_compression_ratio,
         "corpus_checksum": docqc.corpus_checksum,
+        # final: shared-scan multi-selection + dependent selection — driver
+        # state is (targets x 257)-sized histograms, must stay flat at 10x
+        "events_value_quartiles": events.events_value_quartiles,
+        "events_value_mad": events.events_value_mad,
     }
     only = set(sys.argv[1:])
     if only:
