@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dependent selection: median absolute deviation — the second
         # selection's transform is a function of the first's result
         "events_value_mad": events.events_value_mad,
+        # CUSUM drift detector: non-associative max-clipped recurrence
+        # linearized exactly via prefix extremes (cumsum + cummin)
+        "events_cusum_alarms": events.events_cusum_alarms,
     }
 
 
@@ -610,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_checksum": docqc.corpus_checksum_sql(),
         "events_value_quartiles": events.value_quartiles_sql(),
         "events_value_mad": events.value_mad_sql(),
+        "events_cusum_alarms": events.cusum_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

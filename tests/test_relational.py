@@ -1138,3 +1138,39 @@ def test_events_value_mad(ray_session):
     # MAD is a genuine second stage: it differs from the plain median
     row = eng.iloc[0]
     assert row["mad_vm"] != row["median_vm"]
+
+
+def test_events_cusum_alarms(ray_session, tmp_path):
+    """CUSUM recurrence: planted drift run matches the direct max-clipped
+    recursion (linearization correctness), then SQL parity on the corpus."""
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.events import cusum_sql, events_cusum_alarms
+
+    # planted: k=1.0, h=2.5 — direct recurrence gives S =
+    # [0, 2000, 4000, 3200, 2400, 5400] (the max(0,·) clip binds at t=1)
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 50, 60], type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, type=pa.int64()),
+        "event_type": pa.array(["x"] * 6),
+        "value": pa.array([0.5, 3.0, 3.0, 0.2, 0.2, 4.0]),
+        "props": pa.array([""] * 6),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_cusum_alarms(str(d), k_milli=1000, h_milli=2500)).set_index("event_id")
+    assert eng["s_milli"].to_dict() == {0: 0, 1: 2000, 2: 4000, 3: 3200, 4: 2400, 5: 5400}
+    assert eng["is_alarm"].to_dict() == {0: False, 1: False, 2: True, 3: True, 4: False, 5: True}
+
+    # real corpus vs the stacked-window twin (default k/h)
+    eng = to_pandas(events_cusum_alarms(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(cusum_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+    # the clip and the alarm must both actually bind on the corpus
+    assert (eng["s_milli"] == 0).any() and eng["is_alarm"].any()

@@ -2172,3 +2172,102 @@ def value_mad_sql() -> str:
         "SELECT count(*) AS n, max(m.med) AS median_vm, "
         "quantile_disc(abs(v.vm - m.med), 0.5) AS mad_vm FROM v, m"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint / drift detection (the sequential-recurrence class)
+# ---------------------------------------------------------------------------
+
+CUSUM_K_MILLI = 60_000    # drift allowance (60.0, above the corpus mean ~49.6)
+CUSUM_H_MILLI = 300_000   # alarm threshold on the accumulated excess (300.0)
+
+
+def events_cusum_alarms(sf_dir: str, k_milli: int = CUSUM_K_MILLI,
+                        h_milli: int = CUSUM_H_MILLI, num_buckets: int = 64):
+    """(event_id, user_id, s_milli, is_alarm): the one-sided CUSUM drift
+    statistic S_t = max(0, S_{t-1} + vm_t - k) per user in (ts, event_id)
+    order, alarming when the accumulated excess over the drift allowance k
+    crosses h — the classic sequential changepoint detector (Page 1954),
+    i.e. the streaming analog of the reference's persistent-bias screen
+    (sct_resistant.r's chi-vs-expected accumulation recast per stream).
+
+    Machine class the surface lacked: a NON-ASSOCIATIVE sequential
+    recurrence (max-clipped accumulation) — neither a window frame
+    aggregate nor a plain prefix sum expresses it directly. It LINEARIZES
+    exactly via prefix extremes: with c_t = sum_{j<=t}(vm_j - k),
+    S_t = c_t - min(0, min_{j<=t} c_j), so the kernel is one grouped
+    cumsum plus one grouped cummin — both whole-bucket vectorized.
+
+    Scale shape: one user-bucket exchange; inside a bucket a single
+    lexsort then two C-vectorized grouped scans; no per-user loop, no
+    driver state. Exact int64 milli arithmetic -> the nested-window SQL
+    twin hash-matches bit-for-bit."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "y": pa.array(vm - k_milli),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "s_milli": pa.array([], type=pa.int64()),
+                             "is_alarm": pa.array([], type=pa.bool_())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tsc = t["ts"]
+        if isinstance(tsc, pa.ChunkedArray):
+            tsc = tsc.combine_chunks()
+        ts = tsc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, y_s = uid[order], y[order]
+        csum = np.cumsum(y_s)
+        new_u = np.r_[True, u_s[1:] != u_s[:-1]]
+        base = np.where(new_u, csum - y_s, 0)
+        base = base[np.flatnonzero(new_u)][np.cumsum(new_u) - 1]
+        c = csum - base                      # per-user prefix sum of (vm - k)
+        gmin = pd.Series(c).groupby(pd.Series(u_s), sort=False).cummin().to_numpy()
+        s = c - np.minimum(gmin, 0)          # S_t = c_t - min(0, min prefix c)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u_s),
+                "s_milli": pa.array(s.astype(np.int64)),
+                "is_alarm": pa.array(s > h_milli),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def cusum_sql(k_milli: int = CUSUM_K_MILLI, h_milli: int = CUSUM_H_MILLI) -> str:
+    """DuckDB replay of events_cusum_alarms: the same linearization as two
+    stacked window passes (prefix sum, then prefix min of that sum)."""
+    return (
+        "WITH d AS (SELECT event_id, user_id, ts, "
+        f"CAST(floor(value * 1000) AS BIGINT) - {k_milli} AS y FROM events), "
+        "c AS (SELECT event_id, user_id, ts, "
+        "sum(y) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM d), "
+        "s AS (SELECT event_id, user_id, c - least(0, "
+        "min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM c) "
+        f"SELECT event_id, user_id, CAST(s AS BIGINT) AS s_milli, s > {h_milli} AS is_alarm FROM s"
+    )
