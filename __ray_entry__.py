@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUSUM drift detector: non-associative max-clipped recurrence
         # linearized exactly via prefix extremes (cumsum + cummin)
         "events_cusum_alarms": events.events_cusum_alarms,
+        # sparse ALL-PAIRS tf-cosine via term-partitioned partial dot
+        # products (inverted-index / DIMSUM shape; exact integer gate)
+        "doc_cosine_pairs": docqc.doc_cosine_pairs,
     }
 
 
@@ -614,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quartiles": events.value_quartiles_sql(),
         "events_value_mad": events.value_mad_sql(),
         "events_cusum_alarms": events.cusum_sql(),
+        "doc_cosine_pairs": docqc.cosine_pairs_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1214,3 +1214,36 @@ def test_corpus_checksum(ray_session, tmp_path):
     pq.write_table(t2, d2 / "documents.parquet")
     eng2 = to_pandas(corpus_checksum(str(d2)))
     assert eng2.iloc[0]["checksum"] == want
+
+
+def test_doc_cosine_pairs(ray_session, tmp_path):
+    """Sparse all-pairs tf cosine: planted exact-duplicate pair found at
+    cos2_e6 = 1e6, a 0.64-cosine pair gated out; the df prune kills the
+    whole similarity when every word is hot; SQL parity on the corpus."""
+    import pyarrow.parquet as pq
+
+    from tools.check_contract import to_pandas, value_hash
+    from titan_ray.pipelines.docqc import cosine_pairs_sql, doc_cosine_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a a b", "a a b", "a b b"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([5, 5, 5], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = to_pandas(doc_cosine_pairs(str(d)))
+    assert eng[["doc_a", "doc_b", "dot", "cos2_e6"]].values.tolist() == [[0, 1, 5, 1_000_000]]
+    # every word hot under max_df=1 -> pruned on BOTH sides -> empty
+    assert len(to_pandas(doc_cosine_pairs(str(d), max_df=1))) == 0
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_cosine_pairs(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(cosine_pairs_sql()).df()
+    assert len(eng) == len(ora) and len(eng) > 0
+    assert value_hash(eng) == value_hash(ora)

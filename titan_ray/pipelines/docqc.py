@@ -3850,3 +3850,206 @@ def corpus_checksum_sql() -> str:
         f"CAST(CASE WHEN u >= {1 << 63} THEN u - {T} ELSE u END AS BIGINT) AS checksum "
         "FROM tot"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse all-pairs cosine similarity (the inverted-index / DIMSUM class)
+# ---------------------------------------------------------------------------
+# All document pairs whose TERM-FREQUENCY vectors are near-parallel — the
+# exact sparse-vector analog of embedding_neardup (dense) and the verified
+# complement of minhash (set-based): tf-weighted, so burstiness counts.
+# The dot products are assembled TERM-AT-A-TIME inside word buckets
+# (Zadeh & Goel's DIMSUM / classic inverted-index all-pairs shape): each
+# word contributes f_a*f_b partials only for the docs that contain it, so
+# work is sum_w C(df_w, 2) — bounded per word by the hot-word prune — and
+# nothing doc-pair-dense ever materializes for the (overwhelming) majority
+# of pairs that share no vocabulary.
+
+COS_TAU2_E6 = 980_000   # keep pairs with cos^2 >= 0.98  (cos >= ~0.98995)
+COS_MAX_DF = 100_000    # hot-word prune: words in more docs than this are
+                        # dropped from the similarity (the DIMSUM dampening
+                        # analog, exact + SQL-mirrored; no-op at gate scale)
+
+
+def doc_cosine_pairs(sf_dir: str, tau2_e6: int = COS_TAU2_E6,
+                     max_df: int = COS_MAX_DF, num_buckets: int = 64):
+    """(doc_a, doc_b, dot, cos2_e6): unordered doc pairs with
+    cos^2(tf_a, tf_b) >= tau2_e6/1e6 over df-pruned word tf vectors,
+    cos2_e6 = floor(1e6 * dot^2 / (|a|^2 |b|^2)) — EXACT integer math,
+    no sqrt, so the SQL twin hash-matches bit-for-bit.
+
+    Machine class the surface lacked: sparse ALL-PAIRS similarity via
+    term-partitioned partial dot products. Reference analog: the SCT's
+    'too mutually consistent' station-pair screen (sct_resistant.r)
+    recast as content-vector parallelism.
+
+    Scale shape: ONE text pass emits batch-final (word-hash, doc, f)
+    triples (each doc lives in one row, so tf is final at the map);
+    one word-bucket exchange computes df, prunes hot words (counted +
+    logged), and expands per-word triu pair partials bounded by
+    C(max_df, 2); one pair-bucket exchange collapses partials to final
+    dots; norms ride the same bucket stream as kind-0 rows; the two
+    norm attachments are stages.joins.hash_join exchanges over the
+    PAIR-sized (not corpus-sized) stream. Words are 64-bit FNV hashes;
+    the SQL twin joins literal strings (collision -> visible mismatch,
+    doc_vocab_size convention)."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        h, rid = _word_gram_hashes(texts, 1)
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "f": pa.array([], pa.int64()),
+                          "_b": pa.array([], pa.int32())})
+        if len(h) == 0:
+            return empty
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)[rid]
+        hs = h.view(np.int64)
+        order = np.lexsort((did, hs))
+        hs, did = hs[order], did[order]
+        new = np.r_[True, (hs[1:] != hs[:-1]) | (did[1:] != did[:-1])]
+        starts = np.flatnonzero(new)
+        f = np.diff(np.r_[starts, len(hs)]).astype(np.int64)
+        uh, ud = hs[starts], did[starts]
+        return pa.table(
+            {
+                "h": pa.array(uh),
+                "doc_id": pa.array(ud),
+                "f": pa.array(f),
+                "_b": pa.array(((uh % num_buckets + num_buckets) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def word_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.int8()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "_b2": pa.array([], pa.int32())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        f = t["f"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h, doc, f = h[order], doc[order], f[order]
+        new = np.r_[True, h[1:] != h[:-1]]
+        starts = np.flatnonzero(np.r_[new, True])
+        df = np.diff(starts)
+        hot = df > max_df
+        if hot.any():
+            logging.getLogger("titan_ray.docqc").warning(
+                "cosine_pairs: %d words above max_df=%d pruned from the "
+                "similarity (SQL twin applies the same HAVING bound)",
+                int(hot.sum()), max_df)
+        kept_rows = np.repeat(~hot, df)
+        out_a = [doc[kept_rows]]                      # kind-0: norm partials
+        out_b = [np.full(int(kept_rows.sum()), -1, dtype=np.int64)]
+        out_v = [f[kept_rows] * f[kept_rows]]
+        for i in range(len(df)):                      # vocab-sized loop, not row-sized
+            if hot[i] or df[i] < 2:
+                continue
+            lo, m = starts[i], int(df[i])
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(doc[lo + ia])                # doc ids sorted within run -> a < b
+            out_b.append(doc[lo + ib])
+            out_v.append(f[lo + ia] * f[lo + ib])
+        kind = np.concatenate([np.zeros(len(out_a[0]), dtype=np.int8)]
+                              + [np.ones(len(x), dtype=np.int8) for x in out_a[1:]])
+        a = np.concatenate(out_a); b = np.concatenate(out_b); v = np.concatenate(out_v)
+        b2 = ((a * 2654435761 + b * 40503) % num_buckets + num_buckets) % num_buckets
+        return pa.table({"kind": pa.array(kind), "a": pa.array(a), "b": pa.array(b),
+                         "v": pa.array(v.astype(np.int64)),
+                         "_b2": pa.array(b2.astype(np.int32))})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int8()), "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, kind))
+        kind, a, b, v = kind[order], a[order], b[order], v[order]
+        new = np.r_[True, (kind[1:] != kind[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(v, starts)
+        return pa.table({"kind": pa.array(kind[starts]), "a": pa.array(a[starts]),
+                         "b": pa.array(b[starts]), "v": pa.array(sums.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: word_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(lambda t: pair_bucket(t.drop_columns(["_b2"])), batch_format="pyarrow")
+        .materialize()                                # pair-sized, reused by both splits
+    )
+    if agg.schema() is None or agg.count() == 0:      # everything df-pruned
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "dot": pa.array([], pa.int64()),
+                         "cos2_e6": pa.array([], pa.int64())})
+
+    def norms_only(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.equal(t["kind"], 0))
+        return pa.table({"doc_a": x["a"], "n2": x["v"]})
+
+    def dots_only(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.equal(t["kind"], 1))
+        return pa.table({"doc_a": x["a"], "doc_b": x["b"], "dot": x["v"]})
+
+    norms = agg.map_batches(norms_only, batch_format="pyarrow")
+    dots = agg.map_batches(dots_only, batch_format="pyarrow")
+    j1 = hash_join(dots, norms, "doc_a", ("n2",)).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "dot", "n2a"]), batch_format="pyarrow")
+    norms_b = norms.map_batches(
+        lambda t: t.rename_columns(["doc_b", "n2"]), batch_format="pyarrow")
+    j2 = hash_join(j1, norms_b, "doc_b", ("n2",))
+
+    def gate(t: pa.Table) -> pa.Table:
+        dot = t["dot"].to_numpy(zero_copy_only=False)
+        na = t["n2a"].to_numpy(zero_copy_only=False)
+        nb = t["r_n2"].to_numpy(zero_copy_only=False)
+        if len(dot):
+            # promote to Python int: np.int64 * 1e6 wraps silently
+            assert 1_000_000 * int(dot.max()) ** 2 < 2**63, "cos scale overflow"
+            assert tau2_e6 * int(na.max()) * int(nb.max()) < 2**63, "cos gate overflow"
+        num = 1_000_000 * dot * dot
+        den = na * nb
+        keep = num >= tau2_e6 * den
+        return pa.table({"doc_a": t["doc_a"].take(pa.array(np.flatnonzero(keep))),
+                         "doc_b": t["doc_b"].take(pa.array(np.flatnonzero(keep))),
+                         "dot": pa.array(dot[keep]),
+                         "cos2_e6": pa.array((num[keep] // den[keep]).astype(np.int64))})
+
+    return j2.map_batches(gate, batch_format="pyarrow")
+
+
+def cosine_pairs_sql(tau2_e6: int = COS_TAU2_E6, max_df: int = COS_MAX_DF) -> str:
+    """DuckDB replay of doc_cosine_pairs: literal-word inverted-index
+    self-join with the identical df prune and integer cross-multiplied
+    threshold (HUGEINT, same floor)."""
+    return (
+        r"WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, w, count(*) AS f FROM t GROUP BY 1, 2), "
+        f"keep AS (SELECT w FROM tf GROUP BY w HAVING count(*) <= {max_df}), "
+        "tf2 AS (SELECT tf.* FROM tf JOIN keep USING (w)), "
+        "nrm AS (SELECT doc_id, sum(f*f) AS n2 FROM tf2 GROUP BY doc_id), "
+        "dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.f*b.f) AS dot "
+        "FROM tf2 a JOIN tf2 b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot, "
+        "CAST((1000000 * CAST(dot AS HUGEINT) * dot) // (na.n2 * nb.n2) AS BIGINT) AS cos2_e6 "
+        "FROM dot JOIN nrm na ON na.doc_id = dot.doc_a "
+        "JOIN nrm nb ON nb.doc_id = dot.doc_b "
+        f"WHERE 1000000 * CAST(dot AS HUGEINT) * dot >= {tau2_e6} * na.n2 * nb.n2"
+    )
