@@ -416,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sparse ALL-PAIRS tf-cosine via term-partitioned partial dot
         # products (inverted-index / DIMSUM shape; exact integer gate)
         "doc_cosine_pairs": docqc.doc_cosine_pairs,
+        # rank-transform statistic: Spearman rho per language via
+        # histogram-CDF min-ranks + exact integer Pearson moments
+        "doc_spearman": docqc.doc_spearman,
     }
 
 
@@ -618,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_mad": events.value_mad_sql(),
         "events_cusum_alarms": events.cusum_sql(),
         "doc_cosine_pairs": docqc.cosine_pairs_sql(),
+        "doc_spearman": docqc.spearman_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1247,3 +1247,38 @@ def test_doc_cosine_pairs(ray_session, tmp_path):
     ora = con.sql(cosine_pairs_sql()).df()
     assert len(eng) == len(ora) and len(eng) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_spearman(ray_session, tmp_path):
+    """Rank-transform statistic: a perfectly monotone lang gives rho=1.0,
+    an anti-monotone one rho=-1.0 (tie-free closed form), then SQL parity
+    on the corpus including min-rank tie semantics."""
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_spearman, spearman_sql
+    from tools.check_contract import value_hash
+
+    # en: longer text <-> more tokens (monotone); fr: the word count FALLS
+    # as byte length rises (padding with one ever-longer token)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["a", "a b", "a b c",
+                          "w w w", "www ww", "wwwwwww"]),
+        "lang": pa.array(["en", "en", "en", "fr", "fr", "fr"]),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([1, 3, 5, 5, 5, 7], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = doc_spearman(str(d)).set_index("lang")
+    assert eng.loc["en", "rho"] == 1.0
+    assert eng.loc["fr", "rho"] == -1.0
+
+    SF = "/root/testdata/sf0.001"
+    eng = doc_spearman(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(spearman_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

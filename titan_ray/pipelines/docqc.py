@@ -4053,3 +4053,136 @@ def cosine_pairs_sql(tau2_e6: int = COS_TAU2_E6, max_df: int = COS_MAX_DF) -> st
         "JOIN nrm nb ON nb.doc_id = dot.doc_b "
         f"WHERE 1000000 * CAST(dot AS HUGEINT) * dot >= {tau2_e6} * na.n2 * nb.n2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (the rank-transform statistic class)
+# ---------------------------------------------------------------------------
+
+def doc_spearman(sf_dir: str):
+    """(lang, n_docs, rho): Spearman rank correlation between text length
+    and token count per language — Pearson over MIN-RANK (SQL rank())
+    transforms of both columns, the scale-free monotone-association
+    signal behind quality-feature sanity dashboards (reference analog:
+    the dim-vs-value consistency screens of test_titan_ta_sct.r recast
+    rank-wise).
+
+    Machine class the surface lacked: the RANK TRANSFORM as an input to
+    a downstream aggregate. Ranking never sorts the data: both columns
+    are bounded small ints, so per-(lang, value) histograms (the
+    doc_length_percentile machinery, one per column) reduce 10^12 rows
+    to vocabulary-sized tables whose exclusive prefix sums ARE rank-1;
+    a stateless second pass looks ranks up via searchsorted and emits
+    six exact-int64 moment partials per (lang, batch). The driver sees
+    |langs| rows of moments and finishes the Pearson algebra in
+    arbitrary-precision Python ints; the only float is the final
+    round(num / sqrt(denx*deny), 6), IEEE-identical to the HUGEINT->
+    DOUBLE twin. Per-lang count bound: sum(rank^2) <= n^3 must fit
+    int64 (n < ~2.1M per lang per the assert; beyond that the partials
+    need the corpus_checksum two-limb trick)."""
+    import pandas as pd
+    import ray
+
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["lang", "text"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        lang_codes, lang_uniq = pd.factorize(batch["lang"].to_pandas())
+        x = _chars(batch).astype(np.int64)
+        y = token_count(batch["text"].combine_chunks()).astype(np.int64)
+        out_k, out_l, out_v, out_c = [], [], [], []
+        for kind, col in ((0, x), (1, y)):
+            # per (lang, value) counts without a per-lang loop
+            stack = np.stack([lang_codes.astype(np.int64), col])
+            uniq, cnt = np.unique(stack, axis=1, return_counts=True)
+            out_k.append(np.full(uniq.shape[1], kind, dtype=np.int8))
+            out_l.append(uniq[0])
+            out_v.append(uniq[1])
+            out_c.append(cnt.astype(np.int64))
+        langs = pa.array(lang_uniq, type=pa.string())
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(out_k)),
+                "lang": langs.take(pa.array(np.concatenate(out_l))),
+                "val": pa.array(np.concatenate(out_v)),
+                "cnt": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["kind", "lang", "val"]).sum("cnt")
+        .to_pandas()    # <= 2 x |langs| x distinct-values rows, never data rows
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values(["kind", "lang", "val"])
+    )
+    lut: dict[tuple[int, str], tuple[np.ndarray, np.ndarray]] = {}
+    max_n = 0
+    for (kind, lang), g in hist.groupby(["kind", "lang"], sort=False):
+        vals = g["val"].to_numpy()
+        below = np.concatenate([[0], g["cnt"].cumsum().to_numpy()[:-1]])
+        lut[(int(kind), lang)] = (vals, below)
+        max_n = max(max_n, int(g["cnt"].sum()))
+    assert max_n ** 3 < 2**63, "spearman rank-moment overflow (two-limb partials needed)"
+    ref = ray.put(lut)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lut_ = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        lang = batch["lang"].to_pandas().to_numpy(dtype=object)
+        x = _chars(batch).astype(np.int64)
+        y = token_count(batch["text"].combine_chunks()).astype(np.int64)
+        codes, uniq = pd.factorize(lang)
+        rows = {"lang": [], "n": [], "sx": [], "sy": [], "sxx": [], "syy": [], "sxy": []}
+        for li, lv in enumerate(uniq):          # |langs|-sized loop, not row-sized
+            m = codes == li
+            vx, bx = lut_[(0, lv)]
+            vy, by = lut_[(1, lv)]
+            rx = bx[np.searchsorted(vx, x[m])] + 1   # min-rank == SQL rank()
+            ry = by[np.searchsorted(vy, y[m])] + 1
+            rows["lang"].append(lv)
+            rows["n"].append(np.int64(m.sum()))
+            rows["sx"].append(rx.sum()); rows["sy"].append(ry.sum())
+            rows["sxx"].append((rx * rx).sum()); rows["syy"].append((ry * ry).sum())
+            rows["sxy"].append((rx * ry).sum())
+        return pa.table({k: pa.array(v if k == "lang" else np.asarray(v, dtype=np.int64),
+                                     type=pa.string() if k == "lang" else pa.int64())
+                         for k, v in rows.items()})
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+        .to_pandas()    # |langs| rows
+    )
+    out = []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r["sum(n)"]), int(r["sum(sx)"]), int(r["sum(sy)"])
+        sxx, syy, sxy = int(r["sum(sxx)"]), int(r["sum(syy)"]), int(r["sum(sxy)"])
+        num = n * sxy - sx * sy                 # exact Python-int algebra
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        rho = float(round_half_away(np.float64(num / np.sqrt(float(den))), 6))
+        out.append({"lang": r["lang"], "n_docs": np.int64(n), "rho": rho})
+    return pd.DataFrame(out)
+
+
+def spearman_sql() -> str:
+    """DuckDB replay of doc_spearman: rank() windows then the identical
+    HUGEINT Pearson algebra with one final double division."""
+    tok = _TOKEN_PATTERN
+    return (
+        "WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS x, "
+        f"CAST(length(regexp_extract_all(text, '{tok}')) AS BIGINT) AS y FROM documents), "
+        "r AS (SELECT lang, "
+        "CAST(rank() OVER (PARTITION BY lang ORDER BY x) AS BIGINT) AS rx, "
+        "CAST(rank() OVER (PARTITION BY lang ORDER BY y) AS BIGINT) AS ry FROM v), "
+        "m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy, "
+        "CAST(sum(rx*rx) AS HUGEINT) AS sxx, CAST(sum(ry*ry) AS HUGEINT) AS syy, "
+        "CAST(sum(rx*ry) AS HUGEINT) AS sxy FROM r GROUP BY lang) "
+        "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+        "round(CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)), 6) AS rho FROM m"
+    )
