@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-transform statistic: Spearman rho per language via
         # histogram-CDF min-ranks + exact integer Pearson moments
         "doc_spearman": docqc.doc_spearman,
+        # distributed d x d Gram moment + exact-integer power iteration
+        # (PCA's core); unrolled MATERIALIZED HUGEINT CTE twin
+        "embedding_power_iteration": cluster.embedding_power_iteration,
     }
 
 
@@ -622,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum_alarms": events.cusum_sql(),
         "doc_cosine_pairs": docqc.cosine_pairs_sql(),
         "doc_spearman": docqc.spearman_sql(),
+        "embedding_power_iteration": cluster.power_iteration_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -247,3 +247,51 @@ def test_ann_topk_ivfpq_parity(ray_session):
         ora.astype(eng.dtypes.to_dict())
     )
     assert eng["vec_id"].iloc[0] == 0
+
+
+def test_embedding_power_iteration(ray_session, tmp_path):
+    """Distributed Gram + integer power iteration: an axis-aligned planted
+    set converges to the axis in one step; corpus parity vs the unrolled
+    HUGEINT CTE twin; the integer vector tracks numpy's float eigensolve."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.cluster import (
+        embedding_power_iteration,
+        power_iteration_sql,
+        quantize,
+    )
+    from tools.check_contract import value_hash
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [2.0, 0.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0], type=pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    eng = embedding_power_iteration(str(d))
+    assert eng["v_scaled"].tolist() == [1_000_000, 0]
+
+    sf = "/root/testdata/sf0.001"
+    eng = embedding_power_iteration(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(power_iteration_sql()).df()
+    assert len(eng) == len(ora) == 64
+    assert value_hash(eng) == value_hash(ora)
+
+    # sanity vs float linear algebra: cos(angle) to numpy's top eigenvector
+    emb = np.stack(pd.read_parquet(f"{sf}/embeddings.parquet")["embedding"].to_numpy())
+    g = quantize(emb).astype(np.float64)
+    gram = g.T @ g
+    _, vecs = np.linalg.eigh(gram)
+    top = vecs[:, -1]
+    mine = eng["v_scaled"].to_numpy().astype(np.float64)
+    cos = abs(mine @ top) / (np.linalg.norm(mine) * np.linalg.norm(top))
+    assert cos > 0.999
