@@ -422,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed d x d Gram moment + exact-integer power iteration
         # (PCA's core); unrolled MATERIALIZED HUGEINT CTE twin
         "embedding_power_iteration": cluster.embedding_power_iteration,
+        # exact DBSCAN (density clustering): eps-graph per-batch matmul,
+        # core/border/noise labels, dedup_clusters component machinery
+        "embedding_dbscan": cluster.embedding_dbscan,
     }
 
 
@@ -626,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cosine_pairs": docqc.cosine_pairs_sql(),
         "doc_spearman": docqc.spearman_sql(),
         "embedding_power_iteration": cluster.power_iteration_sql(),
+        "embedding_dbscan": cluster.dbscan_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -295,3 +295,42 @@ def test_embedding_power_iteration(ray_session, tmp_path):
     mine = eng["v_scaled"].to_numpy().astype(np.float64)
     cos = abs(mine @ top) / (np.linalg.norm(mine) * np.linalg.norm(top))
     assert cos > 0.999
+
+
+def test_embedding_dbscan(ray_session, tmp_path):
+    """Exact DBSCAN: planted core-triangle + border + noise geometry gets
+    the textbook labels; corpus parity vs the recursive-CTE closure twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.cluster import dbscan_sql, embedding_dbscan
+    from tools.check_contract import to_pandas, value_hash
+
+    # quantized coords (x32768, rounded): p0..p2 a mutually-eps core
+    # triangle, p3 within eps of p1 only (border), p4 far away (noise)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [0.001, 0.0], [0.0, 0.001],
+                               [0.002, 0.0], [0.5, 0.5]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 5, type=pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    eng = to_pandas(embedding_dbscan(str(d), eps2=2500, min_pts=3)).set_index("vec_id")
+    assert eng["label"].to_dict() == {0: 0, 1: 0, 2: 0, 3: 0, 4: -1}
+    assert eng["is_core"].to_dict() == {0: True, 1: True, 2: True, 3: False, 4: False}
+
+    sf = "/root/testdata/sf0.001"
+    eng = to_pandas(embedding_dbscan(sf))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(dbscan_sql()).df()
+    assert len(eng) == len(ora) == 500
+    assert value_hash(eng) == value_hash(ora)
+    # the density structure is non-trivial at the default eps: clusters,
+    # borders and noise all present
+    assert (eng["label"] >= 0).any() and (eng["label"] == -1).any()
+    assert eng["is_core"].any()

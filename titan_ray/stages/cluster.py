@@ -730,3 +730,135 @@ def power_iteration_sql(iters: int = POWER_ITERS) -> str:
         )
     return (", ".join(parts)
             + f" SELECT j AS dim, CAST(val AS BIGINT) AS v_scaled FROM v{iters}")
+
+
+# ---------------------------------------------------------------------------
+# Exact DBSCAN over embeddings (the density-clustering class)
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS2 = 1_400_000_000  # squared eps on 2^15-quantized coords (~0.2% pair density)
+DBSCAN_MINPTS = 3            # core = self + >= 2 eps-neighbours
+
+
+def embedding_dbscan(sf_dir: str, eps2: int = DBSCAN_EPS2, min_pts: int = DBSCAN_MINPTS):
+    """(vec_id, label, is_core): exact DBSCAN — core points (>= min_pts
+    rows incl. self within sqrt(eps2) quantized Euclidean), clusters =
+    connected components of core points under eps-adjacency labelled by
+    their MIN vec_id, borders adopt the MIN label among their core
+    neighbours, noise = -1. The density-clustering machine class: unlike
+    kmeans (global Voronoi) or semantic_dedup (within-cell prune) it has
+    no fixed k and discovers arbitrary-shape clusters.
+
+    Scale shape: the eps-graph is built exactly like embedding_neardup's
+    exact path — the quantized matrix broadcast once (ray.put), each batch
+    emits its own adjacency rows from one int64 matmul (the documented
+    scale path swaps the broadcast for LSH/IVF blocking); per-row core
+    decisions are batch-local-final. The edge list is the SMALL side by
+    the eps-sparsity premise of DBSCAN itself: components reuse the
+    dedup_clusters machinery — driver union-find under MAX_CLUSTER_PAIRS,
+    distributed min-label propagation above it. The final labelling is a
+    stateless broadcast pass; nothing data-sized sits on the driver beyond
+    the counted edge list. Exact int64 distances -> the recursive-CTE
+    transitive-closure twin hash-matches bit-for-bit."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from .neardup import MAX_CLUSTER_PAIRS, _clusters_labelprop, _clusters_unionfind
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    col = t["embedding"].combine_chunks()
+    X = quantize(col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1))
+    all_ids = t["vec_id"].to_numpy()
+    rr = np.einsum("ij,ij->i", X, X)
+    ref = ray.put((all_ids, X, rr))
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids_r, xr, rr_ = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        xb = quantize(_batch_embeddings(batch))
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        qq = np.einsum("ij,ij->i", xb, xb)
+        d2 = qq[:, None] + rr_[None, :] - 2 * (xb @ xr.T)
+        m = (d2 <= eps2) & (bid[:, None] != ids_r[None, :])
+        ai, bj = np.nonzero(m)
+        return pa.table({"a": pa.array(bid[ai].astype(np.int64)),
+                         "b": pa.array(ids_r[bj].astype(np.int64))})
+
+    # directed adjacency, each row's own edges — the small side by premise
+    edf = ds.map_batches(edges, batch_format="pyarrow").to_pandas()
+    a = edf["a"].to_numpy()
+    b = edf["b"].to_numpy()
+    nodes, deg = (np.unique(a, return_counts=True) if len(a)
+                  else (np.empty(0, np.int64), np.empty(0, np.int64)))
+    core_ids = nodes[deg >= min_pts - 1]
+    core_set = np.sort(core_ids)
+    a_core = np.isin(a, core_set)
+    b_core = np.isin(b, core_set)
+    cc = edf[a_core & b_core & (a < b)].rename(columns={"a": "doc_a", "b": "doc_b"})
+    comp = (_clusters_unionfind(cc) if len(cc) <= MAX_CLUSTER_PAIRS
+            else _clusters_labelprop(cc)).to_pandas()
+    lbl = dict(zip(comp["doc_id"].astype(int), comp["cluster_id"].astype(int)))
+    for v in core_ids:                       # isolated cores: singleton clusters
+        lbl.setdefault(int(v), int(v))
+    # borders: min core-neighbour label (noise stays -1)
+    bm = (~a_core) & b_core
+    if bm.any():
+        bl = pd.DataFrame({"v": a[bm], "l": [lbl[int(x)] for x in b[bm]]})
+        for v, l in bl.groupby("v")["l"].min().items():
+            lbl[int(v)] = int(l)
+    vs = np.sort(np.fromiter(lbl.keys(), dtype=np.int64, count=len(lbl)))
+    ls = np.asarray([lbl[int(v)] for v in vs], dtype=np.int64)
+    out_ref = ray.put((vs, ls, core_set))
+
+    def label(batch: pa.Table) -> pa.Table:
+        vs_, ls_, core_ = ray.get(out_ref) if isinstance(out_ref, ray.ObjectRef) else out_ref
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+
+        def lookup(keys: np.ndarray, vals: np.ndarray | None, miss: int) -> tuple[np.ndarray, np.ndarray]:
+            if len(keys) == 0:
+                z = np.zeros(len(ids), bool)
+                return np.full(len(ids), miss, dtype=np.int64), z
+            pos = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            hit = keys[pos] == ids
+            out = np.where(hit, vals[pos] if vals is not None else 0, miss)
+            return out.astype(np.int64), hit
+
+        lab, _ = lookup(vs_, ls_, -1)
+        _, isc = lookup(core_, None, 0)
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "label": pa.array(lab),
+                         "is_core": pa.array(isc)})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def dbscan_sql(eps2: int = DBSCAN_EPS2, min_pts: int = DBSCAN_MINPTS) -> str:
+    """DuckDB replay of embedding_dbscan: exact quantized eps-graph via a
+    subscript self-join, recursive-CTE transitive closure over core-core
+    edges (the dedup_clusters twin pattern), min-label border adoption."""
+    return (
+        "WITH RECURSIVE q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        f"CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS xq "
+        "FROM embeddings), "
+        "d AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb FROM q a "
+        "JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id "
+        f"GROUP BY 1, 2 HAVING sum((a.xq - b.xq) * (a.xq - b.xq)) <= {eps2}), "
+        f"core AS MATERIALIZED (SELECT va AS v FROM d GROUP BY va HAVING count(*) + 1 >= {min_pts}), "
+        "ce AS MATERIALIZED (SELECT va AS a, vb AS b FROM d "
+        "WHERE va IN (SELECT v FROM core) AND vb IN (SELECT v FROM core)), "
+        "reach AS (SELECT a, b FROM ce "
+        "UNION SELECT r.a, s.b FROM reach r JOIN ce s ON s.a = r.b), "
+        "node AS (SELECT v AS a, v AS b FROM core UNION SELECT a, b FROM reach), "
+        "lbl AS (SELECT a AS v, min(b) AS lbl FROM node GROUP BY a), "
+        "border AS (SELECT d.va AS v, min(l.lbl) AS lbl FROM d "
+        "JOIN lbl l ON l.v = d.vb "
+        "WHERE d.va NOT IN (SELECT v FROM core) GROUP BY d.va) "
+        "SELECT e.vec_id, "
+        "CAST(coalesce(cl.lbl, bl.lbl, -1) AS BIGINT) AS label, "
+        "(cl.v IS NOT NULL) AS is_core "
+        "FROM (SELECT DISTINCT vec_id FROM embeddings) e "
+        "LEFT JOIN lbl cl ON cl.v = e.vec_id "
+        "LEFT JOIN border bl ON bl.v = e.vec_id"
+    )
