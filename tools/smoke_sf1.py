@@ -162,6 +162,19 @@ def main() -> None:
         # state is (targets x 257)-sized histograms, must stay flat at 10x
         "events_value_quartiles": events.events_value_quartiles,
         "events_value_mad": events.events_value_mad,
+        # continuation batch: CUSUM recurrence (two grouped scans per
+        # bucket), rank-transform Spearman (histogram-CDF driver state),
+        # Gram power iteration (2,080-row driver matrix). doc_cosine_pairs
+        # runs with max_df matched to this corpus's degenerate 41-word
+        # vocabulary: pair work is sum_w C(df_w, 2), so on a corpus where
+        # EVERY word is corpus-hot the prune is the operator (the DIMSUM
+        # premise is a long-tail vocabulary); embedding_dbscan is excluded
+        # like embedding_neardup — its exact eps-graph is the brute
+        # baseline whose documented scale path is LSH/IVF blocking.
+        "events_cusum_alarms": events.events_cusum_alarms,
+        "doc_spearman": docqc.doc_spearman,
+        "embedding_power_iteration": cluster.embedding_power_iteration,
+        "doc_cosine_pairs": lambda sf: docqc.doc_cosine_pairs(sf, max_df=10_000),
     }
     only = set(sys.argv[1:])
     if only:
