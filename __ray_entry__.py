@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact DBSCAN (density clustering): eps-graph per-batch matmul,
         # core/border/noise labels, dedup_clusters component machinery
         "embedding_dbscan": cluster.embedding_dbscan,
+        # grouped TOP-N (bounded-rank prefix per group, the n>1
+        # generalization of tpch_top_lineitem's argmax)
+        "tpch_topn_lineitems": relational.tpch_topn_lineitems,
     }
 
 
@@ -630,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_spearman": docqc.spearman_sql(),
         "embedding_power_iteration": cluster.power_iteration_sql(),
         "embedding_dbscan": cluster.dbscan_sql(),
+        "tpch_topn_lineitems": relational.topn_lineitems_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1174,3 +1174,42 @@ def test_events_cusum_alarms(ray_session, tmp_path):
     assert value_hash(eng) == value_hash(ora)
     # the clip and the alarm must both actually bind on the corpus
     assert (eng["s_milli"] == 0).any() and eng["is_alarm"].any()
+
+
+def test_tpch_topn_lineitems(ray_session, tmp_path):
+    """Grouped top-N: planted 4-line order keeps exactly 3 ranked lines
+    (tie broken to the lower line number); SQL parity on the corpus."""
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.relational import topn_lineitems_sql, tpch_topn_lineitems
+    from tools.check_contract import to_pandas, value_hash
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 4, 1], type=pa.int32()),
+        "l_extendedprice": pa.array([10.0, 40.0, 40.0, 20.0, 7.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+        "l_quantity": pa.array([1.0] * 5),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array([0] * 5, type=pa.timestamp("us")),
+        "l_partkey": pa.array([1] * 5, type=pa.int64()),
+        "l_suppkey": pa.array([1] * 5, type=pa.int64()),
+        "l_tax": pa.array([0.0] * 5),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    eng = to_pandas(tpch_topn_lineitems(str(d))).sort_values(
+        ["l_orderkey", "rn"]).reset_index(drop=True)
+    assert eng[["l_orderkey", "rn", "l_linenumber"]].values.tolist() == [
+        [1, 1, 2], [1, 2, 3], [1, 3, 4], [2, 1, 1]]
+
+    eng = to_pandas(tpch_topn_lineitems(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(topn_lineitems_sql()).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+    # n > 1 actually binds: some order contributes a rank-3 row
+    assert (eng["rn"] == 3).any()

@@ -1000,3 +1000,92 @@ def small_qty_revenue_sql() -> str:
         "FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey "
         "WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * a.n < a.sq"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-N (the bounded-rank-per-group class, N > 1)
+# ---------------------------------------------------------------------------
+
+TOPN_PER_ORDER = 3
+
+
+def tpch_topn_lineitems(sf_dir: str, n: int = TOPN_PER_ORDER, num_buckets: int = 64):
+    """(l_orderkey, rn, l_linenumber, revenue_1e4): the top-``n`` highest-
+    revenue lines of every order with their in-group rank — the grouped
+    TOP-N class (row_number() <= n). tpch_top_lineitem is its n=1 argmax
+    special case; n > 1 is its own machine because the local prune must
+    keep a bounded PREFIX per group, not a single winner, and the final
+    rank is re-derived after the merge.
+
+    Scale shape: per-group top-n is associative (the global top-n of a
+    union is contained in the union of local top-n's), so each batch
+    keeps <= n rows per order via one lexsort + a vectorized per-group
+    cumcount; the ONE orderkey-bucket exchange moves at most n rows per
+    (order, batch); the per-bucket rerun of the same kernel is final and
+    emits rn. Deterministic tie-break (revenue DESC, linenumber ASC) ->
+    partition-invariant, window twin hash-matches."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def _topn(ok: np.ndarray, ln: np.ndarray, rev: np.ndarray) -> tuple:
+        order = np.lexsort((ln, -rev, ok))
+        ok_s = ok[order]
+        new = np.r_[True, ok_s[1:] != ok_s[:-1]]
+        # vectorized per-group cumcount: position - position-of-group-start
+        idx = np.arange(len(ok_s))
+        start = idx[new][np.cumsum(new) - 1]
+        rn = idx - start + 1
+        keep = rn <= n
+        sel = order[keep]
+        return ok[sel], ln[sel], rev[sel], rn[keep].astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = _disc_1e4(batch)
+        ok, ln, rev, _ = _topn(ok, ln, rev)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln),
+                "revenue_1e4": pa.array(rev),
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ok, ln, rev, rn = _topn(
+            t["l_orderkey"].to_numpy(zero_copy_only=False),
+            t["l_linenumber"].to_numpy(zero_copy_only=False),
+            t["revenue_1e4"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "rn": pa.array(rn),
+                "l_linenumber": pa.array(ln),
+                "revenue_1e4": pa.array(rev),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+
+
+def topn_lineitems_sql(n: int = TOPN_PER_ORDER) -> str:
+    """DuckDB replay of tpch_topn_lineitems (row_number <= n, same exact
+    integer revenue and tie order)."""
+    return (
+        "WITH l AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev FROM lineitem), "
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY l_orderkey "
+        "ORDER BY rev DESC, l_linenumber) AS BIGINT) AS rn FROM l) "
+        f"SELECT l_orderkey, rn, l_linenumber, rev AS revenue_1e4 FROM r WHERE rn <= {n}"
+    )
