@@ -428,6 +428,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped TOP-N (bounded-rank prefix per group, the n>1
         # generalization of tpch_top_lineitem's argmax)
         "tpch_topn_lineitems": relational.tpch_topn_lineitems,
+        # Duffield-Lund-Thorup priority sampling: weight-proportional
+        # k-sample with the unbiased max(w, tau) subset-sum estimator
+        "doc_priority_sample": docqc.doc_priority_sample,
+        # aggregate filtered against a GLOBAL aggregate of the same pass
+        # (TPC-H Q11's value-fraction HAVING; exact cross-multiply gate)
+        "tpch_part_revenue_share": relational.tpch_part_revenue_share,
+        # correlated EXISTS + NOT EXISTS over other rows of the same order,
+        # decorrelated to grouped distinct counts (TPC-H Q21's machine)
+        "tpch_sole_returner": relational.tpch_sole_returner,
+        # hold-last time-weighted average: grouped shifted-difference
+        # integral, one exchange (lead() window twin)
+        "events_twap": events.events_twap,
     }
 
 
@@ -634,6 +646,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_power_iteration": cluster.power_iteration_sql(),
         "embedding_dbscan": cluster.dbscan_sql(),
         "tpch_topn_lineitems": relational.topn_lineitems_sql(),
+        "doc_priority_sample": docqc.priority_sample_sql(),
+        "tpch_part_revenue_share": relational.part_revenue_share_sql(),
+        "tpch_sole_returner": relational.sole_returner_sql(),
+        "events_twap": events.twap_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

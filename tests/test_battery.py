@@ -491,3 +491,40 @@ def test_conv_role_transitions(ray_session):
         "WHERE conv_id IS NOT NULL AND role IS NOT NULL GROUP BY conv_id)"
     ).fetchone()[0]
     assert int(eng["n"].sum()) == int(n_expected)
+
+
+def test_events_twap(ray_session, tmp_path):
+    """TWAP: planted stream — value 2.0 held 10 s then 4.0 held 30 s gives
+    twap 3.5; single-event users drop; SQL parity on the corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.events import events_twap, twap_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([0, 10 * us, 40 * us, 5 * us], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["x"] * 4),
+        "value": pa.array([2.0, 4.0, 9.9, 7.0]),
+        "props": pa.array([""] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_twap(str(d)))
+    assert eng["user_id"].tolist() == [1]      # user 2 has one event
+    assert eng["wv_sum"].tolist() == [2000 * 10 + 4000 * 30]
+    assert eng["dt_sum"].tolist() == [40]
+    assert eng["twap_milli"].tolist() == [3500.0]
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(events_twap(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(twap_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

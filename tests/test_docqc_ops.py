@@ -1282,3 +1282,28 @@ def test_doc_spearman(ray_session, tmp_path):
     ora = con.sql(spearman_sql()).df()
     assert len(eng) == len(ora)
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_priority_sample(ray_session):
+    """Priority sampling: exactly k rows, SQL-twin hash parity, the
+    estimator floors at tau, and long docs are over-represented vs the
+    uniform bottom-k sample (the point of weighting by length)."""
+    import duckdb
+
+    from titan_ray.pipelines.docqc import (
+        doc_priority_sample, priority_sample_sql)
+    from tools.check_contract import value_hash
+
+    SF = "/root/testdata/sf0.001"
+    eng = doc_priority_sample(SF, k=50)
+    assert len(eng) == 50
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(priority_sample_sql(k=50)).df()
+    assert value_hash(eng) == value_hash(ora)
+    tau = eng["est_w"].min()
+    assert (eng["est_w"] >= tau).all()
+    assert ((eng["est_w"] == tau) | (eng["est_w"] == eng["n_chars"])).all()
+    # weight-proportional: sampled docs are longer on average than corpus
+    mean_all = con.sql("SELECT avg(length(text)) FROM documents").fetchone()[0]
+    assert eng["n_chars"].mean() > mean_all

@@ -1213,3 +1213,88 @@ def test_tpch_topn_lineitems(ray_session, tmp_path):
     assert value_hash(eng) == value_hash(ora)
     # n > 1 actually binds: some order contributes a rank-3 row
     assert (eng["rn"] == 3).any()
+
+
+def test_tpch_part_revenue_share(ray_session, tmp_path):
+    """Share-of-total HAVING: planted table where one part holds >1/2 of
+    revenue survives a denom=2 gate and the others don't; SQL parity."""
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.relational import (
+        part_revenue_share_sql, tpch_part_revenue_share)
+    from tools.check_contract import to_pandas, value_hash
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "l_partkey": pa.array([7, 7, 8, 9], type=pa.int64()),
+        "l_suppkey": pa.array([1] * 4, type=pa.int64()),
+        "l_linenumber": pa.array([1] * 4, type=pa.int32()),
+        "l_quantity": pa.array([1.0] * 4),
+        "l_extendedprice": pa.array([60.0, 10.0, 20.0, 10.0]),
+        "l_discount": pa.array([0.0] * 4),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["N"] * 4),
+        "l_linestatus": pa.array(["O"] * 4),
+        "l_shipdate": pa.array([0] * 4, type=pa.timestamp("us")),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    eng = to_pandas(tpch_part_revenue_share(str(d), denom=2))
+    assert eng["l_partkey"].tolist() == [7]     # 70 of 100 total
+
+    eng = to_pandas(tpch_part_revenue_share(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(part_revenue_share_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # at a threshold above the mean share (1/n_parts) the gate must bind
+    # both ways: some parts excluded, some kept
+    n_parts = con.sql("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    tight = to_pandas(tpch_part_revenue_share(SF, denom=n_parts - 1))
+    assert 0 < len(tight) < n_parts
+    ora_t = con.sql(part_revenue_share_sql(denom=n_parts - 1)).df()
+    assert value_hash(tight) == value_hash(ora_t)
+
+
+def test_tpch_sole_returner(ray_session, tmp_path):
+    """Q21 machine: planted orders — sole returner in a multi-supplier
+    order counts; solo-supplier orders and shared-blame orders don't."""
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.relational import (
+        sole_returner_sql, tpch_sole_returner)
+    from tools.check_contract import to_pandas, value_hash
+
+    # order 1: supp 1 returns, supp 2 doesn't   -> supp 1 counts
+    # order 2: supp 1 returns, no other supplier -> no count (EXISTS fails)
+    # order 3: supp 1 and supp 2 both return     -> no count (NOT EXISTS fails)
+    ok = [1, 1, 2, 3, 3]
+    sk = [1, 2, 1, 1, 2]
+    rf = ["R", "N", "R", "R", "R"]
+    t = pa.table({
+        "l_orderkey": pa.array(ok, type=pa.int64()),
+        "l_partkey": pa.array([1] * 5, type=pa.int64()),
+        "l_suppkey": pa.array(sk, type=pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 2], type=pa.int32()),
+        "l_quantity": pa.array([1.0] * 5),
+        "l_extendedprice": pa.array([1.0] * 5),
+        "l_discount": pa.array([0.0] * 5),
+        "l_tax": pa.array([0.0] * 5),
+        "l_returnflag": pa.array(rf),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array([0] * 5, type=pa.timestamp("us")),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    eng = to_pandas(tpch_sole_returner(str(d)))
+    assert eng[["suppkey", "n_orders"]].values.tolist() == [[1, 1]]
+
+    eng = to_pandas(tpch_sole_returner(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    ora = con.sql(sole_returner_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

@@ -4186,3 +4186,87 @@ def spearman_sql() -> str:
         "round(CAST(n*sxy - sx*sy AS DOUBLE) / "
         "sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)), 6) AS rho FROM m"
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield, Lund & Thorup 2007) — weight-proportional
+# k-sample with unbiased subset-sum estimation
+# ---------------------------------------------------------------------------
+
+PRIORITY_K = 100
+
+
+def doc_priority_sample(sf_dir: str, k: int = PRIORITY_K):
+    """(doc_id, n_chars, q, est_w) — the k docs with the LARGEST priority
+    q_i = w_i / u_i, where w_i = max(1, n_chars) is the doc's length weight
+    and u_i in (0,1] is the deterministic uniform u_i = (h(doc_id)+1)/2^64
+    (same bijective mix h as doc_bottomk_sample). This is Duffield-Lund-
+    Thorup priority sampling: a weight-proportional sample WITHOUT
+    replacement in one pass, whose per-item estimator est_w = max(w_i, tau)
+    with tau = the (k+1)-th largest priority is UNBIASED for any subset-sum
+    of the weights — the primitive behind "sample 1k docs but still estimate
+    total token mass per slice exactly in expectation". Complements the
+    uniform bottom-k sample (doc_bottomk_sample) and the Bernoulli
+    length-proportional gate (doc_sample_lenprop): fixed sample SIZE and
+    weight-proportional inclusion at once.
+
+    Determinism/exactness: u is built from h by integer->double CAST
+    (round-to-nearest, identical in numpy and DuckDB), +1.0, and division
+    by the exact power of two 2^64 — every op is a correctly-rounded IEEE
+    double op, so q = w/u and est_w = max(w, tau) are bit-identical to the
+    SQL twin. Ties in q break by doc_id on both sides.
+
+    Scale shape: each batch reduces to its k+1 largest (q, doc_id) rows via
+    a batch-local lexsort (the same total order as the global one, so the
+    global top-(k+1) survives local pruning); the driver merges <= (k+1) x
+    n_blocks candidate rows, takes the global top-(k+1), reads tau off row
+    k+1, and emits the top k. Driver state is k-bounded by construction.
+    Reference analog: the thinning branch of the read stage
+    (read_data_to_check.r:121-143) picks representatives uniformly; this is
+    the weighted generalization a token-budget pipeline needs."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    two64 = float(1 << 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(_chars(batch), 1).astype(np.int64)
+        h = did.astype(np.uint64) * np.uint64(_SAMPLE_MULT) + np.uint64(_SAMPLE_SEED)
+        u = (h.astype(np.float64) + 1.0) / two64
+        q = w.astype(np.float64) / u
+        order = np.lexsort((did, -q))[: k + 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order]),
+                "n_chars": pa.array(w[order]),
+                "q": pa.array(q[order]),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort(
+        (cand["doc_id"].to_numpy(), -cand["q"].to_numpy())
+    )[: k + 1]
+    top = cand.iloc[order].reset_index(drop=True)
+    tau = float(top["q"].iloc[k]) if len(top) > k else 0.0
+    out = top.iloc[:k].copy()
+    out["est_w"] = np.maximum(out["n_chars"].to_numpy().astype(np.float64), tau)
+    return out[["doc_id", "n_chars", "q", "est_w"]]
+
+
+def priority_sample_sql(k: int = PRIORITY_K) -> str:
+    """DuckDB replay of doc_priority_sample: the identical HUGEINT mix ->
+    double CAST -> q = w/u, ranked by (q DESC, doc_id), tau read off row
+    k+1 by a scalar subquery."""
+    two64 = 1 << 64
+    return (
+        "WITH pri AS (SELECT doc_id, "
+        "CAST(GREATEST(length(text), 1) AS BIGINT) AS n_chars, "
+        "CAST(GREATEST(length(text), 1) AS DOUBLE) / "
+        f"((CAST(CAST((CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT} + {_SAMPLE_SEED}) "
+        f"% {two64} AS UBIGINT) AS DOUBLE) + 1.0) / {float(two64)!r}) AS q "
+        "FROM documents), "
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM pri) "
+        "SELECT doc_id, n_chars, q, "
+        f"GREATEST(CAST(n_chars AS DOUBLE), (SELECT q FROM ranked WHERE rn = {k + 1})) AS est_w "
+        f"FROM ranked WHERE rn <= {k}"
+    )

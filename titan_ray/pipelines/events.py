@@ -2271,3 +2271,107 @@ def cusum_sql(k_milli: int = CUSUM_K_MILLI, h_milli: int = CUSUM_H_MILLI) -> str
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM c) "
         f"SELECT event_id, user_id, CAST(s AS BIGINT) AS s_milli, s > {h_milli} AS is_alarm FROM s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — the hold-until-next-observation integral
+# ---------------------------------------------------------------------------
+
+
+def events_twap(sf_dir: str, num_buckets: int = 64):
+    """(user_id, wv_sum, dt_sum, twap_milli) — per user, the time-weighted
+    average of `value` under hold-last semantics: each observation is worth
+    value x (time until the NEXT observation), i.e. the integral of the
+    user's step function divided by its span. The metering/pricing
+    primitive (TWAP / time-in-state) that a plain AVG gets wrong whenever
+    observations are irregular.
+
+    Exactness: value is carried in exact milli units (same _vm as every
+    events op), dt in whole seconds (integer floor-division of the
+    microsecond delta — deterministic in both engines), and the integral
+    is the int64 sum of milli x seconds products; the final twap_milli is
+    ONE IEEE double division of two exact integers, so it is bit-identical
+    to the SQL twin. Same-timestamp neighbours are ordered by event_id on
+    both sides (dt pairing is order-sensitive at ties).
+
+    Scale shape: identical to events_sessions — ONE user-bucket exchange of
+    (event_id, user_id, ts, vm) narrow rows; per bucket a lexsort puts each
+    user's stream contiguous, the shifted-difference gives dt vectorized,
+    and reduceat over user run starts emits one row per user. Users with a
+    single event (or zero elapsed time) have no integral and are dropped,
+    as in the twin's HAVING. Reference analog: the time-interpolation step
+    of the first-guess read (read_fgs.r:51-66 holds each field until the
+    next valid time)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "vm": pa.array(_vm(batch)),
+                "_b": b,
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = {c: pa.array([], type=pa.int64()) for c in ("user_id", "wv_sum", "dt_sum")}
+        if t.num_rows == 0:
+            return pa.table({**empty, "twap_milli": pa.array([], type=pa.float64())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid0 = t["user_id"].to_numpy(zero_copy_only=False)
+        tsc = t["ts"]
+        if isinstance(tsc, pa.ChunkedArray):
+            tsc = tsc.combine_chunks()
+        ts0 = tsc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vm0 = t["vm"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts0, uid0))
+        uid, ts, vm = uid0[order], ts0[order], vm0[order]
+        n = len(order)
+        same_user = np.empty(n, dtype=bool)
+        same_user[:-1] = uid[1:] == uid[:-1]
+        same_user[-1] = False
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        dt[~same_user] = 0
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = ~same_user[:-1]
+        starts = np.flatnonzero(new_user)
+        wv = np.add.reduceat(vm * dt, starts)
+        dts = np.add.reduceat(dt, starts)
+        keep = dts > 0
+        wv, dts, u = wv[keep], dts[keep], uid[starts][keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "wv_sum": pa.array(wv),
+                "dt_sum": pa.array(dts),
+                "twap_milli": pa.array(wv.astype(np.float64) / dts.astype(np.float64)),
+            }
+        )
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    return ds.groupby("_b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+
+def twap_sql() -> str:
+    """DuckDB replay of events_twap: lead() window -> integer products ->
+    one double division."""
+    return (
+        "WITH o AS (SELECT user_id, "
+        "CAST(floor(abs(value) * 1000 + 0.5) AS BIGINT) * CAST(sign(value) AS BIGINT) AS vm, "
+        "(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "- epoch_us(ts)) // 1000000 AS dt FROM events), "
+        "s AS (SELECT user_id, CAST(sum(vm * dt) AS BIGINT) AS wv_sum, "
+        "CAST(sum(dt) AS BIGINT) AS dt_sum FROM o WHERE dt IS NOT NULL "
+        "GROUP BY user_id HAVING sum(dt) > 0) "
+        "SELECT user_id, wv_sum, dt_sum, "
+        "CAST(wv_sum AS DOUBLE) / CAST(dt_sum AS DOUBLE) AS twap_milli FROM s"
+    )

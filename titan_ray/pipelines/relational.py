@@ -1089,3 +1089,189 @@ def topn_lineitems_sql(n: int = TOPN_PER_ORDER) -> str:
         "ORDER BY rev DESC, l_linenumber) AS BIGINT) AS rn FROM l) "
         f"SELECT l_orderkey, rn, l_linenumber, rev AS revenue_1e4 FROM r WHERE rn <= {n}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total threshold (TPC-H Q11 shape) — aggregate filtered against a
+# GLOBAL aggregate of the same pass
+# ---------------------------------------------------------------------------
+
+SHARE_DENOM = 2000     # keep parts with revenue > total_revenue / SHARE_DENOM
+
+
+def tpch_part_revenue_share(sf_dir: str, denom: int = SHARE_DENOM,
+                            num_buckets: int = 64):
+    """(l_partkey, revenue_1e4) — parts whose discounted revenue exceeds
+    1/denom of the WHOLE corpus revenue (TPC-H Q11's value-fraction HAVING
+    recast onto lineitem/partkey). The distinguishing machine: the filter
+    threshold is itself an aggregate of the same data, so the query is two
+    chained aggregates — a per-key one and a global scalar — not a join.
+
+    Scale shape: per-batch pandas partials collapse each block to its
+    distinct-partkey revenue sums (the only thing shuffled — one narrow
+    exchange keyed by partkey-hash bucket); the per-part table (|parts|
+    rows, dimension-sized, << lineitem) is materialized ONCE and reused for
+    both the global total (a tiny Sum aggregate — the driver holds exactly
+    one scalar) and the threshold filter (stateless map over the same
+    blocks, exact integer cross-multiply rev * denom > total — no float
+    fraction). The lineitem fact table crosses the wire zero times.
+    Reference analog: the fraction-of-global acceptance bound in the SCT
+    battery (titan.r:209-215 scales per-station thresholds off a global
+    sigma); DuckDB twin: GROUP BY HAVING sum*denom > (SELECT sum ...)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "revenue_1e4": _disc_1e4(batch),
+            }
+        ).groupby("l_partkey", sort=False, as_index=False).sum()
+        g["_b"] = (g["l_partkey"].to_numpy() % num_buckets).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("revenue_1e4", "sum")])
+        return pa.table(
+            {"l_partkey": g["l_partkey"], "revenue_1e4": g["revenue_1e4_sum"]}
+        )
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .materialize()     # dimension-sized; reused by both passes below
+    )
+    total = int(per_part.aggregate(Sum("revenue_1e4"))["sum(revenue_1e4)"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        rev = t["revenue_1e4"].to_numpy(zero_copy_only=False)
+        # exact integer compare; rev * denom stays < 2^63 at gate scale and
+        # the SQL twin carries the same product in HUGEINT
+        return t.filter(pa.array(rev.astype(object) * denom > total))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def part_revenue_share_sql(denom: int = SHARE_DENOM) -> str:
+    """DuckDB replay of tpch_part_revenue_share (HUGEINT cross-multiply
+    against the scalar-subquery total)."""
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+           "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return (
+        f"SELECT l_partkey, CAST(sum({rev}) AS BIGINT) AS revenue_1e4 "
+        "FROM lineitem GROUP BY l_partkey "
+        f"HAVING CAST(sum({rev}) AS HUGEINT) * {denom} > "
+        f"(SELECT CAST(sum({rev}) AS HUGEINT) FROM lineitem)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sole-returner suppliers (TPC-H Q21 shape) — correlated EXISTS + NOT EXISTS
+# over other rows of the same order, decorrelated to grouped distinct counts
+# ---------------------------------------------------------------------------
+
+
+def tpch_sole_returner(sf_dir: str, num_buckets: int = 64):
+    """(suppkey, n_orders) — for each supplier, the number of multi-supplier
+    orders where it was the ONLY supplier with a returned ('R') line.
+    TPC-H Q21's machine on our schema: a correlated EXISTS (another supplier
+    participates in the order) AND NOT EXISTS (another supplier also
+    returned) — the classic blame-assignment query.
+
+    Decorrelation: both existentials are facts about the ORDER group, so
+    per order it needs only (n_distinct_suppliers, n_distinct_returning
+    suppliers) — the pair of subqueries collapses to two grouped distinct
+    counts and a row-local gate (is_r AND n_supp > 1 AND n_r_supp == 1),
+    no self-join. Scale shape: each batch first reduces to its distinct
+    (orderkey, suppkey) pairs with a per-pair returned-flag max (pandas
+    groupby — at most one row per distinct pair per batch crosses the
+    wire); ONE orderkey-bucket exchange co-locates each order; per bucket
+    the pair set is re-deduped across batches, run-length boundaries give
+    both distinct counts vectorized, and the surviving sole-returner rows
+    collapse to per-supplier order counts — a second, supplier-sized
+    exchange merges those. Reference analog: the buddy check's "event is
+    flagged only if its neighbours aren't" logic (titan.r:262-287);
+    DuckDB twin: the literal correlated EXISTS/NOT EXISTS pair."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "is_r": (batch["l_returnflag"].to_numpy(zero_copy_only=False) == "R").astype(np.int64),
+            }
+        ).groupby(["orderkey", "suppkey"], sort=False, as_index=False).max()
+        g["_b"] = (g["orderkey"].to_numpy() % num_buckets).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ok = t["orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["suppkey"].to_numpy(zero_copy_only=False)
+        ir = t["is_r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk, ir = ok[order], sk[order], ir[order]
+        # re-dedup (orderkey, suppkey) across batches: max of is_r per run
+        new = np.empty(len(ok), dtype=bool)
+        new[0:1] = True
+        new[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(new)
+        ok, sk = ok[starts], sk[starts]
+        ir = np.maximum.reduceat(ir, starts) if len(starts) else ir[:0]
+        # per-order distinct-supplier and returning-supplier counts
+        new_ord = np.empty(len(ok), dtype=bool)
+        new_ord[0:1] = True
+        new_ord[1:] = ok[1:] != ok[:-1]
+        ostarts = np.flatnonzero(new_ord)
+        n_supp = np.diff(np.r_[ostarts, len(ok)])
+        n_r = np.add.reduceat(ir, ostarts) if len(ostarts) else ir[:0]
+        gid = np.cumsum(new_ord) - 1
+        keep = (ir == 1) & (n_supp[gid] > 1) & (n_r[gid] == 1)
+        g = pd.DataFrame({"suppkey": sk[keep]}).groupby(
+            "suppkey", sort=False, as_index=False
+        ).size().rename(columns={"size": "n_orders"})
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def final_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("suppkey").aggregate([("n_orders", "sum")])
+        return pa.table({"suppkey": g["suppkey"], "n_orders": g["n_orders_sum"]})
+
+    per_supp = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+    return (
+        per_supp.map_batches(
+            lambda t: t.append_column(
+                "_s", pa.array((t["suppkey"].to_numpy(zero_copy_only=False) % num_buckets).astype(np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_s")
+        .map_groups(lambda t: final_merge(t.drop_columns(["_s"])), batch_format="pyarrow")
+    )
+
+
+def sole_returner_sql() -> str:
+    """DuckDB replay of tpch_sole_returner (literal correlated pair)."""
+    return (
+        "SELECT l1.l_suppkey AS suppkey, "
+        "CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders "
+        "FROM lineitem l1 WHERE l1.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY l1.l_suppkey"
+    )
