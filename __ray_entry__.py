@@ -440,6 +440,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hold-last time-weighted average: grouped shifted-difference
         # integral, one exchange (lead() window twin)
         "events_twap": events.events_twap,
+        # AllPairs/PPJoin prefix-filter set-similarity join — LOSSLESS
+        # candidate generation (unlike LSH), so the twin is the
+        # unconditioned exact word-bigram threshold self-join
+        "doc_setjoin_pairs": neardup.doc_setjoin_pairs,
     }
 
 
@@ -650,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_part_revenue_share": relational.part_revenue_share_sql(),
         "tpch_sole_returner": relational.sole_returner_sql(),
         "events_twap": events.twap_sql(),
+        "doc_setjoin_pairs": neardup.setjoin_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -721,3 +721,38 @@ def test_neardup_containment(ray_session, tmp_path):
     ora = con.sql(containment_sql(0.001)).df()
     assert len(eng) == len(ora) and len(eng) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_setjoin_pairs(ray_session, tmp_path):
+    """AllPairs prefix-filter join is COMPLETE: planted near-identical pair
+    found with exact intersection/union; disjoint doc excluded; corpus
+    parity vs the unconditioned SQL self-join."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.neardup import doc_setjoin_pairs, setjoin_sql
+    from tools.check_contract import value_hash
+
+    # docs 1/2 share 9 of 10 words -> 8 of 9 bigrams shared... construct
+    # explicitly: 1 and 2 differ in the LAST word only; 3 is disjoint
+    base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "text": pa.array([base + " kappa", base + " lambda", "one two three four"]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    eng = doc_setjoin_pairs(str(d))
+    # 9 bigrams each, 8 shared: J = 8/10 = 0.8 >= 3/5
+    assert eng[["doc_a", "doc_b", "n_inter", "n_union"]].values.tolist() == [[1, 2, 8, 10]]
+
+    SF = "/root/testdata/sf0.001"
+    eng = doc_setjoin_pairs(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(setjoin_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

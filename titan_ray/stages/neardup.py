@@ -1408,3 +1408,310 @@ def simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
+
+
+# ---------------------------------------------------------------------------
+# AllPairs / PPJoin exact set-similarity join (Bayardo, Ma & Srikant 2007) —
+# LOSSLESS prefix-filter candidate generation, so the twin is the
+# UNCONDITIONED exact threshold join (unlike the LSH path, whose recall is
+# probabilistic and whose oracle is conditioned on the candidate list)
+# ---------------------------------------------------------------------------
+
+SETJOIN_TAU_NUM = 3      # tau = 3/5 — above the shared-template noise floor
+SETJOIN_TAU_DEN = 5
+# df table is vocabulary-sized; above this the prefix ORDER degrades to raw
+# hash order — still a valid total order, so the join stays EXACT (prefix
+# filtering is lossless under ANY fixed token order; df-ascending is only
+# the best-pruning heuristic). No error path at scale.
+MAX_SETJOIN_VOCAB = 20_000_000
+
+
+def _distinct_words(batch: pa.Table, n: int = 2) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids_repeated, gram_hashes int64, set_sizes) — per-doc DISTINCT
+    word n-gram hash sets ('\\S+' runs, same tokenization as
+    repetition_sql; n=2 bigrams by default — unigram Jaccard between
+    template-generated docs has a ~0.8 noise floor, bigrams drop it to
+    ~0.2 with planted near-dups at ~0.97)."""
+    from ..pipelines.docqc import _word_gram_hashes  # lazy: no import cycle
+
+    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    hv, rid = _word_gram_hashes(texts, n)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((hv, rid))
+    hs, rs = hv[order].astype(np.int64), rid[order]
+    first = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    hs, rs = hs[first], rs[first]
+    set_size = np.bincount(rs, minlength=len(doc_ids))
+    return doc_ids[rs], hs, set_size[rs]
+
+
+def doc_setjoin_pairs(sf_dir: str, tau_num: int = SETJOIN_TAU_NUM,
+                      tau_den: int = SETJOIN_TAU_DEN, num_buckets: int = 64):
+    """(doc_a, doc_b, n_inter, n_union) — EVERY doc pair whose word-set
+    Jaccard >= tau, found by prefix filtering, not sketching: order each
+    doc's distinct tokens by ascending global df, keep only the first
+    p = n - ceil(tau*n) + 1 tokens, and generate candidates from docs
+    sharing a PREFIX token (with the |A| >= tau*|B| length filter fused
+    in). Prefix filtering is complete — two sets with Jaccard >= tau must
+    share a token inside both prefixes under any common total order — so
+    unlike minhash_lsh_candidates there is NO recall parameter and the
+    DuckDB twin is the unconditioned exact self-join. The integer gate
+    tau_den * inter >= tau_num * union avoids float thresholds entirely.
+
+    Tokens are word BIGRAMS (hash-chained, the shared _word_gram_hashes
+    kernel): unigrams are too shared between template docs to threshold
+    (noise floor ~0.8), bigrams separate cleanly (noise ~0.2, planted
+    near-dups ~0.97).
+
+    Scale shape: pass 1 builds the vocabulary-sized df table (per-batch
+    distinct-token partials, one token-bucket merge) and broadcasts it
+    sorted (counted: above MAX_SETJOIN_VOCAB the order falls back to raw
+    hash order — still exact, only less pruning); pass 2 is stateless
+    per-doc prefix emission (at most p rows per doc cross the ONE
+    token-bucket exchange); pass 3 pairs docs within token groups
+    (vectorized triu via multi_arange, rarest-token groups are tiny by
+    construction); pass 4 dedups pairs in pair-hash buckets; pass 5 is the
+    shared sorted-intersection verify co-located by pair bucket. Worst
+    case is genuinely quadratic only inside true near-dup families (the
+    answer itself is quadratic there)."""
+    import ray
+
+    from ..functions.strings import multi_arange
+
+    ds = _read_docs(sf_dir)
+
+    # -- pass 1: global df per word hash (vocabulary-sized) ---------------
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _doc, hs, _sz = _distinct_words(batch)
+        u, c = np.unique(hs, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u),
+                "df": pa.array(c.astype(np.int64)),
+                "_b": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def df_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("df", "sum")])
+        return pa.table({"h": g["h"], "df": g["df_sum"]})
+
+    df_tab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: df_merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(df_tab) > MAX_SETJOIN_VOCAB:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "setjoin: vocab %d > %d — prefix order degrades to hash order "
+            "(join stays exact)", len(df_tab), MAX_SETJOIN_VOCAB)
+        vocab_h = np.empty(0, dtype=np.int64)
+        vocab_df = np.empty(0, dtype=np.int64)
+    else:
+        order = np.argsort(df_tab["h"].to_numpy())
+        vocab_h = df_tab["h"].to_numpy()[order]
+        vocab_df = df_tab["df"].to_numpy()[order]
+    h_ref = ray.put(vocab_h)
+    df_ref = ray.put(vocab_df)
+
+    # -- pass 2: per-doc df-ordered prefix emission ------------------------
+    def prefix_emit(batch: pa.Table) -> pa.Table:
+        vh, vdf = ray.get(h_ref), ray.get(df_ref)
+        doc, hs, sz = _distinct_words(batch)
+        dfv = vdf[np.searchsorted(vh, hs)] if len(vh) else np.zeros(len(hs), dtype=np.int64)
+        # doc-major, then df-ascending, then hash (a fixed total order)
+        order = np.lexsort((hs, dfv, doc))
+        doc, hs, sz = doc[order], hs[order], sz[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(doc)) - np.repeat(starts, np.diff(np.r_[starts, len(doc)]))
+        n = sz
+        p = n - ((tau_num * n + tau_den - 1) // tau_den) + 1
+        keep = pos < p
+        return pa.table(
+            {
+                "h": pa.array(hs[keep]),
+                "doc_id": pa.array(doc[keep]),
+                "n": pa.array(n[keep].astype(np.int64)),
+                "_b": pa.array((hs[keep] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    # -- pass 3: candidate pairs inside token groups -----------------------
+    def token_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
+             "_pb": pa.array([], type=pa.int32())}
+        )
+        if t.num_rows == 0:
+            return empty
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, n, hs))
+        hs, doc, n = hs[order], doc[order], n[order]
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        gstart = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        # j pairs with every earlier i of its token group (n_i <= n_j)
+        w = np.arange(len(hs)) - gstart[gid]
+        j = np.repeat(np.arange(len(hs)), w)
+        i = multi_arange(gstart[gid], w)
+        if len(j) == 0:
+            return empty
+        # length filter: tau * n_j <= n_i (n sorted ascending in-group)
+        keep = tau_den * n[i] >= tau_num * n[j]
+        i, j = i[keep], j[keep]
+        a = np.minimum(doc[i], doc[j])
+        b = np.maximum(doc[i], doc[j])
+        keep2 = a != b
+        a, b = a[keep2], b[keep2]
+        return pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "_pb": pa.array(((a * 1000003 + b) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"doc_a": pa.array(a[first]), "doc_b": pa.array(b[first])})
+
+    cand = (
+        ds.map_batches(prefix_emit, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: token_pairs(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(lambda t: pair_dedup(t.drop_columns(["_pb"])), batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # -- pass 4: exact verify, co-located by pair bucket -------------------
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "n_inter", "n_union")}
+        )
+    cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pair_of_doc: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        pair_of_doc.setdefault(int(a), []).append(pid)
+        pair_of_doc.setdefault(int(b), []).append(pid)
+    ref = ray.put(pair_of_doc)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        involved = np.fromiter(lookup.keys(), dtype=np.int64, count=len(lookup))
+        batch = batch.filter(pa.array(np.isin(ids, involved)))
+        empty = pa.table(
+            {"pid": pa.array([], type=pa.int64()), "doc_id": pa.array([], type=pa.int64()),
+             "sh": pa.array([], type=pa.int64()), "_b": pa.array([], type=pa.int32())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        doc, sh, _size = _distinct_words(batch)
+        out_pid, out_doc, out_sh = [], [], []
+        bounds = np.flatnonzero(np.concatenate([[True], doc[1:] != doc[:-1], [True]]))
+        for s_, e_ in zip(bounds[:-1], bounds[1:]):
+            pids = lookup.get(int(doc[s_]))
+            if not pids:
+                continue
+            for pid in pids:
+                out_pid.append(np.full(e_ - s_, pid, dtype=np.int64))
+                out_doc.append(doc[s_:e_])
+                out_sh.append(sh[s_:e_])
+        if not out_pid:
+            return empty
+        pid = np.concatenate(out_pid)
+        return pa.table(
+            {
+                "pid": pa.array(pid),
+                "doc_id": pa.array(np.concatenate(out_doc).astype(np.int64)),
+                "sh": pa.array(np.concatenate(out_sh)),
+                "_b": pa.array((pid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_pair(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
+             "n_inter": pa.array([], type=pa.int64()), "n_union": pa.array([], type=pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pid, return_inverse=True)
+        n_tot = np.bincount(inv, minlength=len(u))
+        dmin = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        dmax = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(dmin, inv, doc)
+        np.maximum.at(dmax, inv, doc)
+        n_min = np.bincount(inv[doc == dmin[inv]], minlength=len(u))
+        n_max = n_tot - n_min
+        order = np.lexsort((sh, inv))
+        pi, si = inv[order], sh[order]
+        dup = (pi[1:] == pi[:-1]) & (si[1:] == si[:-1])
+        inter = np.bincount(pi[1:][dup], minlength=len(u))
+        union = n_tot - inter
+        flag = (
+            (dmin != dmax) & (n_min > 0) & (n_max > 0)
+            & (tau_den * inter >= tau_num * union)
+        )
+        if not flag.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(dmin[flag]),
+                "doc_b": pa.array(dmax[flag]),
+                "n_inter": pa.array(inter[flag].astype(np.int64)),
+                "n_union": pa.array(union[flag].astype(np.int64)),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_pair(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+    return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def setjoin_sql(tau_num: int = SETJOIN_TAU_NUM, tau_den: int = SETJOIN_TAU_DEN) -> str:
+    """DuckDB replay of doc_setjoin_pairs: the UNCONDITIONED exact
+    word-bigram-set threshold self-join (no candidate list — prefix
+    filtering is lossless, so blocked engine == unblocked SQL, the
+    simhash-oracle argument). Bigrams are the literal adjacent-word
+    strings (lead() over word position), the engine's gram hashes are
+    their injective stand-ins."""
+    return (
+        "WITH wd AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w, "
+        "generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS o FROM documents), "
+        "bg AS (SELECT doc_id, w || ' ' || lead(w) OVER "
+        "(PARTITION BY doc_id ORDER BY o) AS w FROM wd), "
+        "tw AS (SELECT DISTINCT doc_id, w FROM bg WHERE w IS NOT NULL), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tw GROUP BY doc_id), "
+        "ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS i FROM tw a JOIN tw b ON a.w = b.w "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, i AS n_inter, sa.n + sb.n - i AS n_union "
+        "FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a "
+        "JOIN sz sb ON sb.doc_id = ix.doc_b "
+        f"WHERE {tau_den} * i >= {tau_num} * (sa.n + sb.n - i)"
+    )
