@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate generation (unlike LSH), so the twin is the
         # unconditioned exact word-bigram threshold self-join
         "doc_setjoin_pairs": neardup.doc_setjoin_pairs,
+        # exact Gini mean difference: the quadratic pairwise-dispersion
+        # statistic at linear cost via the histogram-CDF rank-weighted sum
+        "events_value_gmd": events.events_value_gmd,
     }
 
 
@@ -655,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_sole_returner": relational.sole_returner_sql(),
         "events_twap": events.twap_sql(),
         "doc_setjoin_pairs": neardup.setjoin_sql(),
+        "events_value_gmd": events.value_gmd_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -528,3 +528,38 @@ def test_events_twap(ray_session, tmp_path):
     ora = con.sql(twap_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_value_gmd(ray_session, tmp_path):
+    """Gini mean difference: planted values [1,2,4] -> sum|diff| = 1+3+2=6
+    (milli 6000); tie handling via duplicated value; SQL parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.events import events_value_gmd, value_gmd_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([0] * 5, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "b"]),
+        "value": pa.array([1.0, 2.0, 4.0, 3.0, 3.0]),
+        "props": pa.array([""] * 5),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_value_gmd(str(d))).set_index("event_type")
+    assert eng.loc["a", "gmd_sum"] == 6000      # |1-2|+|1-4|+|2-4| in milli
+    assert eng.loc["b", "gmd_sum"] == 0         # tied pair
+    assert eng.loc["a", "gmd_milli"] == 2000.0
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(events_value_gmd(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(value_gmd_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

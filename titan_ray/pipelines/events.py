@@ -2375,3 +2375,97 @@ def twap_sql() -> str:
         "SELECT user_id, wv_sum, dt_sum, "
         "CAST(wv_sum AS DOUBLE) / CAST(dt_sum AS DOUBLE) AS twap_milli FROM s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini mean difference — exact pairwise dispersion WITHOUT pairing
+# ---------------------------------------------------------------------------
+
+
+def events_value_gmd(sf_dir: str, num_buckets: int = 64):
+    """(event_type, n, gmd_sum, gmd_milli) — per event type, the EXACT sum
+    of |x_i - x_j| over all C(n,2) value pairs (Gini mean difference, the
+    L-statistic behind the Gini coefficient), computed WITHOUT forming a
+    single pair: for sorted x, sum_{i<j} |x_i - x_j| = sum_i (2i - n - 1)
+    x_(i), and that rank-weighted sum needs only the per-(type, value)
+    HISTOGRAM — a run of c copies of v occupying positions F+1..F+c
+    contributes v * (2*(c*F + c*(c+1)/2) - c*(n+1)), ties falling out
+    because equal values share a coefficient sum. The quadratic statistic
+    at linear cost — the same ranking-without-sorting-the-data trick as
+    doc_spearman, driving a dispersion moment instead of a correlation.
+
+    Scale shape: per-batch (type, value_milli) count partials (at most one
+    row per distinct value per batch crosses the wire) -> ONE
+    (type,value)-hash bucket exchange merges the histogram -> a per-TYPE
+    regroup computes the rank-weighted sum inside map_groups over
+    distinct-value-sized groups with exact arbitrary-precision integer
+    products (object dtype — the twin carries the same products in
+    HUGEINT). The driver never holds the histogram. gmd_milli =
+    gmd_sum / C(n,2) is the single IEEE division, bit-identical to the
+    twin's."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(), "x": _vm(batch),
+             "c": np.ones(batch.num_rows, dtype=np.int64)}
+        ).groupby(["event_type", "x"], sort=False, as_index=False).sum()
+        # bucket by (type, value) hash so the histogram merge is narrow
+        th = pd.util.hash_pandas_object(g["event_type"], index=False).to_numpy(dtype=np.uint64)
+        g["_b"] = ((th ^ g["x"].to_numpy().astype(np.uint64)) % num_buckets).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "x"]).aggregate([("c", "sum")])
+        return pa.table({"event_type": g["event_type"], "x": g["x"], "c": g["c_sum"]})
+
+    def per_type(t: pa.Table) -> pa.Table:
+        out_ty, out_n, out_s = [], [], []
+        df = t.to_pandas()
+        for ty, grp in df.groupby("event_type", sort=False):
+            v = grp["x"].to_numpy()
+            c = grp["c"].to_numpy()
+            order = np.argsort(v, kind="stable")
+            v, c = v[order].astype(object), c[order].astype(object)
+            n = int(c.sum())
+            F = np.concatenate([[0], np.cumsum(c)[:-1]])
+            contrib = v * (2 * (c * F + c * (c + 1) // 2) - c * (n + 1))
+            out_ty.append(ty)
+            out_n.append(n)
+            out_s.append(int(contrib.sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(out_ty, type=pa.string()),
+                "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "gmd_sum": pa.array(np.asarray(out_s, dtype=np.int64)),
+                "gmd_milli": pa.array(
+                    np.asarray(out_s, dtype=np.float64)
+                    / np.asarray([x * (x - 1) / 2 for x in out_n], dtype=np.float64)
+                ),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+    return hist.groupby("event_type").map_groups(per_type, batch_format="pyarrow")
+
+
+def value_gmd_sql() -> str:
+    """DuckDB replay of events_value_gmd: rank windows + HUGEINT
+    rank-weighted sum + one double division."""
+    return (
+        "WITH v AS (SELECT event_type, "
+        "CAST(floor(abs(value) * 1000 + 0.5) AS BIGINT) * CAST(sign(value) AS BIGINT) AS x "
+        "FROM events), "
+        "r AS (SELECT event_type, CAST(x AS HUGEINT) AS x, "
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS HUGEINT) AS rn, "
+        "CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n FROM v) "
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS n, "
+        "CAST(sum((2 * rn - n - 1) * x) AS BIGINT) AS gmd_sum, "
+        "CAST(CAST(sum((2 * rn - n - 1) * x) AS BIGINT) AS DOUBLE) / "
+        "CAST(max(n) * (max(n) - 1) // 2 AS DOUBLE) AS gmd_milli "
+        "FROM r GROUP BY event_type"
+    )
