@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Gini mean difference: the quadratic pairwise-dispersion
         # statistic at linear cost via the histogram-CDF rank-weighted sum
         "events_value_gmd": events.events_value_gmd,
+        # k-core peeling: SHRINKING-subgraph fixpoint (fourth iterative
+        # graph shape) — degree-count + double semi-join per round
+        "graph_kcore": graph.graph_kcore,
     }
 
 
@@ -659,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "events_twap": events.twap_sql(),
         "doc_setjoin_pairs": neardup.setjoin_sql(),
         "events_value_gmd": events.value_gmd_sql(),
+        "graph_kcore": graph.kcore_sql(GATE_SF),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1013,6 +1013,31 @@ def test_graph_bfs_depth(ray_session):
     assert eng["dist"].max() <= 4 and eng["dist"].min() == 0
 
 
+def test_graph_kcore(ray_session):
+    import duckdb as _duck
+
+    from titan_ray.stages.graph import KCORE_K, graph_kcore, kcore_sql
+
+    # real corpus: the unrolled peel rounds == the chained HAVING+join twin
+    eng = graph_kcore("/root/testdata/sf0.001").to_pandas()
+    con = _duck.connect()
+    ora = con.sql(kcore_sql(0.001)).df()
+    from tools.check_contract import value_hash
+    assert len(eng) == len(ora) and len(eng) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # k-core invariant: every surviving node keeps >= k neighbours INSIDE
+    # the surviving subgraph (this is what one HAVING pass cannot give)
+    assert (eng["core_deg"] >= KCORE_K).all()
+    # fixpoint reached within the round budget: one extra round is a no-op
+    # (checked in the twin — the engine's early exit makes its rounds=7
+    # literally the same job)
+    ora7 = con.sql(kcore_sql(0.001, rounds=7)).df()
+    assert value_hash(ora7) == value_hash(ora)
+    # peeling is genuinely iterative here: round 1 alone over-keeps
+    ora1 = con.sql(kcore_sql(0.001, rounds=1)).df()
+    assert len(ora1) > len(ora)
+
+
 def test_doc_segment_dedup_oracle(ray_session, edge_docs):
     """C4-style segment dedup: SQL parity on the edge corpus (empty docs,
     whitespace runs, sub-width docs) + on sf0.001, and the broadcast /

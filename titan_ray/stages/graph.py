@@ -432,3 +432,127 @@ def bfs_sql(sf: float = 0.01, hub_deg: int = BFS_HUB_DEG,
         "WITH " + ", ".join(ctes)
         + f" SELECT v AS doc_id, dist FROM r{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) — the fourth iterative graph
+# shape: SHRINKING-subgraph fixpoint (vs. PageRank's value propagation,
+# components' label propagation, BFS's frontier relax)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 6   # peel rounds; the gate graph reaches its fixpoint in 5
+
+
+def graph_kcore(sf_dir: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+                num_buckets: int = 64):
+    """(doc_id, core_deg) — the nodes surviving ``rounds`` rounds of
+    degree-< k peeling over the symmetrized candidate graph, with their
+    degree INSIDE the surviving subgraph. Iterated to fixpoint this is the
+    k-core: the maximal subgraph where every node keeps >= k neighbours —
+    the dense heart of a template family, as opposed to nodes that only
+    LOOK well-connected because of peel-away chains (a node of degree 10
+    whose neighbours all die leaves the core; one HAVING pass cannot see
+    that — peeling is genuinely iterative, the gate graph shrinks
+    405 -> 289 -> 265 -> 258 -> 257 over its five effective rounds).
+
+    Scale shape: each round is degree-count (per-batch unique partials +
+    one node-bucket exchange, node-sized) then BOTH-endpoint survival
+    filtering as two co-partitioned hash_joins (edge-sized, never
+    broadcast) — the PageRank loop's machinery with a shrinking edge set
+    instead of an evolving rank table. Fixed ``rounds`` keeps the DuckDB
+    twin expressible as unrolled CTEs (the bfs_sql/pagerank_sql
+    convention); convergence inside the budget makes truncated == true
+    k-core. Reference analog: titan.r's buddy re-iteration (flagged
+    stations leave the neighbour pool and the check re-runs,
+    titan.r:262-287) — the same remove-and-recheck fixpoint, here on
+    graph degree."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .joins import hash_join
+    from .neardup import ensure_candidates
+
+    pairs = rd.from_arrow(pq.read_table(ensure_candidates(sf_dir)))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(np.concatenate([a, b])),
+                         "d": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["s"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"s": pa.array(u), "deg": pa.array(c.astype(np.int64)),
+                         "_b": pa.array((u % num_buckets).astype(np.int32))})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("s").aggregate([("deg", "sum")])
+        return pa.table({"s": g["s"], "deg": g["deg_sum"]})
+
+    def degrees(e):
+        return (
+            e.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(lambda t: deg_merge(t.drop_columns(["_b"])), batch_format="pyarrow")
+        )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["deg"], k)).select(["s"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["s"], "core_deg": batch["deg"]})
+
+    for _ in range(rounds):
+        deg = degrees(edges).materialize()   # node-sized
+        alive = deg.map_batches(survivors, batch_format="pyarrow").materialize()
+        if alive.count() == deg.count():
+            # fixpoint: no node peels, so every remaining round is the
+            # identity — this degree table IS degrees of the final edge
+            # set. Early exit keeps truncated == true k-core bit-identical
+            # (survivor count is monotone, equal count => equal set) and
+            # caps the cost at (fixpoint + 1) degree exchanges regardless
+            # of the round budget.
+            return deg.map_batches(rename, batch_format="pyarrow")
+        # both-endpoint survival: two co-partitioned semi-joins (survivors
+        # are unique per node, so inner == semi)
+        e1 = hash_join(edges, alive, on="s", right_cols=(), num_buckets=num_buckets)
+        e1 = e1.map_batches(
+            lambda t: pa.table({"s": t["d"], "d": t["s"]}), batch_format="pyarrow"
+        )
+        e2 = hash_join(e1, alive, on="s", right_cols=(), num_buckets=num_buckets)
+        edges = e2.map_batches(
+            lambda t: pa.table({"s": t["d"], "d": t["s"]}), batch_format="pyarrow"
+        ).materialize()   # edge-sized, shrinking
+
+    return degrees(edges).map_batches(rename, batch_format="pyarrow")
+
+
+def kcore_sql(sf: float = 0.01, k: int = KCORE_K,
+              rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB replay of graph_kcore: the peel rounds unrolled as chained
+    HAVING + double-semi-join CTEs over the same persisted pairs."""
+    from .neardup import candidates_path
+
+    path = candidates_path(sf)
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM read_parquet('{path}'))",
+        "e0 AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"a{r} AS (SELECT s FROM e{r-1} GROUP BY s HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT e.s, e.d FROM e{r-1} e "
+            f"JOIN a{r} x ON x.s = e.s JOIN a{r} y ON y.s = e.d)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS core_deg "
+          f"FROM e{rounds} GROUP BY s"
+    )
