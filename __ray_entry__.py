@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-core peeling: SHRINKING-subgraph fixpoint (fourth iterative
         # graph shape) — degree-count + double semi-join per round
         "graph_kcore": graph.graph_kcore,
+        # sliding ORDER STATISTIC (lower median over the trailing ROWS
+        # frame) — third non-subtractable window class after distinct
+        "events_window_median": events.events_window_median,
     }
 
 
@@ -663,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_setjoin_pairs": neardup.setjoin_sql(),
         "events_value_gmd": events.value_gmd_sql(),
         "graph_kcore": graph.kcore_sql(GATE_SF),
+        "events_window_median": events.window_median_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

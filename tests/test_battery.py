@@ -563,3 +563,49 @@ def test_events_value_gmd(ray_session, tmp_path):
     ora = con.sql(value_gmd_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_window_median(ray_session, tmp_path):
+    """Sliding lower median: ragged heads, duplicate-timestamp tie break by
+    event_id, users shorter than the frame; SQL parity on the real corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.events import events_window_median, window_median_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    # user 1: values 5,1,3,2 at ts 0,0,1,2 (two ts-ties broken by event_id)
+    # user 2: single event (frame of one)
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([0, 0, 1, 2, 0], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([5.0, 1.0, 3.0, 2.0, 7.0]),
+        "props": pa.array([""] * 5),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    eng = to_pandas(events_window_median(str(d), k=3)).set_index("event_id")
+    # frames (ordered ts, event_id): [5]->5, [5,1]->1 (lower), [5,1,3]->3,
+    # [1,3,2]->2, user 2 [7]->7
+    assert eng.loc[0, "med_win"] == 5.0
+    assert eng.loc[1, "med_win"] == 1.0
+    assert eng.loc[2, "med_win"] == 3.0
+    assert eng.loc[3, "med_win"] == 2.0
+    assert eng.loc[4, "med_win"] == 7.0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.sql(window_median_sql(k=3)).df()
+    assert value_hash(eng.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(events_window_median(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(window_median_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

@@ -1644,6 +1644,93 @@ def window_distinct_sql(window_us: int = SLIDE_WINDOW_US) -> str:
     )
 
 
+MEDIAN_FRAME_ROWS = 8   # trailing ROWS frame width for the sliding median
+
+
+def events_window_median(sf_dir: str, k: int = MEDIAN_FRAME_ROWS,
+                         num_buckets: int = 64):
+    """Per event: the LOWER MEDIAN (quantile_disc 0.5 — an existing
+    element, so doubles compare bit-exactly with no arithmetic) of
+    ``value`` over the same user's trailing ``k``-row frame
+    [ROWS k-1 PRECEDING .. CURRENT ROW], ordered by (ts, event_id) — the
+    robust-smoothing window. Third non-subtractable window class: the
+    sliding count/sum is a prefix difference, windowed DISTINCT is a
+    presence test, but an ORDER STATISTIC depends on the ranking of the
+    whole frame — evicting one value can move the median anywhere.
+
+    Scale shape: the narrow (event_id, user_id, ts, value) stream + ONE
+    user-bucket exchange (the events_window_distinct convention). The
+    per-bucket kernel never loops rows: full frames (user-relative
+    position >= k-1, never crossing a user boundary) come from ONE
+    sliding_window_view + axis-1 sort — O(rows · k log k) with O(rows·k)
+    scratch bounded by small constant k; the k-1 ragged head positions
+    (one row per user per length) are each ONE gathered (users × j)
+    matrix sort. ROWS frames need a total order under duplicate
+    timestamps — event_id breaks ties, exactly the twin's ORDER BY."""
+    assert k >= 1
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "value": batch["value"],
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        if len(eid) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "med_win": pa.array([], pa.float64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        eid, uid, val = eid[order], uid[order], val[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.nonzero(new)[0]
+        pos = np.arange(len(eid)) - np.repeat(starts, np.diff(np.r_[starts, len(eid)]))
+        out = np.empty(len(eid), dtype=np.float64)
+        full = pos >= k - 1
+        if full.any():                     # frames wholly inside one user
+            sw = np.lib.stride_tricks.sliding_window_view(val, k)
+            rows = np.nonzero(full)[0]
+            out[rows] = np.sort(sw[rows - (k - 1)], axis=1)[:, (k - 1) // 2]
+        for j in range(1, min(k, int(pos.max()) + 2)):   # ragged heads
+            rows = np.nonzero(pos == j - 1)[0]           # <= one per user
+            if not len(rows):
+                continue
+            frames = val[rows[:, None] - np.arange(j - 1, -1, -1)[None, :]]
+            out[rows] = np.sort(frames, axis=1)[:, (j - 1) // 2]
+        return pa.table({"event_id": pa.array(eid), "med_win": pa.array(out)})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+    )
+
+
+def window_median_sql(k: int = MEDIAN_FRAME_ROWS) -> str:
+    """DuckDB replay: quantile_disc(0.5) over the same ROWS frame."""
+    return (
+        "SELECT event_id, quantile_disc(value, 0.5) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) "
+        "AS med_win FROM events"
+    )
+
+
 PATH_K = 3          # first-K event types form the path signature
 
 
