@@ -453,6 +453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding ORDER STATISTIC (lower median over the trailing ROWS
         # frame) — third non-subtractable window class after distinct
         "events_window_median": events.events_window_median,
+        # FULL OUTER reconciliation audit: docs-without-embeddings and
+        # orphaned embeddings in ONE coalesced-key co-partitioned join
+        "doc_embedding_reconcile": docqc.doc_embedding_reconcile,
     }
 
 
@@ -667,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_gmd": events.value_gmd_sql(),
         "graph_kcore": graph.kcore_sql(GATE_SF),
         "events_window_median": events.window_median_sql(),
+        "doc_embedding_reconcile": docqc.reconcile_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1332,3 +1332,58 @@ def test_doc_priority_sample(ray_session):
     # weight-proportional: sampled docs are longer on average than corpus
     mean_all = con.sql("SELECT avg(length(text)) FROM documents").fetchone()[0]
     assert eng["n_chars"].mean() > mean_all
+
+
+def test_doc_embedding_reconcile(ray_session, tmp_path):
+    """FULL OUTER reconciliation: all three statuses planted, key coalesced
+    from either side, exact quantized norms; SQL parity on the real corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_embedding_reconcile, reconcile_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["x" * 30, "y" * 30, "short"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([30, 30, 5], type=pa.int64()),
+    }), d / "documents.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([2, 3, 4], type=pa.int64()),
+        "embedding": pa.array([[0.5, -0.5], [1.0, 0.0], [0.25, 0.25]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 1], type=pa.int32()),
+    }), d / "embeddings.parquet")
+    out = to_pandas(doc_embedding_reconcile(str(d), min_chars=10)).set_index("id")
+    # doc 1 passes the gate but has no embedding; doc 2 matches vec 2;
+    # doc 3 fails the gate so vec 3 is orphaned; vec 4 has no doc at all
+    assert out.loc[1, "status"] == "doc_only"
+    assert out.loc[2, "status"] == "both"
+    assert out.loc[3, "status"] == "emb_only"
+    assert out.loc[4, "status"] == "emb_only"
+    assert out.loc[2, "norm_q"] == 2 * 16384 ** 2   # round(0.5*2^15)^2 * 2
+    assert pa.compute.is_null(pa.array([out.loc[4, "n_chars"]]))[0].as_py() \
+        or out.loc[4:4, "n_chars"].isna().all()
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    ora = con.sql(reconcile_sql(min_chars=10)).df()
+    assert value_hash(out.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_embedding_reconcile(SF))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    ora = con.sql(reconcile_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # both unmatched classes genuinely occur on the real corpus
+    assert {"doc_only", "emb_only", "both"} <= set(eng["status"])

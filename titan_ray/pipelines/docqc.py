@@ -4270,3 +4270,96 @@ def priority_sample_sql(k: int = PRIORITY_K) -> str:
         f"GREATEST(CAST(n_chars AS DOUBLE), (SELECT q FROM ranked WHERE rn = {k + 1})) AS est_w "
         f"FROM ranked WHERE rn <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset reconciliation (FULL OUTER join shape)
+# ---------------------------------------------------------------------------
+
+RECONCILE_MIN_CHARS = 200   # docs side: quality-passing length gate
+RECONCILE_DROP_LABEL = 0    # embeddings side: label-0 cluster excluded
+
+
+def doc_embedding_reconcile(sf_dir: str, min_chars: int = RECONCILE_MIN_CHARS,
+                            drop_label: int = RECONCILE_DROP_LABEL,
+                            num_buckets: int = 64):
+    """(id, n_chars, norm_q, status) — reconcile the quality-passing slice
+    of ``documents`` against the kept slice of ``embeddings`` by id: the
+    FULL OUTER join shape (both unmatched sides survive). This is the
+    coverage-audit every multi-artifact corpus needs — which passing docs
+    have no usable embedding ('doc_only'), which embeddings are orphaned
+    by the text-side filter ('emb_only') — and neither an inner nor a
+    one-sided outer join can answer both questions in one pass.
+
+    norm_q is the exact-integer quantized squared norm (sum of
+    round_half_away(x * 2^15)^2 — the stages/cluster quantization, so the
+    DuckDB twin replays it bit-identically). Scale shape: both inputs
+    collapse to narrow (id, scalar) streams at the read, then ONE
+    co-partitioning exchange through stages.joins.hash_join(join_type=
+    'full outer'); the per-bucket merge is Acero's coalesced-key full
+    outer join, never a broadcast."""
+    import pyarrow.compute as pc
+
+    from ..sources.reader import read_parquet_clean
+    from ..stages.cluster import _batch_embeddings, quantize
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, ["doc_id", "n_chars"])
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["n_chars"], min_chars))
+        return pa.table({"id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["label"], drop_label))
+        if t.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "norm_q": pa.array([], pa.int64())})
+        q = quantize(_batch_embeddings(t))
+        return pa.table({
+            "id": t["vec_id"],
+            "norm_q": pa.array(np.einsum("ij,ij->i", q, q)),
+        })
+
+    joined = hash_join(
+        docs.map_batches(doc_side, batch_format="pyarrow"),
+        emb.map_batches(emb_side, batch_format="pyarrow"),
+        on="id", right_cols=("norm_q",), num_buckets=num_buckets,
+        join_type="full outer",
+    )
+
+    def status(batch: pa.Table) -> pa.Table:
+        d_null = pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False)
+        e_null = pc.is_null(batch["r_norm_q"]).to_numpy(zero_copy_only=False)
+        st = np.where(d_null, "emb_only", np.where(e_null, "doc_only", "both"))
+        return pa.table({
+            "id": batch["id"],
+            "n_chars": batch["n_chars"],
+            "norm_q": batch["r_norm_q"],
+            "status": pa.array(st.astype(object)),
+        })
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
+def reconcile_sql(min_chars: int = RECONCILE_MIN_CHARS,
+                  drop_label: int = RECONCILE_DROP_LABEL) -> str:
+    """DuckDB replay of doc_embedding_reconcile: the same two filtered
+    narrow sides FULL OUTER joined, key coalesced, identical quantization."""
+    from ..stages.cluster import QUANT_SCALE
+
+    return (
+        f"WITH d AS (SELECT doc_id AS id, n_chars FROM documents "
+        f"WHERE n_chars >= {min_chars}), "
+        "e AS (SELECT vec_id AS id, CAST(sum(xq * xq) AS BIGINT) AS norm_q "
+        "FROM (SELECT vec_id, "
+        f"CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT_SCALE!r}) AS BIGINT) AS xq "
+        f"FROM embeddings WHERE label <> {drop_label}) GROUP BY vec_id) "
+        "SELECT COALESCE(d.id, e.id) AS id, d.n_chars, e.norm_q, "
+        "CASE WHEN d.id IS NULL THEN 'emb_only' "
+        "WHEN e.id IS NULL THEN 'doc_only' ELSE 'both' END AS status "
+        "FROM d FULL OUTER JOIN e ON d.id = e.id"
+    )

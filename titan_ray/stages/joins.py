@@ -177,9 +177,11 @@ def range_join(left, right, by: str, on: str, lo, hi, right_cols: tuple[str, ...
 
 def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: int = 64,
               join_type: str = "inner"):
-    """Generic equi-join for two LARGE datasets (``join_type`` "inner" or
+    """Generic equi-join for two LARGE datasets (``join_type`` "inner",
     "left outer" — unmatched left rows survive with null r_ columns, the
-    enrich-with-optional-side shape): both sides are tagged,
+    enrich-with-optional-side shape — or "full outer" — unmatched rows of
+    BOTH sides survive, the key coalesced across sides, null-padded
+    opposite columns: the reconciliation/audit shape): both sides are tagged,
     null-padded to one unified schema, bucketed by hash(on) and unioned, so a
     single narrow co-partitioning shuffle feeds a per-bucket vectorized
     pandas hash merge. Right columns come back as r_<col>.
@@ -236,7 +238,13 @@ def hash_join(left, right, on: str, right_cols: tuple[str, ...], num_buckets: in
         l = t.filter(pa.array(side == 0)).select(left_cols)
         r = t.filter(pa.array(side == 1)).select([on] + out_rcols)
         if l.num_rows == 0:
-            return out_schema.empty_table()
+            if join_type != "full outer" or r.num_rows == 0:
+                return out_schema.empty_table()
+            pad = [
+                (r[on] if c == on else pa.nulls(r.num_rows, type=ltypes[c]))
+                for c in left_cols
+            ] + [r[rc] for rc in out_rcols]
+            return pa.table(dict(zip(out_schema.names, pad))).cast(out_schema)
         if r.num_rows == 0:
             if join_type == "inner":
                 return out_schema.empty_table()
