@@ -456,6 +456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FULL OUTER reconciliation audit: docs-without-embeddings and
         # orphaned embeddings in ONE coalesced-key co-partitioned join
         "doc_embedding_reconcile": docqc.doc_embedding_reconcile,
+        # Pearson chi-squared independence grid (statistical-test class:
+        # each cell couples row margin x column margin x global total;
+        # exact cross-multiplied integer terms, zero cells included)
+        "doc_chi2_independence": docqc.doc_chi2_independence,
     }
 
 
@@ -671,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": graph.kcore_sql(GATE_SF),
         "events_window_median": events.window_median_sql(),
         "doc_embedding_reconcile": docqc.reconcile_sql(),
+        "doc_chi2_independence": docqc.chi2_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

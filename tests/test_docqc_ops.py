@@ -1387,3 +1387,44 @@ def test_doc_embedding_reconcile(ray_session, tmp_path):
     assert value_hash(eng) == value_hash(ora)
     # both unmatched classes genuinely occur on the real corpus
     assert {"doc_only", "emb_only", "both"} <= set(eng["status"])
+
+
+def test_doc_chi2_independence(ray_session, tmp_path):
+    """2x2 grid with a zero cell, hand-computed chi2 = 3.0 exactly; SQL
+    parity on the planted grid and the real corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import chi2_sql, doc_chi2_independence
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(["t"] * 6),
+        "lang": pa.array(["a", "a", "a", "a", "b", "b"]),
+        "source": pa.array(["x", "x", "x", "y", "y", "y"]),
+        "n_chars": pa.array([1] * 6, type=pa.int64()),
+    }), d / "documents.parquet")
+    out = to_pandas(doc_chi2_independence(str(d))).set_index(["lang", "source"])
+    # E = [[2,2],[1,1]]: terms .5, .5, 1 (zero cell!), 1 -> chi2 = 3.0
+    assert len(out) == 4                         # zero cell (b,x) present
+    assert out.loc[("b", "x"), "n_obs"] == 0
+    assert out.loc[("a", "x"), "chi2_term_micro"] == 500_000
+    assert out.loc[("b", "x"), "chi2_term_micro"] == 1_000_000
+    assert out["chi2_term_micro"].sum() == 3_000_000
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(chi2_sql()).df()
+    assert value_hash(out.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_chi2_independence(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(chi2_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

@@ -4363,3 +4363,83 @@ def reconcile_sql(min_chars: int = RECONCILE_MIN_CHARS,
         "WHEN e.id IS NULL THEN 'doc_only' ELSE 'both' END AS status "
         "FROM d FULL OUTER JOIN e ON d.id = e.id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (contingency-table statistic)
+# ---------------------------------------------------------------------------
+
+CHI2_SCALE = 1_000_000   # per-cell term emitted in exact integer micro-units
+
+
+def doc_chi2_independence(sf_dir: str):
+    """(lang, source, n_obs, chi2_term_micro) — the FULL lang x source
+    contingency grid (zero cells included: they carry expected-count mass,
+    omitting them understates the statistic) with each cell's exact
+    Pearson chi-squared contribution in integer micro-units:
+
+        term = (CHI2_SCALE * (N*O - R*C)^2) // (N * R * C)
+
+    — the cross-multiplied form of (O - E)^2 / E with E = R*C/N, one floor
+    division per cell, so the statistic Σ term is reproducible to the bit
+    regardless of partial/merge order. The statistical-test class: unlike
+    every grouped aggregate on the surface, the per-cell value couples a
+    row margin, a column margin, and the global total.
+
+    Scale shape: one pass of per-batch crosstab partials collapsing into
+    an enum-sized (|langs| x |sources| <= ~1e4 cells) groupby exchange;
+    the driver holds ONLY that grid and does the margin algebra in
+    arbitrary-precision Python ints ((N*O - R*C)^2 overflows int64 past
+    N ~ 3e9 rows — the spearman/moments convention)."""
+    import itertools
+
+    import pandas as pd
+
+    ds = _read(sf_dir, ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "source": batch["source"].to_pandas()})
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"]), "source": pa.array(g["source"]),
+                         "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64))})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"]).sum("cnt")
+        .to_pandas()   # enum-sized
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    obs = {(l, s): int(c) for l, s, c in
+           zip(grid["lang"], grid["source"], grid["cnt"])}
+    langs = sorted({k[0] for k in obs})
+    sources = sorted({k[1] for k in obs})
+    R = {l: sum(obs.get((l, s), 0) for s in sources) for l in langs}
+    C = {s: sum(obs.get((l, s), 0) for l in langs) for s in sources}
+    N = sum(R.values())
+    rows = []
+    for l, s in itertools.product(langs, sources):
+        o = obs.get((l, s), 0)
+        dev = N * o - R[l] * C[s]
+        rows.append((l, s, o, (CHI2_SCALE * dev * dev) // (N * R[l] * C[s])))
+    return pd.DataFrame(rows, columns=["lang", "source", "n_obs",
+                                       "chi2_term_micro"])
+
+
+def chi2_sql() -> str:
+    """DuckDB replay of doc_chi2_independence: margins as CTEs, the full
+    grid as a CROSS JOIN (zero cells via LEFT JOIN), the identical HUGEINT
+    cross-multiplied floor division."""
+    return (
+        "WITH o AS (SELECT lang, source, count(*) AS o FROM documents "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS r FROM o GROUP BY 1), "
+        "c AS (SELECT source, CAST(sum(o) AS HUGEINT) AS c FROM o GROUP BY 1), "
+        "n AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM o) "
+        "SELECT r.lang, c.source, CAST(COALESCE(o.o, 0) AS BIGINT) AS n_obs, "
+        f"CAST(({CHI2_SCALE} * (n.n * COALESCE(o.o, 0) - r.r * c.c) "
+        "* (n.n * COALESCE(o.o, 0) - r.r * c.c)) // (n.n * r.r * c.c) "
+        "AS BIGINT) AS chi2_term_micro "
+        "FROM r CROSS JOIN c CROSS JOIN n "
+        "LEFT JOIN o ON o.lang = r.lang AND o.source = c.source"
+    )
