@@ -460,6 +460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each cell couples row margin x column margin x global total;
         # exact cross-multiplied integer terms, zero cells included)
         "doc_chi2_independence": docqc.doc_chi2_independence,
+        # collocation mining: bigram lift (exp-PMI-monotone) — support
+        # pruned inside the merge, two vocabulary-sized margin joins,
+        # survivor-sized arbitrary-precision scoring
+        "doc_collocations": docqc.doc_collocations,
     }
 
 
@@ -676,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_median": events.window_median_sql(),
         "doc_embedding_reconcile": docqc.reconcile_sql(),
         "doc_chi2_independence": docqc.chi2_sql(),
+        "doc_collocations": docqc.collocations_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

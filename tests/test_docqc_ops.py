@@ -1428,3 +1428,47 @@ def test_doc_chi2_independence(ray_session, tmp_path):
     ora = con.sql(chi2_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_collocations(ray_session, tmp_path):
+    """Planted corpus: 'new york' collocates (always together), 'the cat'
+    is frequent but independent; exact lift values; SQL parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import collocations_sql, doc_collocations
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # 4 docs: "new york" x2 per doc (8 tokens), plus "the" & "cat" scattered
+    texts = ["new york new york", "new york the cat", "the cat new york",
+             "cat the new york"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), d / "documents.parquet")
+    out = to_pandas(doc_collocations(str(d), minsup=2)).set_index(["w1", "w2"])
+    # N = 16 tokens; c(new)=c(york)=5, c12(new,york)=5
+    # lift(new,york) = 16*5/(5*5) = 3.2 -> 3_200_000
+    assert out.loc[("new", "york"), "c12"] == 5
+    assert out.loc[("new", "york"), "lift_micro"] == 3_200_000
+    # "the cat": c(the)=3, c(cat)=3, c12=2 -> 16*2/(3*3) = 3.555..
+    assert out.loc[("the", "cat"), "lift_micro"] == (16 * 2 * 1_000_000) // 9
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(collocations_sql(minsup=2)).df()
+    assert value_hash(out.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_collocations(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(collocations_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

@@ -4443,3 +4443,144 @@ def chi2_sql() -> str:
         "FROM r CROSS JOIN c CROSS JOIN n "
         "LEFT JOIN o ON o.lang = r.lang AND o.source = c.source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (lift / PMI-monotone association score)
+# ---------------------------------------------------------------------------
+
+LIFT_SCALE = 1_000_000
+LIFT_MINSUP = 5          # bigram support floor (prunes the hapax tail)
+
+
+def doc_collocations(sf_dir: str, minsup: int = LIFT_MINSUP,
+                     num_buckets: int = 64):
+    """(w1, w2, c12, lift_micro) — word bigrams with support >= ``minsup``
+    scored by corpus lift
+
+        lift = N * c(w1,w2) / (c(w1) * c(w2)),
+
+    emitted as floor(LIFT_SCALE * N * c12 / (c1 * c2)) — exp(PMI) up to
+    the bigram/unigram normalizer, and PMI is monotone in it, so ranking
+    or thresholding on lift_micro IS ranking by PMI without a single
+    logarithm leaving integer arithmetic. The association-mining class:
+    collocations ('new york') score high because the pair outruns both
+    margins; frequent-but-independent pairs score ~LIFT_SCALE.
+
+    Scale shape: one text pass of per-batch (unigram, bigram) string-count
+    partials -> vocabulary-sized bucket merges (hash(w1) keyed, the
+    doc_lm_fluency restructure); the support filter prunes INSIDE the
+    merge so only qualifying bigrams reach the two narrow margin
+    hash_joins (on w1 then w2, each vocabulary-sized, never broadcast).
+    N is one scalar aggregate. The final lift is computed per surviving
+    row in arbitrary-precision Python ints (N * c12 * LIFT_SCALE clears
+    int64 past ~3e9 tokens; survivors are the minsup-pruned head, so the
+    object-dtype pass is bounded — the events_value_gmd convention)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    ds = _read(sf_dir, ["text"])
+
+    def _words(batch: pa.Table):
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        rid = np.repeat(np.arange(len(texts), dtype=np.int64), off[1:] - off[:-1])
+        values = lst.values
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        return np.asarray(values.filter(pa.array(keep)), dtype=object), rid[keep]
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        w, _ = _words(batch)
+        u, c = np.unique(w, return_counts=True)
+        bk = (pd.util.hash_array(u.astype(object)) % num_buckets).astype(np.int32)
+        return pa.table({"wd": pa.array(u, pa.string()),
+                         "c": pa.array(c.astype(np.int64)),
+                         "_b": pa.array(bk)})
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        w, rid = _words(batch)
+        if len(w) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c12": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int32())})
+        m = rid[1:] == rid[:-1]
+        df = pd.DataFrame({"w1": w[:-1][m], "w2": w[1:][m]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c12")
+        bk = (pd.util.hash_array(g["w1"].to_numpy(dtype=object)) % num_buckets).astype(np.int32)
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "c12": pa.array(g["c12"].to_numpy().astype(np.int64)),
+                         "_b": pa.array(bk)})
+
+    def merge_uni(t: pa.Table) -> pa.Table:
+        g = t.group_by("wd").aggregate([("c", "sum")])
+        return pa.table({"wd": g["wd"], "c": g["c_sum"]})
+
+    def merge_big(t: pa.Table) -> pa.Table:
+        g = t.group_by(["w1", "w2"]).aggregate([("c12", "sum")])
+        g = g.filter(pc.greater_equal(g["c12_sum"], minsup))   # prune in-merge
+        return pa.table({"w1": g["w1"], "w2": g["w2"], "c12": g["c12_sum"]})
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge_uni(t.drop_columns(["_b"])), batch_format="pyarrow")
+        .materialize()   # vocabulary-sized: feeds N + both margin joins
+    )
+    n_tokens = int(uni.sum("c") or 0)
+    big = (
+        ds.map_batches(big_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: merge_big(t.drop_columns(["_b"])), batch_format="pyarrow")
+    )
+    j1 = hash_join(big, uni.map_batches(
+        lambda t: pa.table({"w1": t["wd"], "c": t["c"]}), batch_format="pyarrow"),
+        on="w1", right_cols=("c",), num_buckets=num_buckets)
+    j2 = hash_join(j1.map_batches(
+        lambda t: pa.table({"w1": t["w1"], "w2": t["w2"], "c12": t["c12"],
+                            "c1": t["r_c"]}), batch_format="pyarrow"),
+        uni.map_batches(
+            lambda t: pa.table({"w2": t["wd"], "c": t["c"]}), batch_format="pyarrow"),
+        on="w2", right_cols=("c",), num_buckets=num_buckets)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        c2 = batch["r_c"].to_numpy(zero_copy_only=False)
+        # survivor-sized arbitrary-precision pass (see docstring)
+        lm = np.fromiter(
+            ((LIFT_SCALE * n_tokens * int(a)) // (int(b) * int(c))
+             for a, b, c in zip(c12, c1, c2)),
+            dtype=np.int64, count=len(c12))
+        return pa.table({"w1": batch["w1"], "w2": batch["w2"],
+                         "c12": batch["c12"], "lift_micro": pa.array(lm)})
+
+    return j2.map_batches(lift, batch_format="pyarrow")
+
+
+def collocations_sql(minsup: int = LIFT_MINSUP) -> str:
+    """DuckDB replay of doc_collocations: literal-string gram counts, the
+    identical HUGEINT floor division."""
+    return (
+        r"WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, w[CAST(i AS BIGINT)] AS w1, "
+        "w[CAST(i + 1 AS BIGINT)] AS w2 "
+        "FROM words, unnest(range(1, len(w) + 1)) t(i)), "
+        "uni AS (SELECT w1 AS wd, CAST(count(*) AS HUGEINT) AS c FROM tok GROUP BY 1), "
+        "n AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM uni), "
+        "big AS (SELECT w1, w2, CAST(count(*) AS HUGEINT) AS c12 FROM tok "
+        f"WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= {minsup}) "
+        "SELECT big.w1, big.w2, CAST(big.c12 AS BIGINT) AS c12, "
+        f"CAST(({LIFT_SCALE} * n.n * big.c12) // (u1.c * u2.c) AS BIGINT) AS lift_micro "
+        "FROM big CROSS JOIN n "
+        "JOIN uni u1 ON u1.wd = big.w1 JOIN uni u2 ON u2.wd = big.w2"
+    )
