@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pruned inside the merge, two vocabulary-sized margin joins,
         # survivor-sized arbitrary-precision scoring
         "doc_collocations": docqc.doc_collocations,
+        # training-mix stride interleave: weighted multi-source emission
+        # order (data-mixing primitive) off the distributed-scan machinery
+        "doc_mix_interleave": docqc.doc_mix_interleave,
     }
 
 
@@ -681,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_embedding_reconcile": docqc.reconcile_sql(),
         "doc_chi2_independence": docqc.chi2_sql(),
         "doc_collocations": docqc.collocations_sql(),
+        "doc_mix_interleave": docqc.mix_interleave_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1472,3 +1472,54 @@ def test_doc_collocations(ray_session, tmp_path):
     ora = con.sql(collocations_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_mix_interleave(ray_session, tmp_path):
+    """Stride schedule: weight-2 source emits 2 docs per weight-1 source's
+    1 in every prefix; ranks per source are doc_id-ordered; SQL parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import (
+        MIX_STRIDE,
+        doc_mix_interleave,
+        mix_interleave_sql,
+    )
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # 'aa' -> w = 1 + 2%3 = 3; 'abcd' -> w = 1 + 4%3 = 2
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 1, 9, 2, 7, 4], type=pa.int64()),
+        "text": pa.array(["t"] * 6),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["aa", "aa", "aa", "abcd", "abcd", "abcd"]),
+        "n_chars": pa.array([1] * 6, type=pa.int64()),
+    }), d / "documents.parquet")
+    out = to_pandas(doc_mix_interleave(str(d), bucket_range=4)).set_index("doc_id")
+    # ranks follow doc_id order within source, across range buckets
+    assert out.loc[1, "src_rank"] == 0 and out.loc[5, "src_rank"] == 1 \
+        and out.loc[9, "src_rank"] == 2
+    assert out.loc[2, "src_rank"] == 0 and out.loc[4, "src_rank"] == 1 \
+        and out.loc[7, "src_rank"] == 2
+    assert out.loc[1, "mix_key"] == MIX_STRIDE // 3
+    assert out.loc[2, "mix_key"] == MIX_STRIDE // 2
+    # stride fairness: in the first w_total emissions each source appears
+    # w_s times (3 of 'aa', 2 of 'abcd' among the 5 smallest keys)
+    first5 = out.sort_values(["mix_key", "source"]).head(5)["source"].tolist()
+    assert first5.count("aa") == 3 and first5.count("abcd") == 2
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(mix_interleave_sql()).df()
+    assert value_hash(out.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_mix_interleave(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(mix_interleave_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

@@ -4584,3 +4584,93 @@ def collocations_sql(minsup: int = LIFT_MINSUP) -> str:
         "FROM big CROSS JOIN n "
         "JOIN uni u1 ON u1.wd = big.w1 JOIN uni u2 ON u2.wd = big.w2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix stride interleave (deterministic source-weighted ordering)
+# ---------------------------------------------------------------------------
+
+MIX_STRIDE = 720720          # LCM(1..16): integer emission times for small weights
+MIX_RANGE = TOKEN_SHARD_RANGE
+
+
+def _mix_weight_py(source) -> int:
+    return 1 + len(source) % 3
+
+
+def doc_mix_interleave(sf_dir: str, bucket_range: int = MIX_RANGE):
+    """(doc_id, source, src_rank, mix_key) — the deterministic data-mixing
+    order for a weighted multi-source training run: doc r (0-based, doc_id
+    order within its source) of source s is emitted at stride-scheduling
+    time
+
+        mix_key = ((r + 1) * MIX_STRIDE) // w(s),   w(s) = 1 + len(s) % 3,
+
+    so sorting by (mix_key, source, doc_id) interleaves sources in exact
+    proportion to their weights at every prefix (the low-discrepancy
+    stride schedule, Waldspurger-style) — heavier sources recur more
+    often, no RNG, and membership of any doc's position is a pure function
+    of (source, rank), so resumes and incremental re-exports agree.
+
+    Scale shape: the token-shards DISTRIBUTED SCAN machinery pointed at a
+    per-source ordinal instead of a token prefix — pass 1 counts docs per
+    (source, doc_id-range bucket) and the driver keeps only the
+    |sources| x n_buckets exclusive-prefix grid; pass 2 is one bucket
+    exchange where each doc adds its in-bucket per-source cumcount to the
+    broadcast offset. int64 bound: (n_docs_per_source + 1) * MIX_STRIDE
+    < 2^63 holds to ~1.2e13 docs per source."""
+    import pandas as pd
+
+    ds = _read(sf_dir, ["doc_id", "source"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(did), "source": batch["source"],
+                         "_b": pa.array(did // bucket_range)})
+
+    slim = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "_b": batch["_b"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["source", "_b"], sort=False).size().reset_index(name="n")
+        return pa.table({"source": pa.array(g["source"]),
+                         "_b": pa.array(g["_b"].to_numpy()),
+                         "n": pa.array(g["n"].to_numpy().astype(np.int64))})
+
+    parts = slim.map_batches(counts, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby(["source", "_b"])["n"].sum().sort_index()
+    # per-source exclusive prefix across ascending buckets (tiny grid)
+    off = tot.groupby(level=0).cumsum() - tot
+    off = off.to_dict()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype=object),
+                                 "src_rank": pd.Series(dtype=np.int64),
+                                 "mix_key": pd.Series(dtype=np.int64)})
+        g = g.sort_values("doc_id")
+        b = int(g["_b"].iloc[0])
+        base = g["source"].map(lambda s: off[(s, b)]).to_numpy(dtype=np.int64)
+        r = base + g.groupby("source", sort=False).cumcount().to_numpy(dtype=np.int64)
+        w = g["source"].map(_mix_weight_py).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "source": g["source"].to_numpy(),
+                             "src_rank": r,
+                             "mix_key": ((r + 1) * MIX_STRIDE) // w})
+
+    return slim.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def mix_interleave_sql() -> str:
+    """DuckDB replay of doc_mix_interleave: row_number per source, the
+    identical stride floor division."""
+    return (
+        "WITH r AS (SELECT doc_id, source, "
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r "
+        "FROM documents) "
+        "SELECT doc_id, source, r AS src_rank, "
+        f"((r + 1) * {MIX_STRIDE}) // (1 + length(source) % 3) AS mix_key "
+        "FROM r"
+    )

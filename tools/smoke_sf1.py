@@ -114,7 +114,7 @@ def main() -> None:
     sf_dir = ensure_tables()
 
     from titan_ray.pipelines import docqc, events, relational
-    from titan_ray.stages import cluster, neardup
+    from titan_ray.stages import cluster, graph, neardup
 
     ops = {
         "embedding_kmeans": cluster.embedding_kmeans,
@@ -175,6 +175,15 @@ def main() -> None:
         "doc_spearman": docqc.doc_spearman,
         "embedding_power_iteration": cluster.embedding_power_iteration,
         "doc_cosine_pairs": lambda sf: docqc.doc_cosine_pairs(sf, max_df=10_000),
+        # closing session: k-core peel (edge-sized shrinking joins), sliding
+        # median (O(rows x k) window scratch), FULL OUTER reconcile (two
+        # narrow sides, one exchange), chi-squared grid (enum-sized driver
+        # state), collocation lift (vocabulary-sized merges + margin joins)
+        "graph_kcore": graph.graph_kcore,
+        "events_window_median": events.events_window_median,
+        "doc_embedding_reconcile": docqc.doc_embedding_reconcile,
+        "doc_chi2_independence": docqc.doc_chi2_independence,
+        "doc_collocations": docqc.doc_collocations,
     }
     only = set(sys.argv[1:])
     if only:
