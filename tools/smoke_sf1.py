@@ -184,6 +184,7 @@ def main() -> None:
         "doc_embedding_reconcile": docqc.doc_embedding_reconcile,
         "doc_chi2_independence": docqc.doc_chi2_independence,
         "doc_collocations": docqc.doc_collocations,
+        "doc_mix_interleave": docqc.doc_mix_interleave,
     }
     only = set(sys.argv[1:])
     if only:
