@@ -470,6 +470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed audio energy + zero crossings over the real WAV decode
         # (the VAD/silence-segmentation primitives; byte-walk twin)
         "media_audio_energy": multimodal.media_audio_energy,
+        # Boruvka minimum spanning forest: the fifth iterative graph shape
+        # (component coarsening + per-component min-edge election); the
+        # unique-forest cut property makes the twin round-free
+        "graph_mst": graph.graph_mst,
     }
 
 
@@ -688,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chi2_independence": docqc.chi2_sql(),
         "doc_collocations": docqc.collocations_sql(),
         "doc_mix_interleave": docqc.mix_interleave_sql(),
+        "graph_mst": graph.mst_sql(GATE_SF),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

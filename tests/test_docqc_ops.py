@@ -1523,3 +1523,45 @@ def test_doc_mix_interleave(ray_session, tmp_path):
     ora = con.sql(mix_interleave_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_graph_mst(ray_session):
+    """Boruvka forest == the cut-property twin (unique under the strict
+    (w64, a, b) order); spanning invariants: |forest| = n_nodes - n_comps,
+    acyclic, and every forest edge is a candidate edge."""
+    import duckdb
+    import numpy as np
+
+    from titan_ray.stages.graph import graph_mst, mst_sql
+    from titan_ray.stages.neardup import clusters_from_pairs, verified_pairs
+    import pyarrow.parquet as pq
+    from titan_ray.stages.neardup import ensure_candidates
+    from tools.check_contract import value_hash
+
+    sf = "/root/testdata/sf0.001"
+    eng = graph_mst(sf)
+    con = duckdb.connect()
+    ora = con.sql(mst_sql(0.001)).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+
+    # spanning-forest size: edges = nodes - components (of the candidate graph)
+    cand = pq.read_table(ensure_candidates(sf)).to_pandas()
+    comps = clusters_from_pairs(cand[["doc_a", "doc_b"]]).to_pandas()
+    n_nodes = comps["doc_id"].nunique()
+    n_comps = comps["cluster_id"].nunique()
+    assert len(eng) == n_nodes - n_comps
+    # every forest edge is a candidate edge
+    ce = set(zip(cand["doc_a"], cand["doc_b"]))
+    assert all((a, b) in ce for a, b in zip(eng["doc_a"], eng["doc_b"]))
+    # acyclic: union-find over the forest never sees a cycle
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(eng["doc_a"], eng["doc_b"]):
+        ra, rb = find(a), find(b)
+        assert ra != rb, "cycle in MST output"
+        parent[ra] = rb

@@ -556,3 +556,201 @@ def kcore_sql(sf: float = 0.01, k: int = KCORE_K,
         + f" SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS core_deg "
           f"FROM e{rounds} GROUP BY s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Boruvka) — the fifth iterative graph shape:
+# COMPONENT COARSENING with per-component min-edge election (vs value
+# propagation, label propagation, frontier relax, subgraph peeling)
+# ---------------------------------------------------------------------------
+
+MST_ROUNDS = 32                      # components at least halve per round:
+                                     # 32 rounds covers 2^32-node components
+MST_MULT_A = 6364136223846793005     # PCG64 multiplier (priority-sample idiom)
+MST_MULT_B = 1442695040888963407     # PCG64 increment, reused as second mixer
+
+
+def _mst_w64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 edge weight (a*MA + b*MB mod 2^64): a pure
+    function of the pair ids, replayable in SQL as HUGEINT % 2^64. The
+    election tie-breaks by (w, a, b), so the effective order is strictly
+    total and the minimum spanning forest is UNIQUE — which is what lets
+    the DuckDB twin verify via the cut property instead of replaying the
+    rounds."""
+    with np.errstate(over="ignore"):     # wraparound mod 2**64 IS the weight
+        return (a.astype(np.uint64) * np.uint64(MST_MULT_A)
+                + b.astype(np.uint64) * np.uint64(MST_MULT_B))
+
+
+def graph_mst(sf_dir: str, rounds: int = MST_ROUNDS, num_buckets: int = 64):
+    """(doc_a, doc_b, w_mod) — the unique minimum spanning FOREST of the
+    near-duplicate candidate graph under the deterministic strict edge
+    order (w64, a, b): for each duplicate family, the lightest skeleton of
+    verification edges that keeps it connected — the minimal audit set a
+    reviewer walks to confirm a family, where the full candidate graph is
+    quadratic in family size but the forest is linear.
+
+    Boruvka rounds, each with exactly the PageRank loop's machinery:
+    (1) two co-partitioned hash_joins label every edge endpoint with its
+    component; (2) intra-component edges are PRUNED (components only ever
+    merge, so they can never matter again — the edge set shrinks like
+    k-core's); (3) each component ELECTS its minimum cross edge inside one
+    component-bucket exchange (np.lexsort on (uint64 w, a, b), first per
+    component); (4) elected edges coarsen the component graph through
+    clusters_from_pairs — the SAME union-find-under-cap / distributed
+    min-label-propagation machinery dedup_clusters uses — and the new
+    labels re-attach via one LEFT OUTER hash_join (no broadcast). Early
+    exit when no cross edge remains. Elected edges per round and the
+    final forest are candidate-list-sized driver state (<= nodes - 1 —
+    the same class as the candidate artifact every neardup op already
+    reads).
+
+    Reference analog: the duplicate_check neighbourhood (read_data_to_
+    check.r:121-143) flags pairs; the forest is the cheapest connected
+    certificate of each flagged family."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .joins import hash_join
+    from .neardup import clusters_from_pairs, ensure_candidates
+
+    tbl = pq.read_table(ensure_candidates(sf_dir))
+    a0 = tbl["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b0 = tbl["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a0) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "w_mod": pd.Series(dtype=np.int64)})
+    w0 = _mst_w64(a0, b0)
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(a0), "b": pa.array(b0),
+        "w": pa.array(w0.view(np.int64)),     # uint64 bit pattern
+    })).materialize()
+    nodes = np.unique(np.concatenate([a0, b0]))
+    comp = rd.from_arrow(pa.table({"v": pa.array(nodes),
+                                   "comp": pa.array(nodes)})).materialize()
+
+    def _as_key(t: pa.Table, key: str) -> pa.Table:
+        return pa.table({key: t["v"], "comp": t["comp"]})
+
+    forest: list[pd.DataFrame] = []
+    for _ in range(rounds):
+        e1 = hash_join(edges,
+                       comp.map_batches(lambda t: _as_key(t, "a"), batch_format="pyarrow"),
+                       on="a", right_cols=("comp",), num_buckets=num_buckets)
+        e1 = e1.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"], "w": t["w"],
+                                "ca": t["r_comp"]}), batch_format="pyarrow")
+        e2 = hash_join(e1,
+                       comp.map_batches(lambda t: _as_key(t, "b"), batch_format="pyarrow"),
+                       on="b", right_cols=("comp",), num_buckets=num_buckets)
+
+        def cross_only(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t["ca"], t["r_comp"])
+            t = t.filter(keep)
+            return pa.table({"a": t["a"], "b": t["b"], "w": t["w"],
+                             "ca": t["ca"], "cb": t["r_comp"]})
+
+        cross = e2.map_batches(cross_only, batch_format="pyarrow").materialize()
+        if cross.count() == 0:
+            break
+
+        def emit(t: pa.Table) -> pa.Table:
+            two = pa.concat_tables([
+                pa.table({"comp": t["ca"], "a": t["a"], "b": t["b"],
+                          "w": t["w"], "ca": t["ca"], "cb": t["cb"]}),
+                pa.table({"comp": t["cb"], "a": t["a"], "b": t["b"],
+                          "w": t["w"], "ca": t["ca"], "cb": t["cb"]}),
+            ])
+            bk = (two["comp"].to_numpy(zero_copy_only=False) % num_buckets).astype(np.int32)
+            return two.append_column("_b", pa.array(bk))
+
+        def elect(t: pa.Table) -> pa.Table:
+            c = t["comp"].to_numpy(zero_copy_only=False)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False).view(np.uint64)
+            order = np.lexsort((b, a, w, c))
+            first = np.r_[True, c[order][1:] != c[order][:-1]]
+            sel = order[first]
+            return pa.table({"a": pa.array(a[sel]), "b": pa.array(b[sel]),
+                             "w": t["w"].take(pa.array(sel)),
+                             "ca": t["ca"].take(pa.array(sel)),
+                             "cb": t["cb"].take(pa.array(sel))})
+
+        elected = (
+            cross.map_batches(emit, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(lambda t: elect(t.drop_columns(["_b"])), batch_format="pyarrow")
+            .to_pandas()                      # <= #active components rows
+            .drop_duplicates(subset=["a", "b"])
+        )
+        forest.append(elected[["a", "b", "w"]])
+        labels = clusters_from_pairs(
+            elected.rename(columns={"ca": "doc_a", "cb": "doc_b"})[["doc_a", "doc_b"]]
+        ).to_pandas()
+        relabel = rd.from_arrow(pa.table({
+            "comp": pa.array(labels["doc_id"].to_numpy(dtype=np.int64)),
+            "new": pa.array(labels["cluster_id"].to_numpy(dtype=np.int64)),
+        }))
+        comp = hash_join(comp, relabel, on="comp", right_cols=("new",),
+                         num_buckets=num_buckets, join_type="left outer")
+        comp = comp.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "comp": pc.if_else(pc.is_null(t["r_new"]), t["comp"], t["r_new"]),
+            }), batch_format="pyarrow").materialize()
+        edges = cross.map_batches(
+            lambda t: t.select(["a", "b", "w"]), batch_format="pyarrow"
+        ).materialize()
+    else:
+        raise RuntimeError(
+            f"graph_mst: {rounds} Boruvka rounds did not converge — "
+            f"a component deeper than 2^{rounds} nodes (raise rounds)")
+
+    out = pd.concat(forest, ignore_index=True) if forest else pd.DataFrame(
+        {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+         "w": pd.Series(dtype=np.int64)})
+    w_mod = (out["w"].to_numpy().view(np.uint64) % np.uint64(1_000_000_000)).astype(np.int64)
+    return pd.DataFrame({"doc_a": out["a"].to_numpy(dtype=np.int64),
+                         "doc_b": out["b"].to_numpy(dtype=np.int64),
+                         "w_mod": w_mod}).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def mst_sql(sf: float = 0.01) -> str:
+    """DuckDB twin of graph_mst via the CUT PROPERTY instead of replaying
+    the rounds: under a strict total edge order the minimum spanning
+    forest is unique, and edge e belongs to it iff its endpoints are NOT
+    connected by strictly-lighter edges (lighter = (w, a, b) lexicographic,
+    w the identical HUGEINT mod-2^64 mix). One recursive CTE grows, for
+    every edge simultaneously, the set of nodes reachable from its 'a'
+    endpoint through lighter edges; e survives iff its 'b' endpoint is
+    never reached."""
+    from .neardup import candidates_path
+
+    path = candidates_path(sf)
+    two64 = 1 << 64
+    w = (f"CAST((CAST(doc_a AS HUGEINT) * {MST_MULT_A} "
+         f"+ CAST(doc_b AS HUGEINT) * {MST_MULT_B}) % {two64} AS HUGEINT)")
+    return f"""
+WITH RECURSIVE
+e AS (SELECT doc_a AS a, doc_b AS b, {w} AS w
+      FROM read_parquet('{path}')),
+sym AS (SELECT a AS u, b AS v, w, a, b FROM e
+        UNION ALL SELECT b, a, w, a, b FROM e),
+reach AS (
+  SELECT e.a AS ea, e.b AS eb, e.w AS ew, e.a AS node FROM e
+  UNION
+  SELECT r.ea, r.eb, r.ew, s.v
+  FROM reach r JOIN sym s ON s.u = r.node
+  WHERE s.w < r.ew OR (s.w = r.ew AND (s.a < r.ea OR (s.a = r.ea AND s.b < r.eb)))
+)
+SELECT e.a AS doc_a, e.b AS doc_b,
+       CAST(e.w % 1000000000 AS BIGINT) AS w_mod
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.ea = e.a AND r.eb = e.b AND r.node = e.b)
+ORDER BY doc_a, doc_b
+"""
