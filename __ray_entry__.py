@@ -474,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (component coarsening + per-component min-edge election); the
         # unique-forest cut property makes the twin round-free
         "graph_mst": graph.graph_mst,
+        # whole-partition rank window (percent_rank per language): ranking
+        # without sorting via the enum-sized histogram-CDF broadcast
+        "doc_percent_rank": docqc.doc_percent_rank,
     }
 
 
@@ -693,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_collocations": docqc.collocations_sql(),
         "doc_mix_interleave": docqc.mix_interleave_sql(),
         "graph_mst": graph.mst_sql(GATE_SF),
+        "doc_percent_rank": docqc.percent_rank_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1565,3 +1565,45 @@ def test_graph_mst(ray_session):
         ra, rb = find(a), find(b)
         assert ra != rb, "cycle in MST output"
         parent[ra] = rb
+
+
+def test_doc_percent_rank(ray_session, tmp_path):
+    """Percent rank within language: min-rank ties, single-doc partition
+    guard, exact floor scaling; SQL parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_percent_rank, percent_rank_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # lang a: lengths 10, 20, 20, 30 -> pr 0, 1/3, 1/3, 1 (min-rank ties)
+    # lang b: single doc -> pr 0 (guarded n-1 division)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["t"] * 5),
+        "lang": pa.array(["a", "a", "a", "a", "b"]),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([10, 20, 20, 30, 7], type=pa.int64()),
+    }), d / "documents.parquet")
+    out = to_pandas(doc_percent_rank(str(d))).set_index("doc_id")
+    assert out.loc[0, "pr_micro"] == 0
+    assert out.loc[1, "pr_micro"] == 1_000_000 // 3
+    assert out.loc[2, "pr_micro"] == 1_000_000 // 3
+    assert out.loc[3, "pr_micro"] == 1_000_000
+    assert out.loc[4, "pr_micro"] == 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(percent_rank_sql()).df()
+    assert value_hash(out.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_percent_rank(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(percent_rank_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

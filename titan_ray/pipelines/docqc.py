@@ -4674,3 +4674,81 @@ def mix_interleave_sql() -> str:
         f"((r + 1) * {MIX_STRIDE}) // (1 + length(source) % 3) AS mix_key "
         "FROM r"
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent rank within partition (whole-partition rank window)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000
+
+
+def doc_percent_rank(sf_dir: str):
+    """(doc_id, lang, n_chars, pr_micro) — every document's percent rank
+    of n_chars WITHIN its language, floor-scaled to micro-units:
+    pr = (min_rank - 1) / (n_lang - 1), the SQL percent_rank() window.
+    The whole-partition rank-window class: unlike the frame windows
+    (sliding sum/distinct/median) the rank couples each row to its ENTIRE
+    partition, and unlike the quantile cuts the output is per-row.
+
+    Scale shape: ranking WITHOUT sorting the data (the doc_spearman
+    machinery) — one enum-sized (lang, n_chars) histogram exchange (length
+    is bounded, so the value domain is enum-sized even when rows aren't),
+    the driver holds only that grid, and a broadcast CDF turns pass 2 into
+    a stateless vectorized searchsorted. min_rank(v) = 1 + #smaller; the
+    floor division is exact integers end to end."""
+    import pandas as pd
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "v": batch["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "v"], sort=False).size().reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"]), "v": pa.array(g["v"].to_numpy()),
+                         "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "v"]).sum("cnt")
+        .to_pandas()   # enum-sized: |langs| x |distinct lengths|
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    cdf = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("v")
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        # smaller[i] = #values strictly below v_i; n = partition size
+        cdf[lang] = (g["v"].to_numpy(dtype=np.int64),
+                     np.concatenate([[0], np.cumsum(c)[:-1]]), int(c.sum()))
+    ref = ray.put(cdf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(v), dtype=np.int64)
+        for lang in np.unique(langs):
+            vals, smaller, n = table[lang]
+            m = langs == lang
+            if n <= 1:
+                continue
+            idx = np.searchsorted(vals, v[m])
+            pr[m] = (smaller[idx] * PR_SCALE) // (n - 1)
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "n_chars": batch["n_chars"], "pr_micro": pa.array(pr)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def percent_rank_sql() -> str:
+    """DuckDB replay of doc_percent_rank: the identical floor-scaled
+    (rank()-1)/(n-1) windows."""
+    return (
+        "SELECT doc_id, lang, n_chars, "
+        "CASE WHEN count(*) OVER (PARTITION BY lang) <= 1 THEN 0 ELSE "
+        f"((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * {PR_SCALE}) "
+        "// (count(*) OVER (PARTITION BY lang) - 1) END AS pr_micro "
+        "FROM documents"
+    )
