@@ -477,6 +477,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whole-partition rank window (percent_rank per language): ranking
         # without sorting via the enum-sized histogram-CDF broadcast
         "doc_percent_rank": docqc.doc_percent_rank,
+        # greedy cooldown chain (throttle/debounce): the sequential
+        # pointer-chain class — vectorized cross-user searchsorted jumps;
+        # ASOF-successor + recursive pointer-walk twin
+        "events_throttle": events.events_throttle,
     }
 
 
@@ -697,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mix_interleave": docqc.mix_interleave_sql(),
         "graph_mst": graph.mst_sql(GATE_SF),
         "doc_percent_rank": docqc.percent_rank_sql(),
+        "events_throttle": events.throttle_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -609,3 +609,49 @@ def test_events_window_median(ray_session, tmp_path):
     ora = con.sql(window_median_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_throttle(ray_session, tmp_path):
+    """Greedy cooldown chain: skipped events don't reset the clock, ties at
+    a kept instant all count, per-user independence; SQL parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.events import events_throttle, throttle_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1 at ts 0, 5, 12, 12, 13, 30 with cooldown 10:
+    # kept 0 (skip 5), kept 12 (x2 tie), skip 13, kept 30. user 2: single.
+    us = [0, 5, 12, 12, 13, 30, 2]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(7), type=pa.int64()),
+        "ts": pa.array(us, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 6 + [2], type=pa.int64()),
+        "event_type": pa.array(["a"] * 7),
+        "value": pa.array([0.0] * 7),
+        "props": pa.array([""] * 7),
+    }), d / "events.parquet")
+    eng = to_pandas(events_throttle(str(d), cooldown_us=10)).sort_values(
+        ["user_id", "ts_us"]).reset_index(drop=True)
+    assert eng[eng["user_id"] == 1]["ts_us"].tolist() == [0, 12, 30]
+    assert eng[(eng["user_id"] == 1) & (eng["ts_us"] == 12)]["n_events"].iloc[0] == 2
+    assert eng[eng["user_id"] == 2]["ts_us"].tolist() == [2]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.sql(throttle_sql(cooldown_us=10)).df()
+    assert value_hash(eng) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(events_throttle(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(throttle_sql()).df()
+    assert len(eng) == len(ora) > 0
+    # throttling must actually drop something at the default cooldown
+    n_instants = con.sql("SELECT count(*) FROM (SELECT DISTINCT user_id, ts FROM events)").fetchone()[0]
+    assert len(eng) < n_instants
+    assert value_hash(eng) == value_hash(ora)

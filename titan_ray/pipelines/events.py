@@ -2556,3 +2556,114 @@ def value_gmd_sql() -> str:
         "CAST(max(n) * (max(n) - 1) // 2 AS DOUBLE) AS gmd_milli "
         "FROM r GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Throttle / debounce (greedy cooldown selection — rate limiting)
+# ---------------------------------------------------------------------------
+
+THROTTLE_US = 1_800_000_000   # 30-minute cooldown, integer microseconds
+
+
+def events_throttle(sf_dir: str, cooldown_us: int = THROTTLE_US,
+                    num_buckets: int = 64):
+    """(user_id, ts_us, n_events) — the GREEDY cooldown chain per user:
+    the first event instant is kept, then the next kept instant is the
+    earliest one >= kept + cooldown, recursively (notification throttling,
+    alert debouncing, crawl politeness). The greedy-sequential-selection
+    class: kept_{i+1} depends on kept_i through an argmin over the data,
+    so no window frame, prefix scan, or CUSUM-style prefix-extreme
+    linearization reproduces it — it is a pointer CHAIN.
+
+    Scale shape: one user-bucket exchange (the events_window_distinct
+    convention, distinct instants per user inside the bucket); the
+    per-bucket kernel walks ALL users' chains simultaneously — each
+    iteration advances every still-active user with ONE vectorized
+    searchsorted over the stride-adjusted timestamp array (the adjustment
+    confines each probe to its own user's segment), so the loop count is
+    max kept-per-user (duration/cooldown bounded), each costing
+    O(active · log rows), with zero per-row Python. Ties at a kept instant
+    are all kept (the instant is the unit; n_events counts them). The
+    DuckDB twin materializes every instant's cooldown successor with one
+    scalar subquery, then replays the chain as a recursive pointer walk."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        # distinct (user, instant) with multiplicity
+        key = np.stack([uid, ts])
+        uq, counts = np.unique(key, axis=1, return_counts=True)
+        u, s = uq[0], uq[1]
+        # already lexsorted by (u, s) from np.unique
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.nonzero(new)[0]
+        seg_end = np.r_[starts[1:], len(u)]
+        uidx = np.cumsum(new) - 1
+        rel = s - s.min()
+        stride = int(rel.max()) + cooldown_us + 1
+        assert int(uidx[-1]) * stride < 2**63, "throttle stride overflow"
+        adj = rel + uidx * stride
+        ends = seg_end[uidx]                     # each row's segment end
+        cur = starts.copy()                      # every user's first instant
+        kept_idx = [cur.copy()]
+        while True:
+            nxt = np.searchsorted(adj, adj[cur] + cooldown_us, side="left")
+            alive = nxt < ends[cur]              # stays in the same segment
+            if not alive.any():
+                break
+            cur = nxt[alive]
+            kept_idx.append(cur.copy())
+        sel = np.concatenate(kept_idx)
+        return pa.table({"user_id": pa.array(u[sel]),
+                         "ts_us": pa.array(s[sel]),
+                         "n_events": pa.array(counts[sel].astype(np.int64))})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+    )
+
+
+def throttle_sql(cooldown_us: int = THROTTLE_US) -> str:
+    """DuckDB replay of events_throttle: per-instant cooldown successors
+    via a scalar subquery, the chain via a recursive pointer walk (joins
+    only in the recursive term — no aggregates, as DuckDB requires)."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT user_id AS u, epoch_us(ts) AS t, count(*) AS n
+      FROM events GROUP BY 1, 2),
+nxt AS (SELECT a.u, a.t,
+               (SELECT min(b.t) FROM e b
+                WHERE b.u = a.u AND b.t >= a.t + {cooldown_us}) AS nx
+        FROM e a),
+kept AS (
+  SELECT u, min(t) AS t FROM e GROUP BY u
+  UNION ALL
+  SELECT k.u, n.nx FROM kept k
+  JOIN nxt n ON n.u = k.u AND n.t = k.t
+  WHERE n.nx IS NOT NULL
+)
+SELECT k.u AS user_id, k.t AS ts_us, CAST(e.n AS BIGINT) AS n_events
+FROM kept k JOIN e ON e.u = k.u AND e.t = k.t
+"""
