@@ -481,6 +481,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pointer-chain class — vectorized cross-user searchsorted jumps;
         # ASOF-successor + recursive pointer-walk twin
         "events_throttle": events.events_throttle,
+        # 2D convex hull per language: the geometric frontier class
+        # (skyline's all-directions cousin); associative hull merges,
+        # extreme-edge NOT EXISTS twin, integer cross products
+        "doc_hull_points": docqc.doc_hull_points,
     }
 
 
@@ -702,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mst": graph.mst_sql(GATE_SF),
         "doc_percent_rank": docqc.percent_rank_sql(),
         "events_throttle": events.throttle_sql(),
+        "doc_hull_points": docqc.hull_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1607,3 +1607,48 @@ def test_doc_percent_rank(ray_session, tmp_path):
     ora = con.sql(percent_rank_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_hull_points(ray_session, tmp_path):
+    """Convex hull: interior + edge-midpoint points dropped, all-collinear
+    language reduces to endpoints, single-point language kept; SQL parity.
+    y = token count ('x ' * y gives y single-letter tokens)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_hull_points, hull_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # lang a: unit square corners (0,0)(0,2)(2,0)(2,2) as (n_chars, len),
+    # midpoint (1,0) on an edge and center (1,1) inside -> both dropped
+    # lang b: collinear (0,0)(1,1)(2,2) -> endpoints only
+    # lang c: single point
+    pts = [("a", 0, 0), ("a", 0, 2), ("a", 2, 0), ("a", 2, 2), ("a", 1, 0),
+           ("a", 1, 1), ("b", 0, 0), ("b", 1, 1), ("b", 2, 2), ("c", 5, 3)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(pts)), type=pa.int64()),
+        "text": pa.array(["x " * y for _, _, y in pts]),
+        "lang": pa.array([l for l, _, _ in pts]),
+        "source": pa.array(["s"] * len(pts)),
+        "n_chars": pa.array([x for _, x, _ in pts], type=pa.int64()),
+    }), d / "documents.parquet")
+    out = to_pandas(doc_hull_points(str(d)))
+    got = {(l, x, y) for l, x, y in zip(out["lang"], out["x"], out["y"])}
+    assert got == {("a", 0, 0), ("a", 0, 2), ("a", 2, 0), ("a", 2, 2),
+                   ("b", 0, 0), ("b", 2, 2), ("c", 5, 3)}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(hull_sql()).df()
+    assert value_hash(out) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_hull_points(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(hull_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

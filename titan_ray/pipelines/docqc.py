@@ -4752,3 +4752,130 @@ def percent_rank_sql() -> str:
         "// (count(*) OVER (PARTITION BY lang) - 1) END AS pr_micro "
         "FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D convex hull per language (geometric frontier)
+# ---------------------------------------------------------------------------
+
+
+def _hull_chain(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain with STRICT turns (collinear boundary points
+    dropped) over distinct lexsorted points; returns selected indices.
+    The loop is over the candidate frontier, whose size is bounded by the
+    distinct value domain, not by row count."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ax, ay = x[out[-2]], y[out[-2]]
+                bx, by = x[out[-1]], y[out[-1]]
+                if (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    order = np.lexsort((y, x))
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.unique(np.concatenate([lower, upper]))
+
+
+def doc_hull_points(sf_dir: str):
+    """(lang, x, y) — the convex-hull VERTICES of each language's distinct
+    (n_chars, token-count) point cloud: the geometric frontier class.
+    doc_skyline's dominance frontier is the axis-aligned quarter of this;
+    the hull is extreme in EVERY direction — the outlier boundary a 2D
+    QC scatter gates on (points inside the hull are linear mixtures of
+    observed extremes; vertices are the extremes themselves).
+
+    Hulls merge ASSOCIATIVELY (hull(A∪B) = hull(hull(A)∪hull(B))), so the
+    shape is skyline's: per-batch local hulls over per-lang DISTINCT
+    points (frontier size is value-domain-bounded, not row-bounded), one
+    enum-keyed lang exchange of frontier points only, a final chain per
+    lang. Strict turns drop collinear boundary points — exactly the twin's
+    extreme-EDGE characterization ((p,q) is a hull edge iff every other
+    point is strictly left or collinear-between; vertices = edge
+    endpoints, plus single-point languages). Integer cross products
+    end to end — exact at any coordinate scale below 2^31."""
+    import pandas as pd
+
+    ds = _read(sf_dir, ["lang", "n_chars", "text"])
+
+    def local_hull(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = token_count(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        ).astype(np.int64)
+        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        out_l, out_x, out_y = [], [], []
+        for lang in np.unique(langs):
+            m = langs == lang
+            pts = np.unique(np.stack([nc[m], ch[m]]), axis=1)
+            sel = _hull_chain(pts[0], pts[1])
+            out_l.append(np.full(len(sel), lang, dtype=object))
+            out_x.append(pts[0][sel])
+            out_y.append(pts[1][sel])
+        if not out_l:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        return pa.table({"lang": pa.array(np.concatenate(out_l), pa.string()),
+                         "x": pa.array(np.concatenate(out_x)),
+                         "y": pa.array(np.concatenate(out_y))})
+
+    def merge_hull(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        out_l, out_x, out_y = [], [], []
+        for lang in np.unique(langs):
+            m = langs == lang
+            pts = np.unique(np.stack([x[m], y[m]]), axis=1)
+            sel = _hull_chain(pts[0], pts[1])
+            out_l.append(np.full(len(sel), lang, dtype=object))
+            out_x.append(pts[0][sel])
+            out_y.append(pts[1][sel])
+        return pa.table({"lang": pa.array(np.concatenate(out_l), pa.string()),
+                         "x": pa.array(np.concatenate(out_x)),
+                         "y": pa.array(np.concatenate(out_y))})
+
+    return (
+        ds.map_batches(local_hull, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge_hull, batch_format="pyarrow")
+    )
+
+
+def hull_sql() -> str:
+    """DuckDB replay of doc_hull_points via the extreme-edge
+    characterization: ordered pair (p, q) is a hull edge iff every other
+    point r of the language satisfies cross(p,q,r) > 0 OR (collinear AND
+    between p and q); vertices = DISTINCT edge endpoints, plus languages
+    with a single distinct point."""
+    return (
+        "WITH pts AS (SELECT DISTINCT lang, CAST(n_chars AS BIGINT) AS x, "
+        f"CAST(length(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS BIGINT) AS y "
+        "FROM documents), "
+        "edge AS (SELECT p.lang, p.x AS px, p.y AS py, q.x AS qx, q.y AS qy "
+        "FROM pts p JOIN pts q ON q.lang = p.lang "
+        "AND (p.x <> q.x OR p.y <> q.y) "
+        "WHERE NOT EXISTS (SELECT 1 FROM pts r WHERE r.lang = p.lang "
+        "AND (r.x <> p.x OR r.y <> p.y) AND (r.x <> q.x OR r.y <> q.y) "
+        "AND NOT ((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0 "
+        "OR ((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) = 0 "
+        "AND r.x BETWEEN LEAST(p.x, q.x) AND GREATEST(p.x, q.x) "
+        "AND r.y BETWEEN LEAST(p.y, q.y) AND GREATEST(p.y, q.y))))), "
+        "verts AS (SELECT lang, px AS x, py AS y FROM edge "
+        "UNION SELECT lang, qx, qy FROM edge "
+        "UNION SELECT lang, x, y FROM pts WHERE lang IN "
+        "(SELECT lang FROM pts GROUP BY lang HAVING count(*) = 1)) "
+        "SELECT DISTINCT lang, x, y FROM verts"
+    )
