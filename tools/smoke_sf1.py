@@ -185,6 +185,13 @@ def main() -> None:
         "doc_chi2_independence": docqc.doc_chi2_independence,
         "doc_collocations": docqc.doc_collocations,
         "doc_mix_interleave": docqc.doc_mix_interleave,
+        # late closing ops: Boruvka forest (component coarsening over the
+        # shared candidate artifact), greedy cooldown chains (pointer-jump
+        # rounds), histogram-CDF percent rank, associative hull merges
+        "graph_mst": graph.graph_mst,
+        "events_throttle": events.events_throttle,
+        "doc_percent_rank": docqc.doc_percent_rank,
+        "doc_hull_points": docqc.doc_hull_points,
     }
     only = set(sys.argv[1:])
     if only:
