@@ -485,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (skyline's all-directions cousin); associative hull merges,
         # extreme-edge NOT EXISTS twin, integer cross products
         "doc_hull_points": docqc.doc_hull_points,
+        # multi-pattern dictionary scan: K substring counters per pass
+        # (badword/compliance lists); replace-identity twin
+        "doc_term_hits": docqc.doc_term_hits,
     }
 
 
@@ -707,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": docqc.percent_rank_sql(),
         "events_throttle": events.throttle_sql(),
         "doc_hull_points": docqc.hull_sql(),
+        "doc_term_hits": docqc.term_hits_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1652,3 +1652,42 @@ def test_doc_hull_points(ray_session, tmp_path):
     ora = con.sql(hull_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_doc_term_hits(ray_session, tmp_path):
+    """Dictionary scan: non-overlapping counts (str.count == replace
+    identity), zero-hit terms kept with 0s; SQL parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.docqc import doc_term_hits, term_hits_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["aaa scanscan table", "no match"]),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([18, 8], type=pa.int64()),
+    }), d / "documents.parquet")
+    out = to_pandas(doc_term_hits(str(d), terms=("aa", "scan", "zzz"))).set_index("term")
+    assert out.loc["aa", "n_hits"] == 1          # non-overlapping in "aaa"
+    assert out.loc["scan", "n_hits"] == 2 and out.loc["scan", "n_docs"] == 1
+    assert out.loc["zzz", "n_hits"] == 0 and out.loc["zzz", "n_docs"] == 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(term_hits_sql(terms=("aa", "scan", "zzz"))).df()
+    assert value_hash(out.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_term_hits(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(term_hits_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    assert (eng["n_hits"] > 0).any()

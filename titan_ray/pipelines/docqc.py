@@ -4879,3 +4879,63 @@ def hull_sql() -> str:
         "(SELECT lang FROM pts GROUP BY lang HAVING count(*) = 1)) "
         "SELECT DISTINCT lang, x, y FROM verts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary term scan (multi-pattern substring counting)
+# ---------------------------------------------------------------------------
+
+TERM_LIST = ("scan", "table", "fast", "slow", "customer")
+
+
+def doc_term_hits(sf_dir: str, terms: tuple[str, ...] = TERM_LIST):
+    """(term, n_docs, n_hits) — non-overlapping substring occurrence counts
+    of a fixed term dictionary across the corpus: the multi-pattern scan
+    class (badword lists, compliance dictionaries, product-name audits —
+    K patterns against every document in one pass, where pattern_flag runs
+    ONE regex as a gate and scrub rewrites). Non-overlapping left-to-right
+    counting is exactly str.count == Arrow count_substring == the twin's
+    (length - length(replace)) / length(term) identity.
+
+    Scale shape: one text pass; per batch, K vectorized Arrow
+    count_substring kernels (K is dictionary-sized — for thousands of
+    patterns swap in an Aho-Corasick actor pool, same partial shape);
+    partials are K-row (term, docs, hits) tables merged in one tiny
+    groupby. Driver holds K rows."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        rows = []
+        for term in terms:
+            c = pc.count_substring(texts, term).to_numpy(zero_copy_only=False)
+            rows.append((term, int((c > 0).sum()), int(c.sum())))
+        return pa.table({"term": pa.array([r[0] for r in rows]),
+                         "n_docs": pa.array(np.array([r[1] for r in rows], dtype=np.int64)),
+                         "n_hits": pa.array(np.array([r[2] for r in rows], dtype=np.int64))})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term").sum(["n_docs", "n_hits"])
+        .to_pandas()   # K rows
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_hits)": "n_hits"})
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def term_hits_sql(terms: tuple[str, ...] = TERM_LIST) -> str:
+    """DuckDB replay of doc_term_hits: the replace-based non-overlapping
+    count identity per (doc, term), aggregated."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return (
+        f"WITH t(term) AS (VALUES {vals}), "
+        "h AS (SELECT d.doc_id, t.term, "
+        "(length(d.text) - length(replace(d.text, t.term, ''))) "
+        "// length(t.term) AS hits FROM documents d CROSS JOIN t) "
+        "SELECT term, CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_docs, "
+        "CAST(sum(hits) AS BIGINT) AS n_hits FROM h GROUP BY term ORDER BY term"
+    )
