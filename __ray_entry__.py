@@ -488,6 +488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-pattern dictionary scan: K substring counters per pass
         # (badword/compliance lists); replace-identity twin
         "doc_term_hits": docqc.doc_term_hits,
+        # set symmetric difference of two REAL filters' keep-sets (the
+        # filter-calibration audit): one full-outer exchange, both EXCEPTs
+        "doc_filter_disagreement": docqc.doc_filter_disagreement,
     }
 
 
@@ -711,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "events_throttle": events.throttle_sql(),
         "doc_hull_points": docqc.hull_sql(),
         "doc_term_hits": docqc.term_hits_sql(),
+        "doc_filter_disagreement": docqc.filter_disagreement_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -1691,3 +1691,34 @@ def test_doc_term_hits(ray_session, tmp_path):
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
     assert (eng["n_hits"] > 0).any()
+
+
+def test_doc_filter_disagreement(ray_session):
+    """Symmetric difference of the two real filters' keep-sets: every row
+    is in exactly one keep-set, and the engine == the FULL OUTER twin."""
+    import duckdb
+
+    from titan_ray.pipelines.docqc import (
+        doc_filter_disagreement,
+        doc_gopher_filter,
+        doc_quality_filter,
+        filter_disagreement_sql,
+    )
+    from tools.check_contract import to_pandas, value_hash
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(doc_filter_disagreement(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.sql(filter_disagreement_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # cross-check against the operators themselves
+    qs = set(to_pandas(doc_quality_filter(SF))["doc_id"])
+    gf = to_pandas(doc_gopher_filter(SF))
+    gs = set(gf[gf["keep"] == 1]["doc_id"])
+    want_q = qs - gs
+    want_g = gs - qs
+    got_q = set(eng[eng["kept_by"] == "quality_only"]["doc_id"])
+    got_g = set(eng[eng["kept_by"] == "gopher_only"]["doc_id"])
+    assert got_q == want_q and got_g == want_g

@@ -4939,3 +4939,64 @@ def term_hits_sql(terms: tuple[str, ...] = TERM_LIST) -> str:
         "SELECT term, CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_docs, "
         "CAST(sum(hits) AS BIGINT) AS n_hits FROM h GROUP BY term ORDER BY term"
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter disagreement audit (set symmetric difference of two keep-sets)
+# ---------------------------------------------------------------------------
+
+
+def doc_filter_disagreement(sf_dir: str, num_buckets: int = 64):
+    """(doc_id, kept_by) — the SYMMETRIC DIFFERENCE of two independent
+    quality filters' keep-sets: docs the length/token gate keeps but the
+    Gopher rules reject ('quality_only') and vice versa ('gopher_only').
+    The filter-calibration audit every pipeline migration needs — the
+    disagreement set is what a reviewer samples before swapping filters —
+    and the set-algebra class (EXCEPT both ways in one pass): built as
+    ONE full-outer co-partitioned hash_join of the two keep-sets with
+    presence markers, keeping rows where exactly one side exists. Both
+    inputs are narrow (doc_id) streams computed by the registered filter
+    operators themselves, so this audits the REAL filters, not copies."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    q = doc_quality_filter(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "qk": pa.array(np.ones(t.num_rows, dtype=np.int8))}),
+        batch_format="pyarrow")
+
+    def g_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["keep"], 1))   # keep is an int64 0/1 verdict
+        return pa.table({"doc_id": t["doc_id"],
+                         "gk": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    g = doc_gopher_filter(sf_dir).map_batches(g_side, batch_format="pyarrow")
+    j = hash_join(q, g, on="doc_id", right_cols=("gk",),
+                  num_buckets=num_buckets, join_type="full outer")
+
+    def disagree(t: pa.Table) -> pa.Table:
+        qn = pc.is_null(t["qk"])
+        gn = pc.is_null(t["r_gk"])
+        t = t.filter(pc.or_(qn, gn))
+        gn = pc.is_null(t["r_gk"]).to_numpy(zero_copy_only=False)
+        kept_by = np.where(gn, "quality_only", "gopher_only").astype(object)
+        return pa.table({"doc_id": t["doc_id"], "kept_by": pa.array(kept_by)})
+
+    return j.map_batches(disagree, batch_format="pyarrow")
+
+
+def filter_disagreement_sql() -> str:
+    """DuckDB replay: FULL OUTER of the two keep-set twins, exactly-one-
+    side-null rows labeled."""
+    q = ("SELECT doc_id FROM documents WHERE length(text) BETWEEN 20 AND 2000 "
+         f"AND length(regexp_extract_all(text, '{_TOKEN_PATTERN}')) >= 5")
+    g = f"SELECT doc_id FROM ({gopher_sql()}) WHERE keep = 1"
+    return (
+        f"WITH q AS ({q}), g AS ({g}) "
+        "SELECT COALESCE(q.doc_id, g.doc_id) AS doc_id, "
+        "CASE WHEN g.doc_id IS NULL THEN 'quality_only' "
+        "ELSE 'gopher_only' END AS kept_by "
+        "FROM q FULL OUTER JOIN g ON q.doc_id = g.doc_id "
+        "WHERE q.doc_id IS NULL OR g.doc_id IS NULL"
+    )
