@@ -491,6 +491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set symmetric difference of two REAL filters' keep-sets (the
         # filter-calibration audit): one full-outer exchange, both EXCEPTs
         "doc_filter_disagreement": docqc.doc_filter_disagreement,
+        # whole-schema referential-integrity audit: every FK edge's orphan
+        # counts via distinct-key anti-joins (fact rows never move)
+        "tpch_fk_audit": relational.tpch_fk_audit,
     }
 
 
@@ -715,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hull_points": docqc.hull_sql(),
         "doc_term_hits": docqc.term_hits_sql(),
         "doc_filter_disagreement": docqc.filter_disagreement_sql(),
+        "tpch_fk_audit": relational.fk_audit_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

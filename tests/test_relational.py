@@ -1298,3 +1298,57 @@ def test_tpch_sole_returner(ray_session, tmp_path):
     ora = con.sql(sole_returner_sql()).df()
     assert len(eng) == len(ora) > 0
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_tpch_fk_audit(ray_session, tmp_path):
+    """FK audit: planted orphans are counted by rows AND distinct keys;
+    the clean corpus returns all zeros; SQL parity on both."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.relational import FK_EDGES, fk_audit_sql, tpch_fk_audit
+    from tools.check_contract import to_pandas, value_hash
+
+    # planted mini-schema: lineitem rows 2+1 pointing at two missing orders,
+    # one order pointing at a missing customer; everything else intact
+    d = tmp_path / "sf"
+    d.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in ("part", "supplier", "customer", "nation", "region"):
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"), d / f"{t}.parquet")
+    orders = pq.read_table(f"{src}/orders.parquet")
+    li = pq.read_table(f"{src}/lineitem.parquet")
+    # corrupt: 3 lineitem rows -> orderkeys -1 (x2) and -2; 1 order -> custkey -7
+    ok = li["l_orderkey"].to_numpy(zero_copy_only=False).copy()
+    ok[0] = ok[1] = -1
+    ok[2] = -2
+    li = li.set_column(li.column_names.index("l_orderkey"), "l_orderkey",
+                       pa.array(ok, type=pa.int64()))
+    ck = orders["o_custkey"].to_numpy(zero_copy_only=False).copy()
+    ck[0] = -7
+    orders = orders.set_column(orders.column_names.index("o_custkey"), "o_custkey",
+                               pa.array(ck, type=pa.int64()))
+    pq.write_table(li, d / "lineitem.parquet")
+    pq.write_table(orders, d / "orders.parquet")
+
+    eng = to_pandas(tpch_fk_audit(str(d))).set_index("fk")
+    assert eng.loc["lineitem.l_orderkey->orders.o_orderkey", "n_orphan_rows"] == 3
+    assert eng.loc["lineitem.l_orderkey->orders.o_orderkey", "n_orphan_keys"] == 2
+    assert eng.loc["orders.o_custkey->customer.c_custkey", "n_orphan_rows"] == 1
+    assert eng.loc["customer.c_nationkey->nation.n_nationkey", "n_orphan_rows"] == 0
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "part", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    ora = con.sql(fk_audit_sql()).df()
+    assert value_hash(eng.reset_index()) == value_hash(ora)
+    con.close()
+
+    eng = to_pandas(tpch_fk_audit(src))
+    assert (eng["n_orphan_rows"] == 0).all()   # the generated schema is clean
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "part", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}/{t}.parquet'")
+    ora = con.sql(fk_audit_sql()).df()
+    assert len(eng) == len(FK_EDGES) == len(ora)
+    assert value_hash(eng) == value_hash(ora)

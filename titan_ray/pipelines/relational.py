@@ -1275,3 +1275,99 @@ def sole_returner_sql() -> str:
         "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
         "GROUP BY l1.l_suppkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan counts across the whole schema)
+# ---------------------------------------------------------------------------
+
+FK_EDGES = (
+    # (fact table, fk column, dim table, pk column)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def tpch_fk_audit(sf_dir: str, num_buckets: int = 64):
+    """(fk, n_orphan_rows, n_orphan_keys) — the whole-schema referential-
+    integrity audit: for every FK edge, how many fact rows (and how many
+    distinct key values) reference a dimension key that does not exist.
+    The first query a data platform runs after any ingest/migration; a
+    healthy warehouse returns all zeros, and a non-zero row pinpoints the
+    broken edge. Exercises EVERY anti-join in one pass.
+
+    Scale shape per edge: the fact side collapses to per-batch DISTINCT
+    (key, n_rows) partials — only distinct keys with their multiplicities
+    cross the wire, never fact rows — co-partitioned with the dimension's
+    distinct keys by key % B; each bucket drops present keys with one
+    sorted np.isin (the tpch_cust_no_orders anti shape). The final result
+    is |FK_EDGES| rows."""
+    out_rows = []
+    for fact, fk, dim, pk in FK_EDGES:
+        f = read_parquet_clean(f"{sf_dir}/{fact}.parquet", columns=[fk])
+        d = read_parquet_clean(f"{sf_dir}/{dim}.parquet", columns=[pk])
+
+        def fact_side(batch: pa.Table, fk=fk) -> pa.Table:
+            k, c = np.unique(
+                batch[fk].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True)
+            return pa.table({
+                "key": pa.array(k), "n": pa.array(c.astype(np.int64)),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                "_b": pa.array((k % num_buckets).astype(np.int32)),
+            })
+
+        def dim_side(batch: pa.Table, pk=pk) -> pa.Table:
+            k = np.unique(batch[pk].to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({
+                "key": pa.array(k),
+                "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+                "_b": pa.array((k % num_buckets).astype(np.int32)),
+            })
+
+        def anti(t: pa.Table) -> pa.Table:
+            side = t["side"].to_numpy(zero_copy_only=False)
+            k = t["key"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            have = np.unique(k[side == 1])
+            miss = (side == 0) & ~np.isin(k, have)
+            # distinct keys may repeat across fact batches — collapse
+            mk, inv = np.unique(k[miss], return_inverse=True)
+            rows = np.bincount(inv, weights=n[miss]).astype(np.int64) \
+                if len(mk) else np.array([], dtype=np.int64)
+            return pa.table({
+                "n_rows": pa.array([int(rows.sum())], type=pa.int64()),
+                "n_keys": pa.array([len(mk)], type=pa.int64()),
+            })
+
+        parts = (
+            f.map_batches(fact_side, batch_format="pyarrow")
+            .union(d.map_batches(dim_side, batch_format="pyarrow"))
+            .groupby("_b")
+            .map_groups(lambda t: anti(t.drop_columns(["_b"])), batch_format="pyarrow")
+            .to_pandas()   # num_buckets rows per edge
+        )
+        out_rows.append((f"{fact}.{fk}->{dim}.{pk}",
+                         int(parts["n_rows"].sum()), int(parts["n_keys"].sum())))
+    return pd.DataFrame(out_rows, columns=["fk", "n_orphan_rows", "n_orphan_keys"]) \
+        .sort_values("fk").reset_index(drop=True)
+
+
+def fk_audit_sql() -> str:
+    """DuckDB replay of tpch_fk_audit: one NOT-IN aggregate per FK edge,
+    UNION ALL'd."""
+    parts = []
+    for fact, fk, dim, pk in FK_EDGES:
+        parts.append(
+            f"SELECT '{fact}.{fk}->{dim}.{pk}' AS fk, "
+            f"CAST(count(*) AS BIGINT) AS n_orphan_rows, "
+            f"CAST(count(DISTINCT {fk}) AS BIGINT) AS n_orphan_keys "
+            f"FROM {fact} WHERE {fk} NOT IN (SELECT {pk} FROM {dim})"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY fk"
