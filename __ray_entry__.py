@@ -494,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whole-schema referential-integrity audit: every FK edge's orphan
         # counts via distinct-key anti-joins (fact rows never move)
         "tpch_fk_audit": relational.tpch_fk_audit,
+        # exact OLS slope per type (regression-fit class) with base-1e9
+        # LIMB accumulation — the past-int64 pattern demonstrated live
+        "events_ols_slope": events.events_ols_slope,
     }
 
 
@@ -719,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_hits": docqc.term_hits_sql(),
         "doc_filter_disagreement": docqc.filter_disagreement_sql(),
         "tpch_fk_audit": relational.fk_audit_sql(),
+        "events_ols_slope": events.ols_slope_sql(),
         "doc_cms_wordcounts": docqc.cms_wordcounts_sql(),
         "doc_vocab_hll": docqc.vocab_hll_sql(),
         "doc_bm25_topk": docqc.bm25_sql(),

@@ -655,3 +655,56 @@ def test_events_throttle(ray_session, tmp_path):
     n_instants = con.sql("SELECT count(*) FROM (SELECT DISTINCT user_id, ts FROM events)").fetchone()[0]
     assert len(eng) < n_instants
     assert value_hash(eng) == value_hash(ora)
+
+
+def test_events_ols_slope(ray_session, tmp_path):
+    """OLS slope: planted y = 2x + 1 recovers slope 2.0 exactly (milli y,
+    second x); negative slope truncates toward zero like the twin; limb
+    reconstruction is exact; SQL parity on the real corpus."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.pipelines.events import (
+        OLS_BASE_S,
+        _limbs3,
+        events_ols_slope,
+        ols_slope_sql,
+    )
+    from tools.check_contract import to_pandas, value_hash
+
+    v = 123456789012345678901
+    assert sum(l * 10**(9 * i) for i, l in enumerate(_limbs3(v))) == v
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # type a: y = 2x + 1 at x = 0..4 s after base -> slope 2.0 = 2_000_000
+    # type b: y = -x -> slope -1.0 = -1_000_000 (negative truncation path)
+    xs = np.arange(5, dtype=np.int64)
+    ts = (OLS_BASE_S + xs) * 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(10), type=pa.int64()),
+        "ts": pa.array(np.concatenate([ts, ts]), type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 10, type=pa.int64()),
+        "event_type": pa.array(["a"] * 5 + ["b"] * 5),
+        "value": pa.array(np.concatenate([2.0 * xs + 1.0, -1.0 * xs])),
+        "props": pa.array([""] * 10),
+    }), d / "events.parquet")
+    eng = to_pandas(events_ols_slope(str(d))).set_index("event_type")
+    # y is in MILLI units: slope milli-y per second = 2000 -> micro 2_000_000_000
+    assert eng.loc["a", "slope_micro"] == 2000 * 1_000_000
+    assert eng.loc["b", "slope_micro"] == -1000 * 1_000_000
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.sql(ols_slope_sql()).df()
+    assert value_hash(eng.reset_index()) == value_hash(ora)
+    con.close()
+
+    SF = "/root/testdata/sf0.001"
+    eng = to_pandas(events_ols_slope(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ora = con.sql(ols_slope_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)

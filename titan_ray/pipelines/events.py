@@ -2667,3 +2667,117 @@ kept AS (
 SELECT k.u AS user_id, k.t AS ts_us, CAST(e.n AS BIGINT) AS n_events
 FROM kept k JOIN e ON e.u = k.u AND e.t = k.t
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression slope (exact-rational fit via limb accumulation)
+# ---------------------------------------------------------------------------
+
+OLS_BASE_S = 1577836800    # 2020-01-01 epoch seconds: re-zeros x
+OLS_SCALE = 1_000_000
+_LIMB = 1_000_000_000      # base-1e9 limbs keep every partial int64-safe
+
+
+def _limbs3(v: int) -> tuple[int, int, int]:
+    q, l0 = divmod(int(v), _LIMB)
+    l2, l1 = divmod(q, _LIMB)
+    return l0, l1, l2
+
+
+def events_ols_slope(sf_dir: str):
+    """(event_type, n, slope_micro) — the exact ordinary-least-squares
+    slope of value (milli-ints, the _vm convention) against event time
+    (whole seconds re-zeroed at 2020-01-01) per event type, floor-scaled:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+
+    truncated toward zero at micro precision (sign handled explicitly on
+    both sides, the power-iteration division convention). The regression-
+    fit class: a RATIO of moment combinations, not a single aggregate.
+
+    Scale shape — SPLIT ACCUMULATION: Sxx per batch overflows int64 past
+    ~10^4 rows of epoch-scale x^2, so each per-batch moment is computed
+    in exact Python ints and emitted as three base-1e9 LIMBS; limbs sum
+    int64-safely through one enum-sized groupby exchange (each limb sum
+    stays < 1e9 * n_batches), and the driver reconstructs the exact
+    moments from |types| rows of limbs in arbitrary precision. This is
+    the accumulation pattern the PageRank docstring prescribes past
+    int64 bounds, demonstrated end-to-end. HUGEINT twin (n*Sxy clears
+    128 bits to ~1e38-scale corpora)."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    moment_cols = ("n", "sx", "sy", "sxy", "sxx")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        x = (ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 1_000_000 - OLS_BASE_S)
+        y = _vm(batch)
+        types = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+        rows = []
+        for t in np.unique(types):
+            m = types == t
+            xs, ys = x[m], y[m]
+            # first moments are int64-safe per batch; the second-order
+            # sums are NOT (x*y ~ 1e14, x*x ~ 4e16 per row) — object-dtype
+            # dots run the products in exact Python ints
+            xo = xs.astype(object)
+            mom = (int(m.sum()), int(xs.sum()), int(ys.sum()),
+                   int(np.dot(xo, ys.astype(object))), int(np.dot(xo, xo)))
+            row = {"event_type": t}
+            for name, v in zip(moment_cols, mom):
+                for i, limb in enumerate(_limbs3(v)):
+                    row[f"{name}{i}"] = limb
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    limb_cols = [f"{n}{i}" for n in moment_cols for i in range(3)]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").sum(limb_cols)
+        .to_pandas()   # |types| rows
+    )
+    out = []
+    for _, r in agg.iterrows():
+        mom = {}
+        for name in moment_cols:
+            mom[name] = sum(int(r[f"sum({name}{i})"]) * _LIMB ** i for i in range(3))
+        n, sx, sy, sxy, sxx = (mom[c] for c in moment_cols)
+        num = (n * sxy - sx * sy) * OLS_SCALE
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = 0
+        else:
+            sign = -1 if (num < 0) != (den < 0) else 1
+            slope = sign * (abs(num) // abs(den))
+        out.append((r["event_type"], n, slope))
+    return pd.DataFrame(out, columns=["event_type", "n", "slope_micro"]) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def ols_slope_sql() -> str:
+    """DuckDB replay of events_ols_slope: HUGEINT moments, identical
+    truncate-toward-zero scaled division."""
+    S = OLS_SCALE
+    return (
+        "WITH e AS (SELECT event_type, "
+        f"CAST(epoch_us(ts) // 1000000 - {OLS_BASE_S} AS HUGEINT) AS x, "
+        "CAST(floor(abs(value)*1000 + 0.5) AS HUGEINT) "
+        "* CAST(sign(value) AS HUGEINT) AS y FROM events), "
+        "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+        "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx "
+        "FROM e GROUP BY 1) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        "CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0 ELSE "
+        f"CASE WHEN ((n*sxy - sx*sy) < 0) <> ((n*sxx - sx*sx) < 0) "
+        f"THEN -((abs(n*sxy - sx*sy) * {S}) // abs(n*sxx - sx*sx)) "
+        f"ELSE (abs(n*sxy - sx*sy) * {S}) // abs(n*sxx - sx*sx) END END "
+        "AS BIGINT) AS slope_micro "
+        "FROM m ORDER BY event_type"
+    )
