@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 SMOKE_DIR = "/tmp/titan_ray_smoke/sf1.0"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
-SMOKE_VERSION = "v2"  # v2: + events / relational tables (round-4 verdict item 7)
+SMOKE_VERSION = "v3"  # v3: + part/supplier/region (FK-audit closure); v2: + events/relational
 
 
 def ensure_tables() -> str:
@@ -88,7 +88,11 @@ def ensure_tables() -> str:
     blow_up("lineitem", {"l_orderkey": ok})
     blow_up("orders", {"o_orderkey": ok, "o_custkey": ck})
     blow_up("customer", {"c_custkey": ck})
-    pq.write_table(pq.read_table(f"{SRC_DIR}/nation.parquet"), f"{SMOKE_DIR}/nation.parquet")
+    # small dimensions copied as-is: blown-up fact copies keep their
+    # part/supplier/nation/region keys, so every FK edge stays closed
+    for name in ("nation", "region", "part", "supplier"):
+        pq.write_table(pq.read_table(f"{SRC_DIR}/{name}.parquet"),
+                       f"{SMOKE_DIR}/{name}.parquet")
     with open(marker, "w") as f:
         f.write(SMOKE_VERSION + "\n")
     return SMOKE_DIR
@@ -192,6 +196,12 @@ def main() -> None:
         "events_throttle": events.events_throttle,
         "doc_percent_rank": docqc.doc_percent_rank,
         "doc_hull_points": docqc.doc_hull_points,
+        # final closing ops: K-counter dictionary scan, symmetric-difference
+        # filter audit, FK anti-join suite, limb-accumulated OLS moments
+        "doc_term_hits": docqc.doc_term_hits,
+        "doc_filter_disagreement": docqc.doc_filter_disagreement,
+        "tpch_fk_audit": relational.tpch_fk_audit,
+        "events_ols_slope": events.events_ols_slope,
     }
     only = set(sys.argv[1:])
     if only:
