@@ -21,7 +21,7 @@ from titan_ray.functions.features import _TOKEN_PATTERN
 from titan_ray.functions.scrub import SCRUB_RULES
 from titan_ray.pipelines import docqc, events, qc_battery, relational
 from titan_ray.pipelines.qc import build_qc_pipeline
-from titan_ray.stages import ann, cluster, graph, multimodal, neardup
+from titan_ray.stages import ann, bpe, cluster, graph, multimodal, neardup
 from titan_ray.state import dedup_index
 
 
@@ -147,7 +147,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_fluency": docqc.doc_lm_fluency,
         "doc_scrub": docqc.doc_scrub,
         "doc_langid": docqc.doc_langid,
-        "doc_length_quantiles": docqc.doc_length_quantiles,
+        # round-5 continuation rotation: BPE tokenizer training (the
+        # iterate(aggregate -> global argmax -> broadcast rewrite) class the
+        # window lacked) takes doc_length_quantiles' slot — exact distributed
+        # quantiles stay exercised by the in-window distributed-selection row
+        # events_value_median; the retiree stays registered + oracle-backed
+        # past the window (rotation rule, round-4 advice item 1)
+        "doc_bpe_merges": bpe.doc_bpe_merges,
         "doc_decontaminate": docqc.doc_decontaminate,
         "doc_top_tfidf": docqc.doc_top_tfidf,
         "doc_quality_classifier": docqc.doc_quality_classifier,
@@ -221,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": docqc.doc_quality_filter,
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_length_stats": docqc.doc_length_stats,
+        "doc_length_quantiles": docqc.doc_length_quantiles,
         # round-5 final rotation (same rule as above: every entry here
         # stays SQL-oracle-backed + pytest-covered; each is strictly
         # subsumed by stronger in-window machinery — token_counts by
@@ -623,6 +630,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) SELECT word, count(*) AS n FROM w "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
         ),
+        # BPE tokenizer training: k merge rounds unrolled as chained CTEs,
+        # greedy rewrite as a recursive iterated-first-occurrence replace
+        "doc_bpe_merges": bpe.bpe_sql(),
         "doc_length_quantiles": (
             "SELECT count(*) AS n_docs, "
             "quantile_disc(length(text), 0.25) AS p25, "
