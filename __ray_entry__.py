@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pattern_flag": docqc.doc_pattern_flag,
         "doc_length_stats": docqc.doc_length_stats,
         "doc_length_quantiles": docqc.doc_length_quantiles,
+        # tokenizer APPLICATION under the learned merge table (fertility
+        # per doc): the trained symbol table joins the word stream through
+        # one co-partitioned hash_join — SQL-hash-checked
+        "doc_bpe_encode": bpe.doc_bpe_encode,
         # round-5 final rotation (same rule as above: every entry here
         # stays SQL-oracle-backed + pytest-covered; each is strictly
         # subsumed by stronger in-window machinery — token_counts by
@@ -633,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         # BPE tokenizer training: k merge rounds unrolled as chained CTEs,
         # greedy rewrite as a recursive iterated-first-occurrence replace
         "doc_bpe_merges": bpe.bpe_sql(),
+        "doc_bpe_encode": bpe.bpe_encode_sql(),
         "doc_length_quantiles": (
             "SELECT count(*) AS n_docs, "
             "quantile_disc(length(text), 0.25) AS p25, "

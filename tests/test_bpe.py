@@ -98,6 +98,53 @@ def test_bpe_partition_invariance(ray_session, tmp_path):
     assert a == b
 
 
+def test_bpe_encode_matches_reference_python(ray_session, tmp_path):
+    from titan_ray.stages.bpe import doc_bpe_encode
+
+    sf_dir = _write_docs(tmp_path, CORPUS)
+    got = doc_bpe_encode(sf_dir, k=6).to_pandas().set_index("doc_id").sort_index()
+
+    merges = _reference_bpe(CORPUS, 6)
+    rules = [(a, b) for _, a, b, _ in merges]
+
+    def encode(word):
+        s = list(word)
+        for a, b in rules:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return len(s)
+
+    for doc_id, text in enumerate(CORPUS):
+        words = re.findall(r"[a-z]+", text.lower())
+        if not words:
+            assert doc_id not in got.index  # zero-word docs emit no row
+            continue
+        assert got.loc[doc_id, "n_words"] == len(words)
+        assert got.loc[doc_id, "n_bpe_tokens"] == sum(encode(w) for w in words)
+
+
+def test_bpe_encode_sql_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from titan_ray.stages.bpe import bpe_encode_sql, doc_bpe_encode
+    from tools.check_contract import to_pandas, value_hash
+
+    sf_dir = _write_docs(tmp_path, CORPUS)
+    eng = to_pandas(doc_bpe_encode(sf_dir, k=5))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(bpe_encode_sql(k=5)).df()
+    assert len(eng) == len(ora)
+    assert value_hash(eng) == value_hash(ora)
+
+
 def test_bpe_exhausted_corpus_raises(ray_session, tmp_path):
     from titan_ray.stages.bpe import doc_bpe_merges
 

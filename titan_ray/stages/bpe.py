@@ -238,10 +238,10 @@ def _merge_rule(batch: pa.Table, a: str, b: str) -> pa.Table:
     return pa.table({"sym": sym, "cnt": batch["cnt"]})
 
 
-def doc_bpe_merges(sf_dir: str, k: int = BPE_K, num_buckets: int = BPE_BUCKETS):
-    """Learn the first ``k`` BPE merge rules over documents.text.
-
-    Returns (merge_rank int64, lhs, rhs, pair_count int64) — k rows."""
+def _train(sf_dir: str, k: int, num_buckets: int):
+    """Shared trainer: returns (merge rows, final vocab Dataset after all k
+    rewrites). doc_bpe_merges reports the rules; doc_bpe_encode also uses
+    the final symbol table (word -> token count) to encode the corpus."""
     vocab = build_vocab(sf_dir, num_buckets=num_buckets)
     ranks: list[int] = []
     lhs: list[str] = []
@@ -270,17 +270,114 @@ def doc_bpe_merges(sf_dir: str, k: int = BPE_K, num_buckets: int = BPE_BUCKETS):
         vocab = vocab.map_batches(
             lambda t, _a=a, _b=b: _merge_rule(t, _a, _b), batch_format="pyarrow"
         ).materialize()  # vocabulary-sized state per round
-    return pa.table({
+    merges = pa.table({
         "merge_rank": pa.array(ranks, type=pa.int64()),
         "lhs": pa.array(lhs, type=pa.string()),
         "rhs": pa.array(rhs, type=pa.string()),
         "pair_count": pa.array(counts, type=pa.int64()),
     })
+    return merges, vocab
 
 
-def bpe_sql(k: int = BPE_K) -> str:
-    """DuckDB replay: k merge rounds unrolled as chained CTEs; the greedy
-    rewrite is a recursive iterated-first-occurrence replace per round."""
+def doc_bpe_merges(sf_dir: str, k: int = BPE_K, num_buckets: int = BPE_BUCKETS):
+    """Learn the first ``k`` BPE merge rules over documents.text.
+
+    Returns (merge_rank int64, lhs, rhs, pair_count int64) — k rows."""
+    merges, _ = _train(sf_dir, k, num_buckets)
+    return merges
+
+
+def doc_bpe_encode(sf_dir: str, k: int = BPE_K, num_buckets: int = BPE_BUCKETS,
+                   join_buckets: int = 64):
+    """Tokenizer APPLICATION — encode the corpus under the learned merge
+    table and report per-doc fertility: (doc_id, n_words, n_bpe_tokens).
+
+    The trained symbol table IS the encoder: after the k rewrites every
+    vocabulary word carries its final token count, so encoding the corpus
+    is a join, not a re-tokenization — per-batch DISTINCT (doc_id,
+    word-hash, multiplicity) triples co-partition with the vocabulary's
+    (word-hash, token-count) rows through ONE stages.joins.hash_join
+    exchange (narrow: 24 B/word occurrence class, never the text), then a
+    doc-sized groupby sums words and tokens. Words are 64-bit FNV hashes on
+    the wire; the SQL twin joins the literal strings, so a collision would
+    surface as a driver-gate mismatch (doc_vocab_size convention). Docs
+    with zero [a-z]+ words emit no row on either side (inner-join
+    semantics, documented)."""
+    import pyarrow.compute as pc
+
+    from ..sources.reader import read_parquet_clean
+    from .joins import hash_join
+
+    _, vocab = _train(sf_dir, k, num_buckets)
+
+    def vstats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n_tok": pa.array([], type=pa.int64())})
+        sym = _tokens(t["sym"])
+        word = pc.replace_substring(sym, " ", "")
+        # ' a b ' has n_tok + 1 separators
+        n_tok = pc.subtract(pc.count_substring(sym, " "), 1)
+        return pa.table({"h": pa.array(_fnv64(word).view(np.int64)),
+                         "n_tok": pc.cast(n_tok, pa.int64())})
+
+    vt = vocab.map_batches(vstats, batch_format="pyarrow")
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "h": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        texts = _tokens(batch["text"])
+        low = pc.utf8_lower(texts)
+        clean = pc.replace_substring_regex(low, "[^a-z]+", " ")
+        lst = pc.split_pattern(clean, " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        values = lst.values
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        rid = np.repeat(np.arange(batch.num_rows, dtype=np.int64), off[1:] - off[:-1])
+        keep = np.asarray(pc.not_equal(values, "").fill_null(False))
+        values, rid = values.filter(pa.array(keep)), rid[keep]
+        if len(rid) == 0:
+            return empty
+        enc = pc.dictionary_encode(values)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = len(enc.dictionary)
+        pcode = rid * v + codes
+        uniq, cnt = np.unique(pcode, return_counts=True)
+        hv = _fnv64(enc.dictionary).view(np.int64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc_ids[uniq // v]),
+                         "h": pa.array(hv[uniq % v]),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    stream = ds.map_batches(doc_words, batch_format="pyarrow")
+    joined = hash_join(stream, vt, on="h", right_cols=("n_tok",),
+                       num_buckets=join_buckets)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        nt = t["r_n_tok"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "w": t["c"],
+                         "t": pa.array((c * nt).astype(np.int64))})
+
+    agg = joined.map_batches(weigh, batch_format="pyarrow").groupby("doc_id").sum(["w", "t"])
+    return agg.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "n_words": b["sum(w)"],
+                            "n_bpe_tokens": b["sum(t)"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _chain_ctes(k: int, last_rewrite: bool) -> list[str]:
+    """The k merge rounds as chained CTEs (power-iteration convention); the
+    greedy rewrite is a recursive iterated-first-occurrence replace per
+    round. ``last_rewrite`` controls whether round k's rewrite (needed only
+    when the final symbol table is observed) is emitted."""
     ctes = [
         "w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
         "FROM documents)",
@@ -288,7 +385,6 @@ def bpe_sql(k: int = BPE_K) -> str:
         "'[a-z]'), ' ') || ' ' AS s, CAST(count(*) AS BIGINT) AS cnt "
         "FROM w GROUP BY word)",
     ]
-    finals = []
     for r in range(1, k + 1):
         prev = f"v{r - 1}"
         pat = f"(SELECT ' '||a||' '||b||' ' FROM b{r})"
@@ -305,7 +401,7 @@ def bpe_sql(k: int = BPE_K) -> str:
             f"b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} "
             f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
         )
-        if r < k:  # the last round's rewrite is never observed
+        if r < k or last_rewrite:
             ctes.append(
                 f"m{r} AS (SELECT s, cnt FROM {prev} UNION ALL "
                 f"SELECT substr(s, 1, pos-1) || {rep} || "
@@ -317,7 +413,35 @@ def bpe_sql(k: int = BPE_K) -> str:
                 f"v{r} AS MATERIALIZED (SELECT s, cnt FROM m{r} "
                 f"WHERE instr(s, {pat}) = 0)"
             )
-        finals.append(
-            f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM b{r}"
-        )
+    return ctes
+
+
+def bpe_sql(k: int = BPE_K) -> str:
+    """DuckDB replay of doc_bpe_merges: the learned rule table."""
+    ctes = _chain_ctes(k, last_rewrite=False)
+    finals = [
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    ]
     return "WITH RECURSIVE " + ", ".join(ctes) + " " + " UNION ALL ".join(finals)
+
+
+def bpe_encode_sql(k: int = BPE_K) -> str:
+    """DuckDB replay of doc_bpe_encode: the final symbol table joins the
+    literal word stream (the engine joins 64-bit FNV hashes — a collision
+    would surface here as a gate mismatch)."""
+    ctes = _chain_ctes(k, last_rewrite=True)
+    ctes.append(
+        f"vt AS (SELECT replace(s, ' ', '') AS word, "
+        f"len(str_split(trim(s), ' ')) AS n_tok FROM v{k})"
+    )
+    ctes.append(
+        "wd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS word FROM documents)"
+    )
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) +
+        " SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens "
+        "FROM wd JOIN vt v USING(word) GROUP BY wd.doc_id"
+    )

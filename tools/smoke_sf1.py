@@ -118,7 +118,7 @@ def main() -> None:
     sf_dir = ensure_tables()
 
     from titan_ray.pipelines import docqc, events, relational
-    from titan_ray.stages import cluster, graph, neardup
+    from titan_ray.stages import bpe, cluster, graph, neardup
 
     ops = {
         "embedding_kmeans": cluster.embedding_kmeans,
@@ -202,6 +202,11 @@ def main() -> None:
         "doc_filter_disagreement": docqc.doc_filter_disagreement,
         "tpch_fk_audit": relational.tpch_fk_audit,
         "events_ols_slope": events.events_ols_slope,
+        # continuation session: BPE trainer (k vocabulary-sized rounds,
+        # driver state = <=num_buckets candidate rows per round) and the
+        # encode join (narrow co-partitioned word-hash stream)
+        "doc_bpe_merges": bpe.doc_bpe_merges,
+        "doc_bpe_encode": bpe.doc_bpe_encode,
     }
     only = set(sys.argv[1:])
     if only:
