@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frame-pair luma SAD over the real Y4M decode path (temporal video
         # QC signal), byte-walk SQL twin like media_features
         "media_scene_cuts": multimodal.media_scene_cuts,
+        # 64-bit perceptual dHash over the real PPM decode (image near-dup
+        # primitive; exact cross-multiplied grid-mean comparisons), byte-walk
+        # SQL twin like media_features
+        "media_image_dhash": multimodal.media_image_dhash,
         # unbounded-preceding prefix-sum window (running per-user total)
         "events_cumsum": events.events_cumsum,
         # argmax row per group (top revenue line of every order; winners,
@@ -756,6 +760,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # per-window audio energy + zero crossings, same byte-walk convention
         "media_audio_energy": multimodal.audio_energy_sql(
+            f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
+        ),
+        # 64-bit dHash as two 32-bit halves, same byte-walk convention
+        "media_image_dhash": multimodal.image_dhash_sql(
             f"{multimodal.MEDIA_ROOT}/sf{GATE_SF:g}"
         ),
         "doc_quality_filter": (

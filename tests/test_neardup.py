@@ -791,3 +791,51 @@ def test_media_audio_energy(ray_session):
     assert value_hash(eng) == value_hash(ora)
     # full windows only: every clip's window count is n_samples // 256
     assert (eng.groupby("media_id")["win_idx"].max() >= 0).all()
+
+
+def test_dhash_one_gradient_and_invariance():
+    """dHash properties on constructed pixels: a left-to-right brightening
+    gradient sets every horizontal comparison bit; identical images hash
+    identically; a lightly-noised copy stays Hamming-near while an inverted
+    image is Hamming-far."""
+    import numpy as np
+
+    from titan_ray.stages.multimodal import _dhash_one
+
+    h, w = 16, 18
+    grad = np.tile(np.linspace(0, 255, w, dtype=np.uint8)[None, :, None], (h, 1, 3))
+    hi, lo = _dhash_one(grad)
+    assert hi == lo == 0xFFFFFFFF  # every right cell strictly brighter
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    assert _dhash_one(base.copy()) == _dhash_one(base)
+
+    def ham(a, b):
+        return bin(((a[0] ^ b[0]) << 32) | (a[1] ^ b[1])).count("1")
+
+    noised = np.clip(base.astype(np.int16) + rng.integers(-4, 5, base.shape), 0, 255).astype(np.uint8)
+    inverted = (255 - base.astype(np.int16)).astype(np.uint8)
+    assert ham(_dhash_one(base), _dhash_one(noised)) <= 12
+    assert ham(_dhash_one(base), _dhash_one(inverted)) >= 40
+
+
+def test_media_image_dhash_matches_duckdb_replay(ray_session):
+    import duckdb
+
+    from titan_ray.stages.multimodal import (
+        ensure_media_table,
+        image_dhash_sql,
+        media_image_dhash,
+    )
+    from tools.check_contract import to_pandas, value_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = to_pandas(media_image_dhash(sf_dir))
+    path = ensure_media_table(sf_dir)
+    ora = duckdb.sql(image_dhash_sql(path)).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    # halves are 32-bit by construction
+    assert eng["dhash_hi"].between(0, 2**32 - 1).all()
+    assert eng["dhash_lo"].between(0, 2**32 - 1).all()

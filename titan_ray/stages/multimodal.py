@@ -1090,3 +1090,123 @@ SELECT media_id, k // {win} AS win_idx,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
 FROM a_lag GROUP BY media_id, k // {win}
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (dHash): the IMAGE near-dup primitive, completing
+# the per-kind content trio (video: scene cuts, audio: windowed energy).
+# Grayscale-free exact variant: the classic dHash compares MEANS of a
+# downscaled grid left-to-right; means of (R+G+B)/3 compare identically to
+# SUMS of (R+G+B), so the whole operator stays in exact integers (box sums
+# + cross-multiplied comparisons) and replays bit-identically from
+# hex(payload) in DuckDB.
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS = 8   # grid rows -> 8 x 8 comparison bits
+DHASH_COLS = 9   # grid cols (9 columns -> 8 horizontal neighbour pairs)
+
+
+def _dhash_one(px: np.ndarray) -> tuple[int, int]:
+    """(dhash_hi, dhash_lo) 32-bit halves of the 64-bit dHash of an
+    (h, w, 3) uint8 array. Cell of pixel (r, c) is ((8*r)//h, (9*c)//w);
+    bit k = ci*8 + j is set iff cell (ci, j+1) mean > cell (ci, j) mean,
+    compared exactly via cross-multiplied (sum, count) pairs."""
+    h, w, _ = px.shape
+    if h < DHASH_ROWS or w < DHASH_COLS:
+        raise ValueError(f"dhash needs h>={DHASH_ROWS}, w>={DHASH_COLS}, got {h}x{w}")
+    g = px.astype(np.int64).sum(axis=2)                      # R+G+B per pixel
+    ci = (DHASH_ROWS * np.arange(h, dtype=np.int64)) // h
+    cj = (DHASH_COLS * np.arange(w, dtype=np.int64)) // w
+    cell = ci[:, None] * DHASH_COLS + cj[None, :]
+    # bincount weights are float64; keep sums exact with add.at on int64
+    cs = np.zeros(DHASH_ROWS * DHASH_COLS, dtype=np.int64)
+    np.add.at(cs, cell.ravel(), g.ravel())
+    cc = np.bincount(cell.ravel(), minlength=DHASH_ROWS * DHASH_COLS).astype(np.int64)
+    cs = cs.reshape(DHASH_ROWS, DHASH_COLS)
+    cc = cc.reshape(DHASH_ROWS, DHASH_COLS)
+    bit = cs[:, 1:] * cc[:, :-1] > cs[:, :-1] * cc[:, 1:]    # right mean > left mean
+    k = np.arange(64, dtype=np.int64)
+    bits = bit.ravel().astype(np.int64)
+    lo = int((bits[k < 32] << k[k < 32]).sum())
+    hi = int((bits[k >= 32] << (k[k >= 32] - 32)).sum())
+    return hi, lo
+
+
+def media_image_dhash(sf_dir: str, batch_size: int = 16):
+    """(media_id, dhash_hi, dhash_lo) per IMAGE row: the 64-bit difference
+    hash over the real PPM decode, as two exact 32-bit int64 halves (one
+    BIGINT would sign-wrap bit 63 differently across engines). Equal or
+    near-equal hashes (small Hamming distance) mark visually-near-duplicate
+    images — the image-side analog of simhash_docs.
+
+    Ray shape: parquet read with kind filter + column pruning, small
+    batches for binary payloads, real PPM parse per row, vectorized exact
+    integer grid sums. The DuckDB twin (image_dhash_sql) walks the SAME
+    payload bytes from hex(payload)."""
+    import ray.data as rd
+
+    path = ensure_media_table(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "kind", "payload"]).filter(
+        expr="kind == 'image'"
+    )
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        out_hi = np.empty(len(ids), dtype=np.int64)
+        out_lo = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            hi, lo = _dhash_one(parse_ppm(pay[i].as_py()))
+            out_hi[i], out_lo[i] = hi, lo
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64)),
+                "dhash_hi": pa.array(out_hi),
+                "dhash_lo": pa.array(out_lo),
+            }
+        )
+
+    return ds.map_batches(hashes, batch_format="pyarrow", batch_size=batch_size)
+
+
+def image_dhash_sql(media_path: str) -> str:
+    """DuckDB replay of media_image_dhash over the same payload bytes.
+
+    ppm_bytes writes 'P6\\n{w} {h}\\n255\\n' so the header is
+    3 + digits(w) + 1 + digits(h) + 1 + 4 bytes; pixel p's R byte sits at
+    header + 3*p (0-indexed) -> hex substr 2*off+1. Cell ids, box sums and
+    the cross-multiplied mean comparisons mirror _dhash_one exactly."""
+    R, C = DHASH_ROWS, DHASH_COLS
+    return f"""
+WITH media AS (SELECT * FROM read_parquet('{media_path}/*.parquet')),
+i AS (
+  SELECT media_id, width::BIGINT AS w, height::BIGINT AS h, hex(payload) AS hx,
+         3 + length(width::VARCHAR) + 1 + length(height::VARCHAR) + 1 + 4 AS hl
+  FROM media WHERE kind = 'image'
+),
+g AS (
+  SELECT media_id,
+         ({R} * (p // w)) // h AS ci, ({C} * (p % w)) // w AS cj,
+         ('0x' || substr(hx, (2 * (hl + 3 * p) + 1)::BIGINT, 2))::BIGINT
+       + ('0x' || substr(hx, (2 * (hl + 3 * p + 1) + 1)::BIGINT, 2))::BIGINT
+       + ('0x' || substr(hx, (2 * (hl + 3 * p + 2) + 1)::BIGINT, 2))::BIGINT AS s
+  FROM (SELECT media_id, w, h, hl, hx, unnest(range(0, w * h)) AS p FROM i)
+),
+cells AS (
+  SELECT media_id, ci, cj, CAST(sum(s) AS BIGINT) AS cs, count(*)::BIGINT AS cc
+  FROM g GROUP BY media_id, ci, cj
+),
+bits AS (
+  SELECT a.media_id, a.ci * {C - 1} + a.cj AS k,
+         CASE WHEN b.cs * a.cc > a.cs * b.cc THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.media_id = b.media_id AND a.ci = b.ci AND b.cj = a.cj + 1
+  WHERE a.cj < {C - 1}
+)
+SELECT media_id,
+       CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits GROUP BY media_id
+"""

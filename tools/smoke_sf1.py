@@ -118,7 +118,7 @@ def main() -> None:
     sf_dir = ensure_tables()
 
     from titan_ray.pipelines import docqc, events, relational
-    from titan_ray.stages import bpe, cluster, graph, neardup
+    from titan_ray.stages import bpe, cluster, graph, multimodal, neardup
 
     ops = {
         "embedding_kmeans": cluster.embedding_kmeans,
@@ -207,6 +207,7 @@ def main() -> None:
         # encode join (narrow co-partitioned word-hash stream)
         "doc_bpe_merges": bpe.doc_bpe_merges,
         "doc_bpe_encode": bpe.doc_bpe_encode,
+        "media_image_dhash": multimodal.media_image_dhash,
     }
     only = set(sys.argv[1:])
     if only:
