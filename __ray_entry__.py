@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per doc): the trained symbol table joins the word stream through
         # one co-partitioned hash_join — SQL-hash-checked
         "doc_bpe_encode": bpe.doc_bpe_encode,
+        # exact midrank ROC-AUC of the learned classifier vs the Gopher
+        # rule labels (classifier-calibration eval): value-range-bucketed
+        # score histogram, base-1e18 limb numerator — SQL-hash-checked
+        "doc_quality_auc": docqc.doc_quality_auc,
         # round-5 final rotation (same rule as above: every entry here
         # stays SQL-oracle-backed + pytest-covered; each is strictly
         # subsumed by stronger in-window machinery — token_counts by
@@ -642,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         # greedy rewrite as a recursive iterated-first-occurrence replace
         "doc_bpe_merges": bpe.bpe_sql(),
         "doc_bpe_encode": bpe.bpe_encode_sql(),
+        "doc_quality_auc": docqc.quality_auc_sql(),
         "doc_length_quantiles": (
             "SELECT count(*) AS n_docs, "
             "quantile_disc(length(text), 0.25) AS p25, "

@@ -1447,6 +1447,42 @@ GOPHER_MWL_LO, GOPHER_MWL_HI = 3.9, 5.1      # mean-word-length band
 GOPHER_MIN_STOP = 2                          # distinct stopwords required
 
 
+def gopher_rule_arrays(
+    texts: pa.Array,
+    wc_lo: int = GOPHER_WC_LO,
+    wc_hi: int = GOPHER_WC_HI,
+    mwl_lo: float = GOPHER_MWL_LO,
+    mwl_hi: float = GOPHER_MWL_HI,
+    min_stop: int = GOPHER_MIN_STOP,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n_words, mean_word_len, n_stop_distinct, keep) per text — the
+    Gopher rule kernel, shared by doc_gopher_filter and doc_quality_auc
+    (identical IEEE ops over identical integers on both consumers)."""
+    import pyarrow.compute as pc
+
+    from ..functions.features import STOPWORDS
+    from ..functions.strings import word_counts
+
+    data, offsets, _ = string_view(texts)
+    n_words = word_counts(data, offsets)
+    n_space = char_class_counts(data, offsets)["space"]
+    n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    mwl = (n_bytes - n_space).astype(np.float64) / np.maximum(n_words, 1).astype(np.float64)
+    padded = pc.binary_join_element_wise(
+        pa.scalar(" "), pc.utf8_lower(texts), pa.scalar(" "), "", null_handling="replace"
+    )
+    n_stop = np.zeros(len(texts), dtype=np.int64)
+    for w in STOPWORDS:
+        c = pc.count_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+        n_stop += (np.nan_to_num(c.astype(np.float64)) > 0).astype(np.int64)
+    keep = (
+        (n_words >= wc_lo) & (n_words <= wc_hi)
+        & (mwl >= mwl_lo) & (mwl <= mwl_hi)
+        & (n_stop >= min_stop)
+    ).astype(np.int64)
+    return n_words, mwl, n_stop, keep
+
+
 def doc_gopher_filter(
     sf_dir: str,
     wc_lo: int = GOPHER_WC_LO,
@@ -1462,33 +1498,15 @@ def doc_gopher_filter(
     Band comparisons run on the UNROUNDED doubles on both sides (identical
     IEEE ops over identical integers), so the verdict hash-matches; the
     reported mean_word_len is rounded to 6 for the value hash."""
-    import pyarrow.compute as pc
-
-    from ..functions.features import STOPWORDS
-    from ..functions.strings import word_counts
     from ..stages.ann import round_half_away
 
     ds = _read(sf_dir, ["doc_id", "text"])
 
     def rules(batch: pa.Table) -> pa.Table:
         texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
-        data, offsets, _ = string_view(texts)
-        n_words = word_counts(data, offsets)
-        n_space = char_class_counts(data, offsets)["space"]
-        n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        mwl = (n_bytes - n_space).astype(np.float64) / np.maximum(n_words, 1).astype(np.float64)
-        padded = pc.binary_join_element_wise(
-            pa.scalar(" "), pc.utf8_lower(texts), pa.scalar(" "), "", null_handling="replace"
+        n_words, mwl, n_stop, keep = gopher_rule_arrays(
+            texts, wc_lo, wc_hi, mwl_lo, mwl_hi, min_stop
         )
-        n_stop = np.zeros(len(texts), dtype=np.int64)
-        for w in STOPWORDS:
-            c = pc.count_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
-            n_stop += (np.nan_to_num(c.astype(np.float64)) > 0).astype(np.int64)
-        keep = (
-            (n_words >= wc_lo) & (n_words <= wc_hi)
-            & (mwl >= mwl_lo) & (mwl <= mwl_hi)
-            & (n_stop >= min_stop)
-        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -4999,4 +5017,133 @@ def filter_disagreement_sql() -> str:
         "ELSE 'gopher_only' END AS kept_by "
         "FROM q FULL OUTER JOIN g ON q.doc_id = g.doc_id "
         "WHERE q.doc_id IS NULL OR g.doc_id IS NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed ROC-AUC of the learned quality classifier against the
+# Gopher rule labels — the classifier-calibration eval a curation pipeline
+# runs before trusting a model-based filter (DCLM-style classifier vs
+# heuristic rules). AUC is a two-class RANK statistic: with ties handled by
+# the midrank convention,
+#   AUC = [ Σ_s np(s)·NN(<s) + np(s)·nn(s)/2 ] / (P·N)
+# over distinct scores s. Everything is exact integers: the 6-decimal logit
+# becomes an int64 score, the numerator is kept DOUBLED (num2 = 2·P·N·AUC)
+# and emitted as base-1e18 limbs (int64-safe past 10^12 rows, the OLS limb
+# convention).
+#
+# Scale shape: scores and labels are both ROW-LOCAL (one stateless pass);
+# per-batch partials collapse to batch-distinct (score, np, nn) rows keyed
+# by a fixed VALUE-RANGE bucket (monotone in score, data-independent), so
+# ONE exchange co-locates every occurrence of a score; each bucket's
+# contribution and (pos, neg) totals are bucket-final, and the driver folds
+# 64 bucket rows (never the score table) with exact Python-int cross-bucket
+# terms. The distinct-score table is VALUE-DOMAIN-bounded (6-decimal logits
+# in a fixed band), not corpus-sized — the percent_rank argument.
+# ---------------------------------------------------------------------------
+
+AUC_SCALE = 1_000_000           # 6-decimal logit -> exact int64 score
+_AUC_LO, _AUC_HI, _AUC_B = -32_000_000, 32_000_000, 64
+
+
+def doc_quality_auc(sf_dir: str):
+    """One row: (n_pos, n_neg, auc_num2_lo, auc_num2_hi, auc) — exact
+    midrank ROC-AUC of classifier logit vs Gopher keep label. DuckDB twin:
+    quality_auc_sql (global rank window over the same integer scores)."""
+    from ..functions import classifier
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"s": pa.array([], type=pa.int64()),
+                          "np": pa.array([], type=pa.int64()),
+                          "nn": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        lg = classifier.logits(texts)
+        s = np.rint(round_half_away(lg, 6) * AUC_SCALE).astype(np.int64)
+        _, _, _, keep = gopher_rule_arrays(texts)
+        pos = keep == 1
+        uniq, inv = np.unique(s, return_inverse=True)
+        np_c = np.bincount(inv[pos], minlength=len(uniq)).astype(np.int64)
+        nn_c = np.bincount(inv[~pos], minlength=len(uniq)).astype(np.int64)
+        b = np.clip((uniq - _AUC_LO) * _AUC_B // (_AUC_HI - _AUC_LO), 0, _AUC_B - 1)
+        return pa.table({"s": pa.array(uniq), "np": pa.array(np_c),
+                         "nn": pa.array(nn_c), "_b": pa.array(b.astype(np.int32))})
+
+    def bucket_row(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        npc = t["np"].to_numpy(zero_copy_only=False)
+        nnc = t["nn"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        P = np.zeros(len(u), dtype=np.int64)
+        N = np.zeros(len(u), dtype=np.int64)
+        np.add.at(P, inv, npc)
+        np.add.at(N, inv, nnc)
+        below, num2 = 0, 0           # exact Python ints (limb emission)
+        for i in range(len(u)):      # value-domain-bounded loop, not corpus
+            p, n = int(P[i]), int(N[i])
+            num2 += 2 * p * below + p * n
+            below += n
+        return pa.table({
+            "b": pa.array([int(t["_b"][0].as_py())], type=pa.int64()),
+            "pos": pa.array([int(P.sum())], type=pa.int64()),
+            "neg": pa.array([int(N.sum())], type=pa.int64()),
+            "num2_lo": pa.array([num2 % 10**18], type=pa.int64()),
+            "num2_hi": pa.array([num2 // 10**18], type=pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_row, batch_format="pyarrow")
+        .take_all()                  # <= _AUC_B rows, never the score table
+    )
+    rows.sort(key=lambda r: r["b"])
+    num2, below, p_tot, n_tot = 0, 0, 0, 0
+    for r in rows:
+        num2 += int(r["num2_hi"]) * 10**18 + int(r["num2_lo"]) + 2 * int(r["pos"]) * below
+        below += int(r["neg"])
+        p_tot += int(r["pos"])
+        n_tot += int(r["neg"])
+    if p_tot and n_tot:
+        auc = float(round_half_away(
+            np.array([float(num2) / float(2 * p_tot * n_tot)]), 6)[0])
+    else:
+        auc = None
+    return pa.table({
+        "n_pos": pa.array([p_tot], type=pa.int64()),
+        "n_neg": pa.array([n_tot], type=pa.int64()),
+        "auc_num2_lo": pa.array([num2 % 10**18], type=pa.int64()),
+        "auc_num2_hi": pa.array([num2 // 10**18], type=pa.int64()),
+        "auc": pa.array([auc], type=pa.float64()),
+    })
+
+
+def quality_auc_sql() -> str:
+    """DuckDB replay of doc_quality_auc: the same integer scores ranked by
+    one global window, HUGEINT numerator split into the same limbs."""
+    from ..functions import classifier
+
+    return (
+        f"WITH l AS ({classifier.logit_sql()}), "
+        f"g AS (SELECT doc_id, keep FROM ({gopher_sql()}) gq), "
+        "t AS (SELECT CAST(round(round(l.logit, 6) * 1000000) AS BIGINT) AS s, "
+        "g.keep FROM l JOIN g USING (doc_id)), "
+        "h AS (SELECT s, CAST(sum(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS np, "
+        "CAST(sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nn FROM t GROUP BY s), "
+        "c AS (SELECT np, nn, sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) - nn AS below FROM h), "
+        "a AS (SELECT CAST(coalesce(sum(np), 0) AS HUGEINT) AS p, "
+        "CAST(coalesce(sum(nn), 0) AS HUGEINT) AS n, "
+        "CAST(coalesce(sum(2 * np * below + np * nn), 0) AS HUGEINT) AS num2 FROM c) "
+        "SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg, "
+        "CAST(num2 % 1000000000000000000 AS BIGINT) AS auc_num2_lo, "
+        "CAST(num2 // 1000000000000000000 AS BIGINT) AS auc_num2_hi, "
+        "CASE WHEN p * n = 0 THEN NULL ELSE "
+        "round(CAST(num2 AS DOUBLE) / CAST(2 * p * n AS DOUBLE), 6) END AS auc "
+        "FROM a"
     )
