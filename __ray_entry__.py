@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rule labels (classifier-calibration eval): value-range-bucketed
         # score histogram, base-1e18 limb numerator — SQL-hash-checked
         "doc_quality_auc": docqc.doc_quality_auc,
+        # truncated-integer EWMA recurrence per user (the bounded-state
+        # numeric-recurrence class: state must flow through the sequence;
+        # chain-position kernel + join-only recursive twin) — SQL-checked
+        "events_ewma": events.events_ewma,
         # round-5 final rotation (same rule as above: every entry here
         # stays SQL-oracle-backed + pytest-covered; each is strictly
         # subsumed by stronger in-window machinery — token_counts by
@@ -647,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_merges": bpe.bpe_sql(),
         "doc_bpe_encode": bpe.bpe_encode_sql(),
         "doc_quality_auc": docqc.quality_auc_sql(),
+        "events_ewma": events.ewma_sql(),
         "doc_length_quantiles": (
             "SELECT count(*) AS n_docs, "
             "quantile_disc(length(text), 0.25) AS p25, "

@@ -2781,3 +2781,106 @@ def ols_slope_sql() -> str:
         "AS BIGINT) AS slope_micro "
         "FROM m ORDER BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA smoother in truncated integer arithmetic — the BOUNDED-STATE
+# NUMERIC RECURRENCE class: y_i = (A*y_{i-1} + (S-A)*x_i) // S truncates at
+# EVERY step, so unlike the cumsum window (linear), CUSUM (linearized via
+# prefix extremes) or the throttle chain (argmin pointer), no closed form or
+# scan reproduces it — state must actually flow through the sequence. The
+# streaming anomaly-baseline primitive (alert smoothing, rate baselining).
+# Exactness: inputs are nonnegative integer micro-units, so numpy floor
+# division and DuckDB HUGEINT truncating division agree step for step.
+# ---------------------------------------------------------------------------
+
+EWMA_NUM = 875      # decay 0.875 as the rational 875/1000
+EWMA_DEN = 1000
+
+
+def events_ewma(sf_dir: str, num_buckets: int = 64):
+    """(event_id, user_id, ewma_q) — the running EWMA of round(value*1e6)
+    per user in (ts, event_id) order, exact integer micro-units.
+
+    Scale shape: one user-bucket exchange; the per-bucket kernel advances
+    ALL users' recurrences simultaneously — one lexsort, then a loop over
+    CHAIN POSITION (not rows): round r updates every user owning an r-th
+    event with one vectorized gather/scatter, so the Python loop count is
+    max events-per-user in the bucket, each costing O(active users). The
+    DuckDB twin walks the same chains with a join-only recursive CTE
+    (row_number successor join, the throttle-twin convention)."""
+    assert num_buckets & (num_buckets - 1) == 0 and num_buckets > 0
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        xq = np.rint(v * 1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts.cast(pa.int64()),
+                "xq": pa.array(xq),
+                "_b": pc.cast(pc.bit_wise_and(batch["user_id"], num_buckets - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ewma_q": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        xq = t["xq"].to_numpy(zero_copy_only=False)
+        assert (xq >= 0).all(), "events_ewma requires nonnegative values " \
+            "(floor/truncating division parity)"
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, xq = uid[order], ts[order], eid[order], xq[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.nonzero(new)[0]
+        seg_len = np.diff(np.r_[starts, len(uid)])
+        y = xq.copy()                      # position 0: y = x
+        r = 1
+        while True:
+            active = seg_len > r           # users owning an r-th event
+            if not active.any():
+                break
+            idx = starts[active] + r
+            y[idx] = (EWMA_NUM * y[idx - 1] + (EWMA_DEN - EWMA_NUM) * xq[idx]) // EWMA_DEN
+            r += 1
+        return pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                         "ewma_q": pa.array(y)})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+    )
+
+
+def ewma_sql() -> str:
+    """DuckDB replay of events_ewma: join-only recursive chain walk over
+    row_number successors, HUGEINT truncating division (== floor on the
+    nonnegative domain)."""
+    return (
+        "WITH RECURSIVE e AS ("
+        "SELECT event_id, user_id, "
+        "CAST(round(value * 1000000) AS HUGEINT) AS xq, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        "FROM events), "
+        "r AS ("
+        "SELECT event_id, user_id, rn, xq AS y FROM e WHERE rn = 1 "
+        "UNION ALL "
+        f"SELECT e.event_id, e.user_id, e.rn, "
+        f"({EWMA_NUM} * r.y + {EWMA_DEN - EWMA_NUM} * e.xq) // {EWMA_DEN} "
+        "FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1) "
+        "SELECT event_id, user_id, CAST(y AS BIGINT) AS ewma_q FROM r"
+    )

@@ -209,6 +209,7 @@ def main() -> None:
         "doc_bpe_encode": bpe.doc_bpe_encode,
         "media_image_dhash": multimodal.media_image_dhash,
         "doc_quality_auc": docqc.doc_quality_auc,
+        "events_ewma": events.events_ewma,
     }
     only = set(sys.argv[1:])
     if only:
