@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of the in-window semantic_dedup/kmeans machinery.
         "qc_conv_summary": qc_battery.qc_conv_summary,
         "doc_hash_split": docqc.doc_hash_split,
+        # cross-split contamination audit: val-slice n-grams that also occur
+        # in the train slice of the SAME hash split — both sides corpus-scale,
+        # co-partitioned through one gram-hash-bucket exchange (no broadcast)
+        "doc_split_leakage": docqc.doc_split_leakage,
         "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "embedding_neardup": ann.embedding_neardup_pairs,
         "embedding_pq": cluster.embedding_pq,
@@ -671,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": neardup.dup_spans_sql(),
         "doc_lm_fluency": docqc.lm_fluency_sql(),
         "doc_hash_split": docqc.hash_split_sql(),
+        "doc_split_leakage": docqc.split_leakage_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
         "events_sliding_rate": events.sliding_rate_sql(),

@@ -316,6 +316,66 @@ def test_doc_hash_split_oracle(ray_session, edge_docs):
     assert set(eng["split"]).issubset({"train", "val", "test"})
 
 
+def test_doc_split_leakage_edge_cases(ray_session, tmp_path):
+    """Cross-split contamination: doc 97/105/113 are val (buckets 1..5 under
+    the Fibonacci split), 1..4 are train, 1652 is test. 97 shares one 3-gram
+    with train doc 1; 105 shares none (its only overlap is with TEST doc
+    1652, which must not count as leakage); 113 shares two distinct grams
+    with two different train docs. Val docs with <3 words emit no row."""
+    from titan_ray.pipelines.docqc import doc_split_leakage, split_leakage_sql
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 97, 105, 113, 1652, 121],
+                               type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",     # train: grams abg, bgd
+                    "p q r s",                    # train
+                    "one two three four",         # train
+                    "unrelated words entirely here",  # train
+                    "x alpha beta gamma y",       # val: leak 1 gram (abg) of 3
+                    "zeta eta theta iota",        # val: overlaps only test doc
+                    "alpha beta gamma one two three",  # val: 2 leaks of 4
+                    "zeta eta theta",             # test: must NOT mark 105
+                    "zz",                         # val: <3 words -> no row
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "leak"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_split_leakage, split_leakage_sql()).set_index("doc_id")
+    assert set(eng.index) == {97, 105, 113}
+    assert eng.loc[97, "n_grams"] == 3 and eng.loc[97, "n_leaked"] == 1
+    assert eng.loc[105, "n_leaked"] == 0 and not eng.loc[105, "leaked"]
+    assert eng.loc[113, "n_grams"] == 4 and eng.loc[113, "n_leaked"] == 2
+    assert bool(eng.loc[113, "leaked"])
+
+
+def test_doc_split_leakage_partition_invariant(ray_session):
+    """Same answer at 1 block and many blocks: per-batch distinct partials
+    must not depend on how the read splits the corpus."""
+    from titan_ray.pipelines.docqc import doc_split_leakage
+
+    sf = "/root/testdata/sf0.001"
+    base = doc_split_leakage(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import ray as _ray
+    import titan_ray.pipelines.docqc as docqc
+
+    ds = _ray.data.read_parquet(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text"]).repartition(17)
+    orig = docqc._read
+    try:
+        docqc._read = lambda _sf, _cols: ds
+        many = doc_split_leakage(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        docqc._read = orig
+    pd.testing.assert_frame_equal(base, many)
+
+
 def test_doc_hash_split_proportions(ray_session):
     from titan_ray.pipelines.docqc import doc_hash_split, hash_split_sql
 

@@ -5147,3 +5147,120 @@ def quality_auc_sql() -> str:
         "round(CAST(num2 AS DOUBLE) / CAST(2 * p * n AS DOUBLE), 6) END AS auc "
         "FROM a"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination audit — the check every platform runs right
+# after sharding: how many of the VAL slice's word n-grams also occur in
+# the TRAIN slice of the SAME deterministic hash split (doc_hash_split)?
+# Composition of two session operators with a big x big twist: unlike
+# doc_decontaminate (tiny eval slice, counted broadcast), BOTH sides here
+# are corpus-scale, so the gram streams CO-PARTITION through one
+# gram-hash-bucket exchange instead of any broadcast.
+# ---------------------------------------------------------------------------
+
+
+def doc_split_leakage(sf_dir: str, n: int = DECONTAM_N, num_buckets: int = 64):
+    """(doc_id, n_grams, n_leaked, leaked) for every val doc with >= 1
+    word n-gram: distinct-gram totals and how many also appear anywhere in
+    the train slice (train-vs-val is the pair that corrupts model
+    selection; the 1% test slice is audited the same way at release time).
+
+    Scale shape: split assignment is row-local (the hash-split multiply);
+    per-batch partials emit batch-DISTINCT train gram hashes and per-doc
+    DISTINCT val (doc, gram) pairs — a doc's grams live in one batch, so
+    val pairs are globally distinct for free. ONE bucket exchange on
+    gram-hash co-locates both sides; per-bucket sorted np.isin marks the
+    leaks; a val-doc-sized groupby sums the per-bucket partials. Engine
+    joins 64-bit FNV gram hashes, the twin joins literal gram strings — a
+    collision would surface as a driver-gate mismatch (lm_fluency
+    convention)."""
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "h": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((did.astype(np.uint64) * np.uint64(SPLIT_MULT))
+                  % np.uint64(SPLIT_BUCKETS)).astype(np.int64)
+        g, rid = _word_gram_hashes(texts, n)
+        if len(g) == 0:
+            return empty
+        h = g.view(np.int64)
+        side = bucket[rid]                      # split bucket per gram row
+        is_tr = side >= SPLIT_VAL_LT
+        is_va = (side >= SPLIT_TEST_LT) & (side < SPLIT_VAL_LT)
+        tr_h = np.unique(h[is_tr])
+        va = np.unique(np.stack([did[rid[is_va]], h[is_va]]), axis=1) \
+            if is_va.any() else np.empty((2, 0), dtype=np.int64)
+        kind = np.concatenate([np.zeros(len(tr_h), dtype=np.int8),
+                               np.ones(va.shape[1], dtype=np.int8)])
+        hh = np.concatenate([tr_h, va[1]])
+        dd = np.concatenate([np.zeros(len(tr_h), dtype=np.int64), va[0]])
+        return pa.table({
+            "kind": pa.array(kind),
+            "h": pa.array(hh),
+            "doc_id": pa.array(dd),
+            "_b": pa.array(((hh % num_buckets + num_buckets) % num_buckets).astype(np.int32)),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tr = np.unique(h[kind == 0])
+        vm = kind == 1
+        if not vm.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.int64()),
+                             "l": pa.array([], type=pa.int64())})
+        vd, vh = did[vm], h[vm]                 # globally distinct pairs
+        hit = np.isin(vh, tr).astype(np.int64)
+        u, inv = np.unique(vd, return_inverse=True)
+        gtot = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        ltot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(ltot, inv, hit)
+        return pa.table({"doc_id": pa.array(u), "g": pa.array(gtot),
+                         "l": pa.array(ltot)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                    batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["g", "l"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        leaked = b["sum(l)"].to_numpy(zero_copy_only=False) > 0
+        return pa.table({"doc_id": b["doc_id"], "n_grams": b["sum(g)"],
+                         "n_leaked": b["sum(l)"], "leaked": pa.array(leaked)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def split_leakage_sql(n: int = DECONTAM_N) -> str:
+    """DuckDB replay of doc_split_leakage: literal gram-string LEFT JOIN
+    across the replayed HUGEINT hash split."""
+    hi = n - 1
+    T = 1 << 64
+    return (
+        f"WITH sp AS (SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT}) "
+        f"% {T} % {SPLIT_BUCKETS} AS BIGINT) AS bucket FROM documents), "
+        r"words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        f"g AS (SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+{hi} AS BIGINT)], ' ') AS gram "
+        f"FROM words, unnest(range(1, len(w) - {hi - 1})) AS t(i)), "
+        f"tr AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id) WHERE bucket >= {SPLIT_VAL_LT}), "
+        f"va AS (SELECT DISTINCT doc_id, gram FROM g JOIN sp USING (doc_id) "
+        f"WHERE bucket >= {SPLIT_TEST_LT} AND bucket < {SPLIT_VAL_LT}) "
+        "SELECT va.doc_id, count(*)::BIGINT AS n_grams, "
+        "count(tr.gram)::BIGINT AS n_leaked, count(tr.gram) > 0 AS leaked "
+        "FROM va LEFT JOIN tr USING (gram) GROUP BY va.doc_id"
+    )

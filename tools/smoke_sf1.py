@@ -210,6 +210,9 @@ def main() -> None:
         "media_image_dhash": multimodal.media_image_dhash,
         "doc_quality_auc": docqc.doc_quality_auc,
         "events_ewma": events.events_ewma,
+        # cross-split leakage: both gram sides corpus-scale, ONE bucket
+        # exchange, per-doc groupby — driver holds nothing
+        "doc_split_leakage": docqc.doc_split_leakage,
     }
     only = set(sys.argv[1:])
     if only:
