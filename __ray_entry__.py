@@ -336,8 +336,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in the train slice of the SAME hash split — both sides corpus-scale,
         # co-partitioned through one gram-hash-bucket exchange (no broadcast)
         "doc_split_leakage": docqc.doc_split_leakage,
+        # greedy set cover: coverage-maximizing doc selection (submodular
+        # greedy; k passes, per-batch local top-1, covered set broadcast)
+        "doc_set_cover": docqc.doc_set_cover,
+        # sorted-neighborhood blocking (merge/purge): global (text, doc_id)
+        # sort + adjacent-pair LCP with cross-slice boundary stitching
+        "neardup_sorted_neighbors": neardup.neardup_sorted_neighbors,
         "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "embedding_neardup": ann.embedding_neardup_pairs,
+        # reciprocal-NN pairs: symmetric-attraction near-dup seeds (hub
+        # vectors contribute at most one pair) — argmax stream + ONE
+        # narrow pair-key groupby keeping keys seen from both directions
+        "embedding_mutual_nn": ann.embedding_mutual_nn,
         "embedding_pq": cluster.embedding_pq,
         "ann_topk_pq": cluster.ann_topk_pq,
         "ann_topk_ivf": ann.ann_topk_ivf,
@@ -676,6 +686,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_fluency": docqc.lm_fluency_sql(),
         "doc_hash_split": docqc.hash_split_sql(),
         "doc_split_leakage": docqc.split_leakage_sql(),
+        "doc_set_cover": docqc.set_cover_sql(),
+        "neardup_sorted_neighbors": neardup.sorted_neighbors_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
         "events_sliding_rate": events.sliding_rate_sql(),
@@ -863,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_kmeans": cluster.kmeans_sql(GATE_SF_DIR),
         "semantic_dedup": cluster.semantic_dedup_sql(GATE_SF_DIR),
+        "embedding_mutual_nn": ann.mutual_nn_sql(),
         "embedding_neardup": (
             "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

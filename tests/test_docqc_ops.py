@@ -1782,3 +1782,51 @@ def test_doc_filter_disagreement(ray_session):
     got_q = set(eng[eng["kept_by"] == "quality_only"]["doc_id"])
     got_g = set(eng[eng["kept_by"] == "gopher_only"]["doc_id"])
     assert got_q == want_q and got_g == want_g
+
+
+def test_doc_set_cover_edge_cases(ray_session, tmp_path):
+    """Greedy trajectory on a planted universe: doc 2 wins round 1 (4
+    trigrams), round 2 is a three-way gain-2 tie broken to the smallest
+    doc_id (1), doc 3 is a strict subset of doc 1 so its gain hits 0 and it
+    can never be picked, and the k=5 run STOPS at 4 rows when nothing
+    uncovered remains (the early-stop path both sides must share)."""
+    from titan_ray.pipelines.docqc import doc_set_cover, set_cover_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e",      # {abc bcd cde}
+            "a b c x y z",    # {abc bcx cxy xyz} -> round-1 winner
+            "a b c d",        # {abc bcd} subset of doc 1
+            "p q r s",        # {pqr qrs}
+            "t u v w",        # {tuv uvw}
+        ]),
+    })
+    d = tmp_path / "cover"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), lambda sf: doc_set_cover(sf, k=5), set_cover_sql(k=5))
+    eng = eng.sort_values("round").reset_index(drop=True)
+    assert eng["doc_id"].tolist() == [2, 1, 4, 5]
+    assert eng["gain"].tolist() == [4, 2, 2, 2]
+    assert eng["covered_total"].tolist() == [4, 6, 8, 10]
+
+
+def test_doc_set_cover_partition_invariant(ray_session):
+    """The per-batch local top-1 fold must not depend on block layout."""
+    import ray as _ray
+    import titan_ray.pipelines.docqc as docqc
+    from titan_ray.pipelines.docqc import doc_set_cover
+
+    sf = "/root/testdata/sf0.001"
+    base = doc_set_cover(sf, k=3)
+    ds = _ray.data.read_parquet(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text"]).repartition(23)
+    orig = docqc._read
+    try:
+        docqc._read = lambda _sf, _cols: ds
+        many = doc_set_cover(sf, k=3)
+    finally:
+        docqc._read = orig
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  many.reset_index(drop=True))

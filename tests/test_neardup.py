@@ -839,3 +839,69 @@ def test_media_image_dhash_matches_duckdb_replay(ray_session):
     # halves are 32-bit by construction
     assert eng["dhash_hi"].between(0, 2**32 - 1).all()
     assert eng["dhash_lo"].between(0, 2**32 - 1).all()
+
+
+def test_sorted_neighbors_edge_cases(ray_session, tmp_path):
+    """Merge/purge adjacency on a planted sort order: identical texts give
+    lcp == full length, a shared 24-byte prefix survives min_lcp=20, an
+    unrelated neighbor doesn't, and equal texts tie-break by doc_id (7
+    before 9, so the identical pair is (7,9) and (9, next))."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.neardup import neardup_sorted_neighbors, sorted_neighbors_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    shared = "the quick brown fox jump"          # 24 bytes
+    tbl = pa.table({
+        "doc_id": pa.array([9, 7, 3, 5], type=pa.int64()),
+        "text": pa.array([
+            shared + "ed over the lazy dog",     # sorts next to its twin
+            shared + "ed over the lazy dog",     # identical -> lcp = 44
+            shared + "s high",                   # lcp 24+ with the twins
+            "zzz completely elsewhere",          # lcp 0 with predecessor
+        ]),
+    })
+    d = tmp_path / "snm"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = to_pandas(neardup_sorted_neighbors(str(d))).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(sorted_neighbors_sql()).df()
+    assert value_hash(eng) == value_hash(ora)
+    got = {(a, b): l for a, b, l in eng.itertuples(index=False)}
+    assert got == {(7, 9): 44, (9, 3): 24}       # twins full-length; 'jumpe|s' diverges at byte 24
+
+
+def test_sorted_neighbors_boundary_stitch(ray_session, tmp_path):
+    """Pairs split across sort slices are still found: a 40-doc common-prefix
+    run repartitioned into 16 tiny blocks yields exactly 39 adjacent pairs
+    regardless of layout (boundary pairs = slice edges)."""
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.neardup import neardup_sorted_neighbors
+    from tools.check_contract import to_pandas
+
+    n = 40
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array([f"common prefix twenty-four! doc {i:03d}" for i in range(n)]),
+    })
+    d = tmp_path / "snmb"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    import titan_ray.stages.neardup as nd
+    import ray.data as rd
+
+    orig = nd._read_docs
+    try:
+        nd._read_docs = lambda sf: rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]).repartition(16)
+        eng = to_pandas(neardup_sorted_neighbors(str(d)))
+    finally:
+        nd._read_docs = orig
+    assert len(eng) == n - 1
+    assert (eng["lcp"] >= 27).all()

@@ -334,3 +334,45 @@ def test_embedding_dbscan(ray_session, tmp_path):
     # borders and noise all present
     assert (eng["label"] >= 0).any() and (eng["label"] == -1).any()
     assert eng["is_core"].any()
+
+
+def test_embedding_mutual_nn(ray_session, tmp_path):
+    """Reciprocal-NN on a planted geometry: two tight pairs are mutual;
+    the in-between vector e points at b but b points back at a, so e joins
+    no pair (the asymmetric-hub exclusion that defines the operator).
+    Also: corpus parity vs the row_number/self-join twin, and the
+    one-pair-per-vector invariant (a vector has ONE nearest neighbour)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.ann import embedding_mutual_nn, mutual_nn_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0, 0.0, 0.0],      # a
+             [0.9, 0.1, 0.0, 0.0],      # b: NN(a)=b, NN(b)=a
+             [0.0, 1.0, 0.0, 0.0],      # c
+             [0.0, 0.9, 0.1, 0.0],      # d: NN(c)=d, NN(d)=c
+             [0.6, 0.55, 0.0, 0.0]],    # e: NN(e)=b, but NN(b)=a -> no pair
+            type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 5, type=pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    eng = to_pandas(embedding_mutual_nn(str(d)))
+    pairs = set(zip(eng["vec_a"], eng["vec_b"]))
+    assert pairs == {(0, 1), (2, 3)}
+
+    sf = "/root/testdata/sf0.001"
+    eng = to_pandas(embedding_mutual_nn(sf))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(mutual_nn_sql()).df()
+    assert len(eng) == len(ora) > 0
+    assert value_hash(eng) == value_hash(ora)
+    ids = eng["vec_a"].tolist() + eng["vec_b"].tolist()
+    assert len(ids) == len(set(ids))

@@ -5264,3 +5264,119 @@ def split_leakage_sql(n: int = DECONTAM_N) -> str:
         "count(tr.gram)::BIGINT AS n_leaked, count(tr.gram) > 0 AS leaked "
         "FROM va LEFT JOIN tr USING (gram) GROUP BY va.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy set cover — coverage-maximizing document selection (the submodular
+# data-pruning heuristic: pick the k docs that together cover the most
+# distinct word n-grams; each round's winner is the doc with the largest
+# MARGINAL gain). The iterate(aggregate -> global argmax -> broadcast)
+# class with SET semantics: unlike BPE's pair-count rewrite, the broadcast
+# state here is the covered-gram set itself.
+# ---------------------------------------------------------------------------
+
+SETCOVER_K = 8
+MAX_COVERED_GRAMS = 5_000_000  # driver/broadcast bound: k * grams-per-doc
+
+
+def doc_set_cover(sf_dir: str, k: int = SETCOVER_K, n: int = DECONTAM_N):
+    """(round, doc_id, gain, covered_total): the greedy cover trajectory.
+    Rounds stop early when no document adds an uncovered gram (a chosen
+    doc's grams are all covered, so it can never win twice — no explicit
+    exclusion list needed on either side).
+
+    Scale shape: k corpus passes (the BPE-trainer precedent). Per pass,
+    each batch computes per-doc distinct gram hashes (a doc is ONE row, so
+    per-doc totals are batch-local), masks the broadcast covered set
+    (sorted int64 array, ray.put once per round, bounded by
+    MAX_COVERED_GRAMS = k x grams-per-doc), and emits its LOCAL top-1 —
+    the driver folds <= num_blocks (doc_id, gain) rows. The winner's gram
+    set comes from ONE predicate-pushdown parquet read of that doc_id.
+    Engine grams are 64-bit FNV hashes, the twin joins literal gram
+    strings (lm_fluency convention); the per-round `gain ==
+    newly-covered` assert doubles as an in-engine collision detector."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    covered = np.empty(0, dtype=np.int64)
+    rounds: list[tuple[int, int, int, int]] = []
+
+    def doc_grams(texts: pa.Array) -> np.ndarray:
+        g, _ = _word_gram_hashes(texts, n)
+        return np.unique(g.view(np.int64))
+
+    for r in range(1, k + 1):
+        assert len(covered) <= MAX_COVERED_GRAMS, (
+            f"doc_set_cover: covered set {len(covered)} exceeds the broadcast "
+            f"bound {MAX_COVERED_GRAMS}; lower k or partition the universe")
+        cov_ref = ray.put(covered)
+
+        def top1(batch: pa.Table, _ref=cov_ref) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "gain": pa.array([], type=pa.int64())})
+            if batch.num_rows == 0:
+                return empty
+            texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+            did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g, rid = _word_gram_hashes(texts, n)
+            if len(g) == 0:
+                return empty
+            pr = np.unique(np.stack([rid, g.view(np.int64)]), axis=1)
+            cov = ray.get(_ref)
+            keep = ~np.isin(pr[1], cov)
+            cnt = np.bincount(pr[0][keep].astype(np.intp), minlength=batch.num_rows)
+            if not cnt.any():
+                return empty
+            best_gain = cnt.max()
+            best_doc = did[cnt == best_gain].min()   # tie -> smallest doc_id
+            return pa.table({"doc_id": pa.array([best_doc]),
+                             "gain": pa.array([int(best_gain)], type=pa.int64())})
+
+        local = ds.map_batches(top1, batch_format="pyarrow").to_pandas()
+        if len(local) == 0:
+            break
+        local = local.sort_values(["gain", "doc_id"], ascending=[False, True])
+        best_doc = int(local.iloc[0]["doc_id"])
+        best_gain = int(local.iloc[0]["gain"])
+        t = pq_mod.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "==", best_doc)])
+        new = np.setdiff1d(doc_grams(t["text"].combine_chunks()), covered)
+        assert len(new) == best_gain, (
+            f"doc_set_cover: gain {best_gain} != newly covered {len(new)} "
+            "(gram-hash collision or non-atomic doc rows)")
+        covered = np.union1d(covered, new)
+        rounds.append((r, best_doc, best_gain, len(covered)))
+
+    return pd.DataFrame(rounds, columns=["round", "doc_id", "gain", "covered_total"]).astype("int64")
+
+
+def set_cover_sql(k: int = SETCOVER_K, n: int = DECONTAM_N) -> str:
+    """DuckDB replay of doc_set_cover: the k greedy rounds unrolled as
+    chained CTEs over literal gram strings (the BPE-twin shape) — each
+    round a NOT-IN-covered count, an ORDER BY gain DESC, doc_id LIMIT 1
+    pick, and a covered-set UNION."""
+    hi = n - 1
+    parts = [
+        r"WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+{hi} AS BIGINT)], ' ') AS gram "
+        f"FROM words, unnest(range(1, len(w) - {hi - 1})) AS t(i)), "
+        "c0 AS (SELECT gram FROM g WHERE 1 = 0)"
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"g{r} AS (SELECT doc_id, count(*)::BIGINT AS gain FROM g "
+            f"WHERE gram NOT IN (SELECT gram FROM c{r - 1}) GROUP BY doc_id)")
+        parts.append(
+            f"p{r} AS (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1)")
+        parts.append(
+            f"c{r} AS (SELECT gram FROM c{r - 1} UNION "
+            f"SELECT g.gram FROM g JOIN p{r} USING (doc_id))")
+    selects = [
+        f"SELECT {r}::BIGINT AS round, doc_id, gain, "
+        f"(SELECT count(*)::BIGINT FROM c{r}) AS covered_total FROM p{r}"
+        for r in range(1, k + 1)
+    ]
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)

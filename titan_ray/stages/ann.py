@@ -125,6 +125,84 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def embedding_mutual_nn(sf_dir: str):
+    """Reciprocal-nearest-neighbour pairs: (vec_a, vec_b, sim) where each
+    vector is the other's single nearest neighbour by cosine (self excluded;
+    ties at the rounded-4 similarity broken toward the smaller vec_id).
+    Mutual-NN is the conservative near-dup/cluster-seed primitive — a pair
+    survives only if the attraction is symmetric, so a hub vector that is
+    "nearest" to thousands of points contributes at most one pair.
+
+    Scale shape: stage 1 is the brute-force argmax — one matmul per batch
+    against the broadcast normalized matrix (ray.put once; the documented
+    scale path swaps the broadcast for IVF cell blocking exactly as
+    ann_topk_ivf does for top-k). Stage 2 is row-local canonicalization
+    (lo, hi) + ONE narrow groupby over the n-row NN stream: a pair key
+    seen from BOTH directions is mutual. Nothing driver-side."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_m = _matrix(t["embedding"])
+    all_ids = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(all_ids, kind="stable")  # argmax tie -> smallest vec_id
+    all_ids = all_ids[order]
+    all_m = all_m[order]
+    norms = np.sqrt(np.einsum("ij,ij->i", all_m, all_m))
+    all_n = all_m / np.maximum(norms, 1e-300)[:, None]
+    ref = ray.put((all_ids, all_n))
+
+    def nn(batch: pa.Table) -> pa.Table:
+        ids_r, mat_r = ray.get(ref)
+        m = _matrix(batch["embedding"], dim=mat_r.shape[1])
+        bnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        mn = m / np.maximum(bnorm, 1e-300)[:, None]
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = round_half_away(mn @ mat_r.T, 4)
+        s[bid[:, None] == ids_r[None, :]] = -2.0  # self (by id, not position)
+        j = s.argmax(axis=1)                      # first max == smallest vec_id
+        other = ids_r[j]
+        sim = s[np.arange(len(bid)), j]
+        lo = np.minimum(bid, other)
+        hi = np.maximum(bid, other)
+        return pa.table({
+            "key": pa.array((lo << np.int64(32)) + hi),  # vec_id < 2^31
+            "lo": pa.array(lo), "hi": pa.array(hi), "sim": pa.array(sim),
+        })
+
+    def mutual(g: pa.Table) -> pa.Table:
+        if g.num_rows != 2:   # one direction only -> not reciprocal
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({"vec_a": g["lo"][:1], "vec_b": g["hi"][:1],
+                         "sim": g["sim"][:1]})
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (ds.map_batches(nn, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(mutual, batch_format="pyarrow"))
+
+
+def mutual_nn_sql() -> str:
+    """DuckDB replay of embedding_mutual_nn: full pairwise rounded cosine,
+    row_number NN per side (sim DESC, vec_id ASC — the argmax-first
+    convention), self-join on reciprocity."""
+    return (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings), "
+        "s AS (SELECT a.vec_id AS va, b.vec_id AS vb, "
+        "round(list_dot_product(a.qe, b.qe) / (sqrt(list_dot_product(a.qe, a.qe)) * "
+        "sqrt(list_dot_product(b.qe, b.qe))), 4) AS sim "
+        "FROM n a JOIN n b ON a.vec_id <> b.vec_id), "
+        "nn AS (SELECT va, vb, sim FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS r FROM s) t "
+        "WHERE r = 1) "
+        "SELECT x.va AS vec_a, x.vb AS vec_b, x.sim AS sim "
+        "FROM nn x JOIN nn y ON x.vb = y.va AND y.vb = x.va AND x.va < x.vb"
+    )
+
+
 def _assign_cells(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """Nearest-centroid assignment via one matmul: argmin over
     |c|^2 - 2 m·c (the |m|^2 term is constant per row) — no dense

@@ -1715,3 +1715,125 @@ def setjoin_sql(tau_num: int = SETJOIN_TAU_NUM, tau_den: int = SETJOIN_TAU_DEN) 
         "JOIN sz sb ON sb.doc_id = ix.doc_b "
         f"WHERE {tau_den} * i >= {tau_num} * (sa.n + sb.n - i)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood near-dup blocking (merge/purge, Hernandez-Stolfo):
+# ONE global sort by (text, doc_id), then the longest-common-prefix of every
+# ADJACENT pair — the classic cheap blocking alternative to LSH (catches
+# shared-prefix near-dups, e.g. templated boilerplate, truncation dups).
+# The distributed twist is boundary stitching: batches are contiguous
+# slices of the range-partitioned sort, so in-batch adjacency misses
+# exactly the (last-of-slice, first-of-next-slice) pairs; each batch emits
+# one boundary record and the driver folds <= num_batches of them.
+# ---------------------------------------------------------------------------
+
+MIN_LCP = 20
+
+
+def _adjacent_lcp(texts: pa.Array) -> np.ndarray:
+    """LCP of texts[i] vs texts[i+1] for every i, fully vectorized: rows
+    padded with NUL (the corpus is printable ASCII, so a real byte never
+    equals the pad and the first mismatch lands at min-length); identical
+    strings have no mismatch and fall back to their length."""
+    data, off, _ = string_view(texts)
+    n = len(off) - 1
+    if n < 2:
+        return np.empty(0, dtype=np.int64)
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    width = int(lens.max(initial=0))
+    mat = np.zeros((n, width), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    cols = multi_arange(np.zeros(n, dtype=np.int64), lens)
+    mat[rows, cols] = data[multi_arange(off[:-1].astype(np.int64), lens)]
+    eq = mat[:-1] == mat[1:]
+    mis = ~eq
+    has = mis.any(axis=1)
+    lcp = np.where(has, mis.argmax(axis=1), np.minimum(lens[:-1], lens[1:]))
+    return lcp.astype(np.int64)
+
+
+def neardup_sorted_neighbors(sf_dir: str, min_lcp: int = MIN_LCP):
+    """(doc_a, doc_b, lcp) for adjacent pairs in (text, doc_id) sort order
+    with a common prefix of at least ``min_lcp`` bytes (doc_a precedes
+    doc_b in the sort).
+
+    Scale shape: the sort is THE exchange (Ray range-partitioned sort);
+    everything after is batch-local except the boundary fold — one narrow
+    (first/last doc_id + text) record per batch, reordered on the driver by
+    the sort key itself (doc_id is unique, so (text, doc_id) is a strict
+    total order and slice order is recoverable), <= num_batches rows.
+    SQL twin: lag() window over the same ORDER BY, substring-walk max-i
+    LCP. Byte (engine) == char (SQL) lengths because the corpus is ASCII
+    (the shingle-oracle argument, neardup.py:884)."""
+    ds = _read_docs(sf_dir).sort(["text", "doc_id"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("kind", pa.int8()), ("doc_a", pa.int64()),
+                            ("doc_b", pa.int64()), ("lcp", pa.int64()),
+                            ("ta", pa.string()), ("tb", pa.string())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lcp = _adjacent_lcp(texts)
+        keep = lcp >= min_lcp
+        n_in = int(keep.sum())
+        first_t, last_t = texts[0].as_py(), texts[-1].as_py()
+        return pa.table({
+            "kind": pa.array(np.concatenate([np.zeros(n_in, dtype=np.int8), [np.int8(1)]])),
+            "doc_a": pa.array(np.concatenate([did[:-1][keep] if len(lcp) else did[:0], [did[0]]])),
+            "doc_b": pa.array(np.concatenate([did[1:][keep] if len(lcp) else did[:0], [did[-1]]])),
+            "lcp": pa.array(np.concatenate([lcp[keep], [np.int64(-1)]])),
+            "ta": pa.array([None] * n_in + [first_t], type=pa.string()),
+            "tb": pa.array([None] * n_in + [last_t], type=pa.string()),
+        }, schema=schema)
+
+    mapped = ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def inner(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.equal(batch["kind"], 0))
+        return t.select(["doc_a", "doc_b", "lcp"])
+
+    bounds = (mapped.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["kind"], 1)), batch_format="pyarrow")
+        .to_pandas())
+    # slice order = sort order of the slices' own first keys
+    bounds = bounds.sort_values(["ta", "doc_a"]).reset_index(drop=True)
+    rows_a, rows_b, rows_l = [], [], []
+    for i in range(len(bounds) - 1):
+        a_text = bounds.loc[i, "tb"]          # last row of slice i
+        b_text = bounds.loc[i + 1, "ta"]      # first row of slice i+1
+        pair_lcp = _adjacent_lcp(pa.array([a_text, b_text]))[0]
+        if pair_lcp >= min_lcp:
+            rows_a.append(int(bounds.loc[i, "doc_b"]))
+            rows_b.append(int(bounds.loc[i + 1, "doc_a"]))
+            rows_l.append(int(pair_lcp))
+    import ray.data as rd
+
+    within = mapped.map_batches(inner, batch_format="pyarrow")
+    if rows_a:
+        boundary = rd.from_arrow(pa.table({
+            "doc_a": pa.array(rows_a, type=pa.int64()),
+            "doc_b": pa.array(rows_b, type=pa.int64()),
+            "lcp": pa.array(rows_l, type=pa.int64())}))
+        within = within.union(boundary)
+    return within
+
+
+def sorted_neighbors_sql(min_lcp: int = MIN_LCP) -> str:
+    """DuckDB replay of neardup_sorted_neighbors: lag() over the same total
+    order, LCP as max prefix length where the substrings agree."""
+    return (
+        "WITH s AS (SELECT doc_id, text, lag(doc_id) OVER w AS prev_id, "
+        "lag(text) OVER w AS prev_text FROM documents "
+        "WINDOW w AS (ORDER BY text, doc_id)), "
+        "p AS (SELECT prev_id AS doc_a, doc_id AS doc_b, prev_text AS ta, "
+        "text AS tb FROM s WHERE prev_id IS NOT NULL), "
+        "m AS (SELECT doc_a, doc_b, max(i)::BIGINT AS lcp FROM p, "
+        "unnest(range(1, (SELECT max(strlen(text))::BIGINT + 1 FROM documents))) AS t(i) "
+        "WHERE i <= least(strlen(ta), strlen(tb)) "
+        "AND substr(ta, 1, CAST(i AS INT)) = substr(tb, 1, CAST(i AS INT)) "
+        "GROUP BY doc_a, doc_b) "
+        f"SELECT doc_a, doc_b, lcp FROM m WHERE lcp >= {min_lcp}"
+    )

@@ -213,6 +213,12 @@ def main() -> None:
         # cross-split leakage: both gram sides corpus-scale, ONE bucket
         # exchange, per-doc groupby — driver holds nothing
         "doc_split_leakage": docqc.doc_split_leakage,
+        # greedy set cover: k corpus passes, driver folds <= num_blocks
+        # top-1 rows per round, covered set bounded by k x grams-per-doc
+        "doc_set_cover": docqc.doc_set_cover,
+        # sorted-neighborhood blocking: the global sort IS the exchange;
+        # boundary fold <= num_batches narrow records
+        "neardup_sorted_neighbors": neardup.neardup_sorted_neighbors,
     }
     only = set(sys.argv[1:])
     if only:
