@@ -342,6 +342,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-neighborhood blocking (merge/purge): global (text, doc_id)
         # sort + adjacent-pair LCP with cross-slice boundary stitching
         "neardup_sorted_neighbors": neardup.neardup_sorted_neighbors,
+        # fractional-epoch data mixing: deterministic weighted replication
+        # (row-GENERATING fan-out, no exchange at all)
+        "doc_epoch_mix": docqc.doc_epoch_mix,
+        # language-pair vocabulary Jaccard: group-to-group set similarity
+        # (vocabulary-sized exchange, enum^2-sized result)
+        "lang_vocab_jaccard": docqc.lang_vocab_jaccard,
+        # k-NN majority-vote label propagation (weak supervision); all tie
+        # handling exact-integer (sim*1e4 * 2^32 - vec_id keys)
+        "ann_knn_classify": ann.ann_knn_classify,
         "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "embedding_neardup": ann.embedding_neardup_pairs,
         # reciprocal-NN pairs: symmetric-attraction near-dup seeds (hub
@@ -688,6 +697,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_leakage": docqc.split_leakage_sql(),
         "doc_set_cover": docqc.set_cover_sql(),
         "neardup_sorted_neighbors": neardup.sorted_neighbors_sql(),
+        "doc_epoch_mix": docqc.epoch_mix_sql(),
+        "lang_vocab_jaccard": docqc.lang_vocab_jaccard_sql(),
+        "ann_knn_classify": ann.knn_classify_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
         "events_sliding_rate": events.sliding_rate_sql(),

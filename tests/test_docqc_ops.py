@@ -1830,3 +1830,67 @@ def test_doc_set_cover_partition_invariant(ray_session):
         docqc._read = orig
     pd.testing.assert_frame_equal(base.reset_index(drop=True),
                                   many.reset_index(drop=True))
+
+
+def test_doc_epoch_mix_edge_cases(ray_session, tmp_path):
+    """Deterministic fractional-epoch replication: reps recomputed
+    independently with Python ints must match row-for-row; epochs number
+    1..reps; a sub-1-epoch doc whose gate misses is ABSENT."""
+    from titan_ray.pipelines.docqc import (
+        MIX_MULT, THR_TENTH, doc_epoch_mix, epoch_mix_sql)
+
+    doc_ids = list(range(20)) + [60, 64]           # 60/64: 0.6-epoch gate MISS
+    sources = [f"src{i % 8}" for i in doc_ids]     # tenths 6/12/18/24 cycle
+    tbl = pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "text": pa.array(["x"] * len(doc_ids)),
+        "source": pa.array(sources),
+    })
+    d = tmp_path / "mix"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_epoch_mix, epoch_mix_sql())
+
+    def expected_reps(did, src):
+        k = int(src[3:])
+        tenths = (k % 4 + 1) * 6
+        h = (did * MIX_MULT) % (1 << 64)
+        return tenths // 10 + (1 if h < (tenths % 10) * THR_TENTH else 0)
+
+    exp = {d_: expected_reps(d_, s) for d_, s in zip(doc_ids, sources)}
+    got = eng.groupby("doc_id")["epoch"].agg(["count", "max", "min"])
+    for did, reps in exp.items():
+        if reps == 0:
+            assert did not in got.index
+        else:
+            assert got.loc[did, "count"] == reps == got.loc[did, "max"]
+            assert got.loc[did, "min"] == 1
+    assert any(r == 0 for r in exp.values())       # the drop path is real
+    assert any(r >= 2 for r in exp.values())       # and so is upsampling
+
+
+def test_lang_vocab_jaccard_edge_cases(ray_session, tmp_path):
+    """Planted vocabularies: en/de share {b, c} (J = 2/4), fr shares
+    nothing and so appears in NO pair row; per-lang distinct totals count
+    words once however often they repeat."""
+    from titan_ray.pipelines.docqc import lang_vocab_jaccard, lang_vocab_jaccard_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "lang": pa.array(["en", "en", "de", "fr"]),
+        "text": pa.array([
+            "a b c a b",        # en: {a,b,c}
+            "c a",              # en dup words -> still {a,b,c}
+            "b c d",            # de: {b,c,d}
+            "x x x",            # fr: {x}
+        ]),
+    })
+    d = tmp_path / "lvj"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), lang_vocab_jaccard, lang_vocab_jaccard_sql())
+    assert len(eng) == 1
+    row = eng.iloc[0]
+    assert (row["lang_a"], row["lang_b"]) == ("de", "en")
+    assert row["n_a"] == 3 and row["n_b"] == 3 and row["n_common"] == 2
+    assert row["jaccard"] == 0.5

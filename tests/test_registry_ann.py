@@ -376,3 +376,40 @@ def test_embedding_mutual_nn(ray_session, tmp_path):
     assert value_hash(eng) == value_hash(ora)
     ids = eng["vec_a"].tolist() + eng["vec_b"].tolist()
     assert len(ids) == len(set(ids))
+
+
+def test_ann_knn_classify(ray_session, tmp_path):
+    """kNN vote corrects a planted mislabel: two tight 6-point clusters,
+    one cluster-A point labeled 9 — its 5 nearest are all true-A, so the
+    vote flips it back to label 1 (and every pred matches the cluster).
+    Corpus parity at the default k vs the row_number/modal-label twin."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from titan_ray.stages.ann import ann_knn_classify, knn_classify_sql
+    from tools.check_contract import to_pandas, value_hash
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    a = np.c_[np.ones(6), 0.02 * rng.normal(size=(6, 1)), np.zeros((6, 2))]
+    b = np.c_[np.zeros((6, 1)), 0.02 * rng.normal(size=(6, 1)), np.ones(6), np.zeros(6)]
+    X = np.vstack([a, b]).astype(np.float32)
+    lbl = np.array([1, 1, 9, 1, 1, 1, 2, 2, 2, 2, 2, 2], dtype=np.int32)
+    t = pa.table({"vec_id": pa.array(np.arange(12, dtype=np.int64)),
+                  "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+                  "label": pa.array(lbl)})
+    d = tmp_path / "knn"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    eng = to_pandas(ann_knn_classify(str(d), k=5)).set_index("vec_id")
+    assert (eng.loc[0:5, "pred_label"] == 1).all()     # incl. the mislabeled 2
+    assert (eng.loc[6:11, "pred_label"] == 2).all()
+    assert eng.loc[2, "n_votes"] == 5                  # unanimous correction
+
+    sf = "/root/testdata/sf0.001"
+    eng = to_pandas(ann_knn_classify(sf))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(knn_classify_sql()).df()
+    assert len(eng) == len(ora) == 500
+    assert value_hash(eng) == value_hash(ora)

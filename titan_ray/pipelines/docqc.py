@@ -5380,3 +5380,192 @@ def set_cover_sql(k: int = SETCOVER_K, n: int = DECONTAM_N) -> str:
         for r in range(1, k + 1)
     ]
     return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Fractional-epoch data mixing — the training-recipe replication step
+# (upsample curated sources, downsample bulk web; e.g. "wiki 2.4 epochs,
+# web 0.6"): every doc is emitted floor(e) times plus one more iff its
+# deterministic hash gate clears the fractional part. A row-GENERATING
+# transform (fan-out), the inverse of sampling — no shuffle at all.
+# ---------------------------------------------------------------------------
+
+MIX_MULT = 14029467366897019727        # fixed odd 64-bit multiplier, independent
+THR_TENTH = (1 << 64) // 10            # of SPLIT_MULT so gates don't correlate
+
+
+def _source_epoch_tenths(source_num: np.ndarray) -> np.ndarray:
+    """Default mixing recipe keyed on the source id: (K mod 4 + 1) * 0.6
+    epochs = 0.6 / 1.2 / 1.8 / 2.4 in exact TENTHS (6/12/18/24), covering
+    sub-1 downsampling and >2 upsampling in one table."""
+    return ((source_num % 4) + 1) * 6
+
+
+def doc_epoch_mix(sf_dir: str):
+    """(doc_id, source, epoch) with one row per replica: reps =
+    tenths // 10 + (hash-gate < tenths % 10 in 64-bit space). Fully
+    row-local — epoch fan-out inside map_batches via np.repeat, no
+    exchange, deterministic across runs and block layouts. The gate
+    threshold is DEFINED as frac_tenths * floor(2^64 / 10) so numpy
+    uint64 and the HUGEINT twin compute bit-identical comparisons."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["doc_id", "source"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "source": pa.array([], type=pa.string()),
+                          "epoch": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcnum = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 32),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        tenths = _source_epoch_tenths(srcnum)
+        base = tenths // 10
+        frac = tenths % 10
+        h = did.astype(np.uint64) * np.uint64(MIX_MULT)   # mod 2^64 implicit
+        reps = base + (h < frac.astype(np.uint64) * np.uint64(THR_TENTH))
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        rep_doc = np.repeat(np.arange(len(did)), reps)
+        ends = np.cumsum(reps)
+        epoch = np.arange(total, dtype=np.int64) - np.repeat(ends - reps, reps) + 1
+        return pa.table({
+            "doc_id": pa.array(did[rep_doc]),
+            "source": batch["source"].take(pa.array(rep_doc)),
+            "epoch": pa.array(epoch),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def epoch_mix_sql() -> str:
+    """DuckDB replay of doc_epoch_mix: the same tenths recipe and HUGEINT
+    hash gate, fanned out with unnest(range(1, reps+1))."""
+    T = 1 << 64
+    return (
+        "WITH r AS (SELECT doc_id, source, "
+        "((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 6 AS tenths, "
+        f"(CAST(doc_id AS HUGEINT) * {MIX_MULT}) % {T} AS h FROM documents), "
+        "e AS (SELECT doc_id, source, tenths // 10 + "
+        f"CASE WHEN h < CAST(tenths % 10 AS HUGEINT) * {THR_TENTH} THEN 1 ELSE 0 END AS reps FROM r) "
+        "SELECT doc_id, source, CAST(t.i AS BIGINT) AS epoch "
+        "FROM e, unnest(range(1, reps + 1)) AS t(i)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-group vocabulary similarity — the language-pair (or source-pair)
+# distinct-set Jaccard matrix: how much do two slices' vocabularies
+# overlap? Group-to-group set similarity, NOT doc-to-doc (setjoin_pairs):
+# the exchange is vocabulary-sized and the result is enum^2-sized.
+# ---------------------------------------------------------------------------
+
+
+def lang_vocab_jaccard(sf_dir: str, num_buckets: int = 64):
+    """(lang_a, lang_b, n_a, n_b, n_common, jaccard) for every language
+    pair sharing >= 1 distinct word (lang_a < lang_b lexically; jaccard
+    rounded half-away to 6).
+
+    Scale shape: per-batch distinct (lang, word-hash) pairs; ONE exchange
+    keyed on word-hash bucket; per bucket the lang set of each word turns
+    into pair counts via <= n_langs shifted run-compares (no per-word
+    Python loop) and diagonal (lang, lang) rows carry per-lang distinct
+    totals; the final groupby merges enum^2-sized partials and the finish
+    is a <= |langs|^2-row driver fold. Engine joins word hashes, the twin
+    joins literal words (lm_fluency convention)."""
+    from ..stages.ann import round_half_away
+
+    ds = _read(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "h": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        g, rid = _word_gram_hashes(texts, 1)
+        if len(g) == 0:
+            return empty
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        lcode, uniq = pd_factorize_stable(lang)
+        pairs = np.unique(np.stack([lcode[rid].astype(np.int64), g.view(np.int64)]), axis=1)
+        return pa.table({
+            "lang": pa.array(uniq[pairs[0]]),
+            "h": pa.array(pairs[1]),
+            "_b": pa.array(((pairs[1] % num_buckets + num_buckets) % num_buckets).astype(np.int32)),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang_a": pa.array([], type=pa.string()),
+                          "lang_b": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        lcode, uniq = pd_factorize_stable(lang)
+        hl = np.unique(np.stack([h, lcode.astype(np.int64)]), axis=1)  # dedup cross-batch
+        hh, ll = hl[0], hl[1]   # sorted by (h, lcode): runs share a word
+        out_a, out_b = [ll], [ll]          # diagonal seeds (totals)
+        max_run = int(np.bincount(np.unique(hh, return_inverse=True)[1]).max(initial=0))
+        for s in range(1, max_run):
+            same = hh[s:] == hh[:-s]
+            if not same.any():
+                break
+            out_a.append(ll[:-s][same])    # lcode ascending within run ->
+            out_b.append(ll[s:][same])     # a < b for free
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        key = a * np.int64(1 << 16) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        ka, kb = (uk >> np.int64(16)).astype(np.intp), (uk & np.int64(0xFFFF)).astype(np.intp)
+        return pa.table({"lang_a": pa.array(uniq[ka]), "lang_b": pa.array(uniq[kb]),
+                         "cnt": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(lambda t: per_bucket(t.drop_columns(["_b"])),
+                       batch_format="pyarrow")
+           .groupby(["lang_a", "lang_b"])
+           .sum("cnt"))
+    df = agg.to_pandas()    # <= |langs|^2 rows
+    totals = {r["lang_a"]: int(r["sum(cnt)"]) for _, r in df.iterrows()
+              if r["lang_a"] == r["lang_b"]}
+    off = df[df["lang_a"] != df["lang_b"]]
+    import pandas as pd
+    na = off["lang_a"].map(totals).astype(np.int64)
+    nb = off["lang_b"].map(totals).astype(np.int64)
+    common = off["sum(cnt)"].astype(np.int64)
+    jac = round_half_away((common / (na + nb - common)).to_numpy(), 6)
+    return pd.DataFrame({
+        "lang_a": off["lang_a"].to_numpy(), "lang_b": off["lang_b"].to_numpy(),
+        "n_a": na.to_numpy(), "n_b": nb.to_numpy(),
+        "n_common": common.to_numpy(), "jaccard": jac,
+    }).sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def pd_factorize_stable(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Factorize to codes ORDERED BY VALUE (np.unique), so within-run
+    ascending codes mean ascending lang strings — the a < b invariant."""
+    uniq, codes = np.unique(arr, return_inverse=True)
+    return codes, uniq
+
+
+def lang_vocab_jaccard_sql() -> str:
+    """DuckDB replay over literal words."""
+    return (
+        r"WITH w0 AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS word "
+        "FROM documents), "
+        "w AS (SELECT DISTINCT lang, word FROM w0), "
+        "sz AS (SELECT lang, count(*)::BIGINT AS n FROM w GROUP BY lang), "
+        "ix AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS n_common "
+        "FROM w a JOIN w b ON a.word = b.word AND a.lang < b.lang GROUP BY 1, 2) "
+        "SELECT lang_a, lang_b, za.n AS n_a, zb.n AS n_b, n_common, "
+        "round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard "
+        "FROM ix JOIN sz za ON za.lang = lang_a JOIN sz zb ON zb.lang = lang_b"
+    )

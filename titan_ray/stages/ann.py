@@ -185,6 +185,80 @@ def embedding_mutual_nn(sf_dir: str):
             .map_groups(mutual, batch_format="pyarrow"))
 
 
+def ann_knn_classify(sf_dir: str, k: int = 10):
+    """(vec_id, pred_label, n_votes): k-NN majority-vote label propagation —
+    each vector is classified by the modal label of its k nearest OTHER
+    vectors (cosine rounded to 4; neighbour ties at the k-boundary broken
+    toward smaller vec_id; vote ties toward the smaller label). The
+    semi-supervised weak-labeling primitive.
+
+    Scale shape: same broadcast-argmax family as embedding_mutual_nn (one
+    matmul per batch; IVF blocking is the documented scale path). ALL tie
+    handling is exact-integer: selection key = round(sim*1e4) * 2^32 -
+    vec_id (argpartition + sort on int64 — no float comparisons), votes
+    via one flat bincount per batch. Row-local after the broadcast; no
+    exchange at all."""
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    all_m = _matrix(t["embedding"])
+    all_ids = t["vec_id"].to_numpy().astype(np.int64)
+    all_lbl = t["label"].to_numpy().astype(np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, all_lbl, all_m = all_ids[order], all_lbl[order], all_m[order]
+    norms = np.sqrt(np.einsum("ij,ij->i", all_m, all_m))
+    all_n = all_m / np.maximum(norms, 1e-300)[:, None]
+    n_lbl = int(all_lbl.max()) + 1
+    ref = ray.put((all_ids, all_lbl, all_n))
+
+    def vote(batch: pa.Table) -> pa.Table:
+        ids_r, lbl_r, mat_r = ray.get(ref)
+        m = _matrix(batch["embedding"], dim=mat_r.shape[1])
+        bnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        mn = m / np.maximum(bnorm, 1e-300)[:, None]
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = round_half_away(mn @ mat_r.T, 4)
+        si = np.rint(s * 10_000).astype(np.int64)
+        key = si * np.int64(1 << 32) - ids_r[None, :]     # (sim desc, id asc)
+        # negation-safe sentinel: -int64.min overflows to itself and would
+        # float the self row to the TOP of -key — use -(2^62) instead
+        key[bid[:, None] == ids_r[None, :]] = -(np.int64(1) << 62)
+        kk = min(k, key.shape[1] - 1)
+        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        votes = lbl_r[top]
+        flat = votes + np.arange(len(bid))[:, None] * n_lbl
+        cnt = np.bincount(flat.ravel(), minlength=len(bid) * n_lbl).reshape(len(bid), n_lbl)
+        pred = cnt.argmax(axis=1)                          # tie -> smaller label
+        return pa.table({
+            "vec_id": pa.array(bid),
+            "pred_label": pa.array(pred.astype(np.int64)),
+            "n_votes": pa.array(cnt[np.arange(len(bid)), pred].astype(np.int64)),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(vote, batch_format="pyarrow")
+
+
+def knn_classify_sql(k: int = 10) -> str:
+    """DuckDB replay of ann_knn_classify: row_number top-k per query
+    (sim DESC, vec_id ASC), then modal label (count DESC, label ASC)."""
+    return (
+        "WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings), "
+        "s AS (SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lbl, "
+        "round(list_dot_product(a.qe, b.qe) / (sqrt(list_dot_product(a.qe, a.qe)) * "
+        "sqrt(list_dot_product(b.qe, b.qe))), 4) AS sim "
+        "FROM n a JOIN n b ON a.vec_id <> b.vec_id), "
+        "topk AS (SELECT va, lbl FROM "
+        f"(SELECT *, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS r FROM s) t WHERE r <= {k}), "
+        "v AS (SELECT va, lbl, count(*) AS c FROM topk GROUP BY 1, 2), "
+        "p AS (SELECT va AS vec_id, lbl AS pred_label, c AS n_votes, "
+        "row_number() OVER (PARTITION BY va ORDER BY c DESC, lbl) AS r FROM v) "
+        "SELECT vec_id, CAST(pred_label AS BIGINT) AS pred_label, "
+        "CAST(n_votes AS BIGINT) AS n_votes FROM p WHERE r = 1"
+    )
+
+
 def mutual_nn_sql() -> str:
     """DuckDB replay of embedding_mutual_nn: full pairwise rounded cosine,
     row_number NN per side (sim DESC, vec_id ASC — the argmax-first

@@ -219,6 +219,10 @@ def main() -> None:
         # sorted-neighborhood blocking: the global sort IS the exchange;
         # boundary fold <= num_batches narrow records
         "neardup_sorted_neighbors": neardup.neardup_sorted_neighbors,
+        # fractional-epoch replication: pure fan-out, no exchange
+        "doc_epoch_mix": docqc.doc_epoch_mix,
+        # lang-pair vocabulary Jaccard: vocabulary-sized exchange only
+        "lang_vocab_jaccard": docqc.lang_vocab_jaccard,
     }
     only = set(sys.argv[1:])
     if only:
