@@ -351,6 +351,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-NN majority-vote label propagation (weak supervision); all tie
         # handling exact-integer (sim*1e4 * 2^32 - vec_id keys)
         "ann_knn_classify": ann.ann_knn_classify,
+        # next-fit context-window packing: non-associative recurrence via
+        # the finite-domain function-tabulation parallel scan
+        "doc_pack_bins": docqc.doc_pack_bins,
+        # end-to-end pretrain corpus build: gates -> dedup -> decontam ->
+        # pack as ONE streaming pipeline (text crosses the wire zero times)
+        "doc_pretrain_build": docqc.doc_pretrain_build,
         "doc_sample_rebalance": docqc.doc_sample_rebalance,
         "embedding_neardup": ann.embedding_neardup_pairs,
         # reciprocal-NN pairs: symmetric-attraction near-dup seeds (hub
@@ -700,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_epoch_mix": docqc.epoch_mix_sql(),
         "lang_vocab_jaccard": docqc.lang_vocab_jaccard_sql(),
         "ann_knn_classify": ann.knn_classify_sql(),
+        "doc_pack_bins": docqc.pack_bins_sql(),
+        "doc_pretrain_build": docqc.pretrain_build_sql(),
         "doc_source_quota": docqc.source_quota_sql(),
         "events_topk_users": events.topk_users_sql(),
         "events_sliding_rate": events.sliding_rate_sql(),

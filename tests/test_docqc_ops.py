@@ -1894,3 +1894,82 @@ def test_lang_vocab_jaccard_edge_cases(ray_session, tmp_path):
     assert (row["lang_a"], row["lang_b"]) == ("de", "en")
     assert row["n_a"] == 3 and row["n_b"] == 3 and row["n_common"] == 2
     assert row["jaccard"] == 0.5
+
+
+def test_doc_pack_bins_edge_cases(ray_session, tmp_path):
+    """Next-fit walk on a planted sequence (C=10): exact fit closes at the
+    boundary without waste, an oversized doc gets a window ALONE (entering
+    only when the current window closes), and an empty doc costs one pad
+    token."""
+    from titan_ray.pipelines.docqc import doc_pack_bins, pack_bins_sql
+    from tools.check_contract import to_pandas
+
+    # tokens: 4, 6 (fits exactly), 3, 15 (oversize), 2, 1(empty), 8
+    texts = ["a b c d", "a b c d e f", "a b c", " ".join(["w"] * 15),
+             "a b", "", "a b c d e f g h"]
+    tbl = pa.table({"doc_id": pa.array(list(range(7)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    d = tmp_path / "pack"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), lambda sf: doc_pack_bins(sf, capacity=10),
+                   pack_bins_sql(capacity=10)).sort_values("doc_id").reset_index(drop=True)
+    assert eng["tok"].tolist() == [4, 6, 3, 15, 2, 1, 8]
+    # bin walk: [4,6]=10 exact | [3] then 15 overflows -> [15] alone | [2,1] then 8 overflows -> [8]
+    assert eng["bin_id"].tolist() == [0, 0, 1, 2, 3, 3, 4]
+    assert eng["bin_offset"].tolist() == [0, 4, 0, 0, 0, 2, 0]
+
+
+def test_doc_pack_bins_partition_invariant(ray_session):
+    """The tabulation scan must be exact under ANY block layout: 1 block
+    and 29 blocks give identical assignments (block boundaries change
+    which incoming fills the transfer tables are evaluated at)."""
+    import ray as _ray
+    import titan_ray.pipelines.docqc as docqc
+    from titan_ray.pipelines.docqc import doc_pack_bins
+
+    sf = "/root/testdata/sf0.001"
+    base = doc_pack_bins(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ds = _ray.data.read_parquet(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text"]).repartition(29)
+    orig = docqc._read
+    try:
+        docqc._read = lambda _sf, _cols: ds
+        many = doc_pack_bins(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        docqc._read = orig
+    pd.testing.assert_frame_equal(base, many)
+    # packing is tight: every window except possibly per-run tails is full
+    # enough that total windows <= ceil(total tokens / C) * 2 (sanity)
+    import math
+    assert base["bin_id"].max() + 1 <= 2 * math.ceil(base["tok"].sum() / 256)
+
+
+def test_doc_pretrain_build_edge_cases(ray_session, tmp_path):
+    """Every stage of the composition fires on a planted corpus: doc 2 is a
+    byte-duplicate of doc 1 (dedup keeps 1 — exercising the non-empty dup
+    map), doc 3 shares the 3-gram 'canary gram alpha' with eval doc 107
+    (decontam drop), doc 5 fails the Gopher word-count gate, doc 97 is
+    val-split, doc 107 is the eval slice itself — leaving exactly docs
+    {1, 4} packed into one window."""
+    from titan_ray.pipelines.docqc import doc_pretrain_build, pretrain_build_sql
+
+    T = ("the table value merge sorts batch window filter stream group query "
+         "scans joins a hashing column vector parts order small rows big data lines")
+    U = ("a window merge value table sorts canary gram alpha filter batch stream "
+         "the query scans group joins order parts rows small big lines data")
+    V = ("the batch value table merge window sorts filter stream group query "
+         "scans joins order parts rows small big data lines a column vector hash")
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 97, 107], type=pa.int64()),
+        "text": pa.array([T, T, U, V, "tiny doc here", V,
+                          "eval holdout canary gram alpha probe"]),
+    })
+    d = tmp_path / "build"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    eng = _compare(str(d), doc_pretrain_build, pretrain_build_sql()) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert eng["doc_id"].tolist() == [1, 4]
+    assert eng["bin_id"].tolist() == [0, 0]          # both fit one window
+    assert eng["bin_offset"].tolist() == [0, 24]     # next-fit order

@@ -5569,3 +5569,332 @@ def lang_vocab_jaccard_sql() -> str:
         "round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard "
         "FROM ix JOIN sz za ON za.lang = lang_a JOIN sz zb ON zb.lang = lang_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-fit sequence packing — pack docs into fixed-capacity context windows
+# WITHOUT splitting (the complement of doc_token_shards, which splits):
+# walk the corpus in doc_id order keeping a running fill; a doc that would
+# overflow the window closes it and opens the next. The recurrence
+# f' = (f>0 and f+t>C) ? t : f+t is NON-ASSOCIATIVE (no prefix-sum or
+# linearization exists), but its state domain is finite — so each block
+# tabulates its transfer function over ALL C+1 possible incoming fills in
+# parallel (the function-composition scan), the driver folds num_blocks
+# tiny tables sequentially, and a second parallel pass emits per-doc
+# assignments from each block's now-known incoming state.
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256   # tokens per context window
+
+
+def doc_pack_bins(sf_dir: str, capacity: int = PACK_CAPACITY):
+    """(doc_id, tok, bin_id, bin_offset) under next-fit packing in doc_id
+    order. tok = max(1, whitespace words) — empty docs occupy one pad
+    token, which also makes every fill >= capacity behave identically
+    (any next doc overflows), so the tabulation domain clamps to
+    [0, capacity] EXACTLY, not approximately.
+
+    Scale shape: one narrow (doc_id, tok) stream -> ONE sort exchange ->
+    materialize (blocks are then frozen, so both passes see identical
+    slices with batch_size=None). Pass 1: each block simulates all C+1
+    incoming fills at once (row loop over the block x a (C+1)-wide numpy
+    state — the finite-domain parallel-scan trick). Driver fold: O(blocks)
+    table lookups. Pass 2: per-block span walk (searchsorted per BIN, not
+    per row) emits assignments. Twin: recursive CTE walking rn+1 (the
+    events_ewma convention)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    return _pack_tok_stream(ds.map_batches(_toks_batch, batch_format="pyarrow"),
+                            capacity)
+
+
+def _toks_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, tok) with tok = max(1, whitespace words)."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "tok": pa.array([], type=pa.int64())})
+    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    g, rid = _word_gram_hashes(texts, 1)
+    cnt = np.bincount(rid, minlength=batch.num_rows) if len(g) else np.zeros(batch.num_rows, dtype=np.int64)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "tok": pa.array(np.maximum(cnt, 1).astype(np.int64))})
+
+
+def _pack_tok_stream(narrow, capacity: int):
+    """Next-fit packing of a (doc_id, tok) Dataset (the function-tabulation
+    scan; see doc_pack_bins). Shared by doc_pack_bins and the pretrain
+    corpus-build composition."""
+    import ray
+
+    snarrow = narrow.sort("doc_id").materialize()
+    C = capacity
+
+    def transfer(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.list_(pa.int64())),
+                             "nb": pa.array([], type=pa.list_(pa.int64()))})
+        t = batch["tok"].to_numpy(zero_copy_only=False)
+        F = np.arange(C + 1, dtype=np.int64)
+        N = np.zeros(C + 1, dtype=np.int64)
+        for ti in t:
+            nb = (F > 0) & (F + ti > C)
+            N += nb
+            F = np.where(nb, ti, F + ti)
+        return pa.table({
+            "first_doc": pa.array([batch["doc_id"][0].as_py()], type=pa.int64()),
+            "g": pa.array([F.tolist()], type=pa.list_(pa.int64())),
+            "nb": pa.array([N.tolist()], type=pa.list_(pa.int64())),
+        })
+
+    tables = snarrow.map_batches(transfer, batch_size=None,
+                                 batch_format="pyarrow").to_pandas()
+    tables = tables.sort_values("first_doc").reset_index(drop=True)
+    state: dict[int, tuple[int, int]] = {}
+    f, b = 0, 0
+    for _, row in tables.iterrows():
+        state[int(row["first_doc"])] = (f, b)
+        idx = min(f, C)
+        b += int(row["nb"][idx])
+        f = int(row["g"][idx])
+    ref = ray.put(state)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "tok": pa.array([], type=pa.int64()),
+                          "bin_id": pa.array([], type=pa.int64()),
+                          "bin_offset": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        st = ray.get(ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f0, b0 = st[int(did[0])]
+        n = len(t)
+        prefix = np.cumsum(t)
+        out_bin = np.empty(n, dtype=np.int64)
+        out_off = np.empty(n, dtype=np.int64)
+        i, f, binno = 0, int(min(f0, C)), int(b0)
+        while i < n:
+            base = int(prefix[i - 1]) if i > 0 else 0
+            j = int(np.searchsorted(prefix, C - f + base, side="right"))
+            if j == i:
+                if f == 0:          # lone oversized doc gets its own window
+                    j = i + 1
+                else:               # current window full -> close it
+                    binno += 1
+                    f = 0
+                    continue
+            out_off[i:j] = f + prefix[i:j] - base - t[i:j]
+            out_bin[i:j] = binno
+            f += int(prefix[j - 1]) - base
+            i = j
+            if i < n:
+                binno += 1
+                f = 0
+        return pa.table({"doc_id": pa.array(did), "tok": pa.array(t),
+                         "bin_id": pa.array(out_bin),
+                         "bin_offset": pa.array(out_off)})
+
+    return snarrow.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def pack_bins_sql(capacity: int = PACK_CAPACITY) -> str:
+    """DuckDB replay of doc_pack_bins: the literal next-fit walk as a
+    recursive CTE joining rn -> rn + 1."""
+    C = capacity
+    return (
+        r"WITH RECURSIVE t AS (SELECT doc_id, "
+        r"greatest(len(regexp_extract_all(text, '\S+')), 1)::BIGINT AS tok FROM documents), "
+        "ord AS (SELECT doc_id, tok, row_number() OVER (ORDER BY doc_id) AS rn FROM t), "
+        "pack AS ("
+        "SELECT rn, doc_id, tok, 0::BIGINT AS bin_id, 0::BIGINT AS bin_offset, tok AS fill "
+        "FROM ord WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT o.rn, o.doc_id, o.tok, "
+        f"CASE WHEN p.fill + o.tok > {C} THEN p.bin_id + 1 ELSE p.bin_id END, "
+        f"CASE WHEN p.fill + o.tok > {C} THEN 0::BIGINT ELSE p.fill END, "
+        f"CASE WHEN p.fill + o.tok > {C} THEN o.tok ELSE p.fill + o.tok END "
+        "FROM pack p JOIN ord o ON o.rn = p.rn + 1) "
+        "SELECT doc_id, tok, bin_id, bin_offset FROM pack"
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining corpus build — the composition a platform actually
+# runs, chained as ONE streaming pipeline: Gopher quality gate -> eval-slice
+# + train-split gates (row-local) -> exact dedup keep-first (narrow
+# exchange + counted dup-map broadcast) -> decontamination drop (eval-gram
+# broadcast probe) -> next-fit context-window packing (the tabulation
+# scan). Every stage reuses the already-verified kernel of its standalone
+# operator; the SQL twin composes the standalone twins as chained CTEs.
+# ---------------------------------------------------------------------------
+
+MAX_BUILD_DUP_MAP = 2_000_000  # dedup_broadcast's bound, same rationale
+
+
+def doc_pretrain_build(sf_dir: str, capacity: int = PACK_CAPACITY,
+                       n: int = DECONTAM_N, num_buckets: int = 64):
+    """(doc_id, tok, bin_id, bin_offset) for the packed TRAIN corpus:
+    Gopher-passing, non-eval, train-split, first-copy-per-normalized-text,
+    uncontaminated docs packed into fixed windows in doc_id order.
+
+    Stage order is part of the contract (dedup runs among gate survivors,
+    so a duplicate whose first copy was gate-dropped keeps its earliest
+    SURVIVING copy): gates -> dedup -> decontam -> pack. Scale shape: the
+    gates are row-local; dedup moves only (doc_id, h1, h2) and broadcasts
+    the counted dup map (count > MAX_BUILD_DUP_MAP raises toward the
+    full-shuffle strategy, dedup_broadcast convention); the eval-gram probe
+    is the enforced-bound decontaminate broadcast; packing is the
+    finite-domain scan. The corpus text crosses the wire ZERO times."""
+    import logging
+
+    import pandas as pd
+    import ray
+
+    from ..stages.dedup import _hash2, _normalize_arrow
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    # --- eval-gram set over the FULL corpus (decontaminate convention) ---
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = did % _EVAL_MOD == _EVAL_REM
+        if not sel.any():
+            return pa.table({"gram": pa.array(np.empty(0, dtype=np.uint64))})
+        texts = (batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray)
+                 else batch["text"]).filter(pa.array(sel))
+        g, _ = _word_gram_hashes(texts, n)
+        return pa.table({"gram": pa.array(np.unique(g))})
+
+    ev = ds.map_batches(eval_grams, batch_format="pyarrow").to_pandas()["gram"]
+    eval_unique = np.unique(ev.to_numpy(dtype=np.uint64))
+    if len(eval_unique) > MAX_EVAL_GRAMS:
+        raise ValueError(
+            f"doc_pretrain_build: eval slice produced {len(eval_unique)} unique "
+            f"grams > MAX_EVAL_GRAMS={MAX_EVAL_GRAMS}")
+    eval_ref = ray.put(eval_unique)
+
+    # --- stage A: row-local gates (gopher keep, non-eval, train split) ---
+    def gates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        _, _, _, keep = gopher_rule_arrays(texts)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((did.astype(np.uint64) * np.uint64(SPLIT_MULT))
+                  % np.uint64(SPLIT_BUCKETS)).astype(np.int64)
+        m = keep.astype(bool) & (did % _EVAL_MOD != _EVAL_REM) & (bucket >= SPLIT_VAL_LT)
+        return batch.filter(pa.array(m))
+
+    survivors = ds.map_batches(gates, batch_format="pyarrow")
+
+    # --- stage B: exact dedup keep-first among survivors (narrow) ---
+    def hash_narrow(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
+        h1, h2 = _hash2(_normalize_arrow(batch["text"].combine_chunks()
+                                         if isinstance(batch["text"], pa.ChunkedArray)
+                                         else batch["text"]))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h1": pa.array(h1), "h2": pa.array(h2),
+                         "_b": pa.array((h1 % num_buckets).astype(np.int32))})
+
+    def dup_groups(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["h1", "h2"], sort=False)["doc_id"].agg(["min", "count"]).reset_index()
+        g = g[g["count"] > 1]
+        return pd.DataFrame({"h1": g["h1"], "h2": g["h2"],
+                             "keep_doc": g["min"].astype(np.int64)})
+
+    dups = (survivors.map_batches(hash_narrow, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(lambda d: dup_groups(d.drop(columns=["_b"])),
+                        batch_format="pandas")
+            .to_pandas())
+    if len(dups) > MAX_BUILD_DUP_MAP:
+        raise ValueError(
+            f"doc_pretrain_build: dup map {len(dups)} rows > "
+            f"{MAX_BUILD_DUP_MAP}; switch stage B to the full-shuffle "
+            "dedup_exact strategy (stages/dedup.py:73)")
+    dup_ref = ray.put(dups)
+
+    # --- stages B-drop + C (decontam) fused: one row-local pass ---
+    def drop_and_probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "tok": pa.array([], type=pa.int64())})
+        dmap = ray.get(dup_ref)
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(dmap):
+            h1, h2 = _hash2(_normalize_arrow(texts))
+            df = pd.DataFrame({"h1": h1, "h2": h2, "doc_id": did})
+            merged = df.merge(dmap, on=["h1", "h2"], how="left")
+            keep = (merged["keep_doc"].isna()
+                    | (merged["keep_doc"] == merged["doc_id"])).to_numpy()
+        else:   # no duplicate group survived the gates (empty map is
+            keep = np.ones(batch.num_rows, dtype=bool)  # float-typed)
+        ev_sorted = ray.get(eval_ref)
+        g, rid = _word_gram_hashes(texts, n)
+        if len(g) and len(ev_sorted):
+            pos = np.searchsorted(ev_sorted, g)
+            hit = (pos < len(ev_sorted)) & (ev_sorted[np.minimum(pos, len(ev_sorted) - 1)] == g)
+            contaminated = np.zeros(batch.num_rows, dtype=bool)
+            np.logical_or.at(contaminated, rid[hit], True)
+            keep &= ~contaminated
+        sub = batch.filter(pa.array(keep))
+        return _toks_batch(sub)
+
+    narrow = survivors.map_batches(drop_and_probe, batch_format="pyarrow")
+    return _pack_tok_stream(narrow, capacity)
+
+
+def pretrain_build_sql(capacity: int = PACK_CAPACITY, n: int = DECONTAM_N) -> str:
+    """DuckDB replay of doc_pretrain_build: the standalone twins chained —
+    gopher gates + split/eval filters, min-doc_id dedup over survivors,
+    gram-join decontamination, recursive next-fit pack."""
+    from ..functions.features import STOPWORDS
+
+    C = capacity
+    hi = n - 1
+    T = 1 << 64
+    pres = " + ".join(
+        f"CASE WHEN contains(p, ' {w} ') THEN 1 ELSE 0 END" for w in STOPWORDS
+    )
+    return (
+        "WITH RECURSIVE gb AS (SELECT doc_id, text, concat(' ', lower(text), ' ') AS p, "
+        r"CAST(length(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_words, "
+        "strlen(text) - CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_nonspace "
+        "FROM documents), "
+        f"gc AS (SELECT doc_id, text, n_words, CAST({pres} AS BIGINT) AS n_stop, "
+        "CAST(n_nonspace AS DOUBLE) / greatest(n_words, 1) AS mwl FROM gb), "
+        "keepers AS (SELECT doc_id, text FROM gc "
+        f"WHERE n_words BETWEEN {GOPHER_WC_LO} AND {GOPHER_WC_HI} "
+        f"AND mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI} AND n_stop >= {GOPHER_MIN_STOP} "
+        f"AND doc_id % {_EVAL_MOD} <> {_EVAL_REM} "
+        f"AND CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT}) % {T} % {SPLIT_BUCKETS} AS BIGINT) >= {SPLIT_VAL_LT}), "
+        "firsts AS (SELECT min(doc_id) AS kdoc FROM keepers "
+        r"GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), "
+        "k2 AS (SELECT doc_id, text FROM keepers WHERE doc_id IN (SELECT kdoc FROM firsts)), "
+        r"words_all AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents), "
+        f"g_all AS (SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+{hi} AS BIGINT)], ' ') AS gram "
+        f"FROM words_all, unnest(range(1, len(w) - {hi - 1})) AS t(i)), "
+        f"ev AS (SELECT DISTINCT gram FROM g_all WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}), "
+        "contam AS (SELECT DISTINCT g_all.doc_id FROM g_all JOIN ev USING (gram) "
+        f"WHERE g_all.doc_id % {_EVAL_MOD} <> {_EVAL_REM}), "
+        "k3 AS (SELECT doc_id, text FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)), "
+        r"tt AS (SELECT doc_id, greatest(len(regexp_extract_all(text, '\S+')), 1)::BIGINT AS tok FROM k3), "
+        "ord AS (SELECT doc_id, tok, row_number() OVER (ORDER BY doc_id) AS rn FROM tt), "
+        "pack AS ("
+        "SELECT rn, doc_id, tok, 0::BIGINT AS bin_id, 0::BIGINT AS bin_offset, tok AS fill "
+        "FROM ord WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT o.rn, o.doc_id, o.tok, "
+        f"CASE WHEN p.fill + o.tok > {C} THEN p.bin_id + 1 ELSE p.bin_id END, "
+        f"CASE WHEN p.fill + o.tok > {C} THEN 0::BIGINT ELSE p.fill END, "
+        f"CASE WHEN p.fill + o.tok > {C} THEN o.tok ELSE p.fill + o.tok END "
+        "FROM pack p JOIN ord o ON o.rn = p.rn + 1) "
+        "SELECT doc_id, tok, bin_id, bin_offset FROM pack"
+    )

@@ -223,6 +223,11 @@ def main() -> None:
         "doc_epoch_mix": docqc.doc_epoch_mix,
         # lang-pair vocabulary Jaccard: vocabulary-sized exchange only
         "lang_vocab_jaccard": docqc.lang_vocab_jaccard,
+        # next-fit packing: narrow sort + two block passes; driver holds
+        # num_blocks x (C+1) transfer tables
+        "doc_pack_bins": docqc.doc_pack_bins,
+        # full corpus-build composition: text never crosses the wire
+        "doc_pretrain_build": docqc.doc_pretrain_build,
     }
     only = set(sys.argv[1:])
     if only:
